@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build a BM25 inverted index.
+
+Usage:
+  spark-submit --py-files super_rag_spark.zip scripts/build_index.py \
+      --input /path/to/webtext.parquet --index /path/to/index \
+      [--from-html] [--buckets 32] [--salt-df-threshold 100000] [--master local[32]]
+
+(BASELINE.json north_rule: "packaged for spark-submit --py-files".)
+Also runnable directly with plain `python` for local use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="webtext parquet path")
+    ap.add_argument("--index", required=True, help="output index directory")
+    ap.add_argument("--from-html", action="store_true",
+                    help="run the HTML extraction UDF (default: use text column)")
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--salt-df-threshold", type=int, default=None)
+    ap.add_argument("--master", default=None, help="override spark master")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from super_rag_spark import analysis
+    from super_rag_spark.query.engine import BM25Engine
+
+    builder = SparkSession.builder.appName("super-rag-spark-build")
+    if args.master:
+        builder = builder.master(args.master)
+        cores = args.master.split("[")[-1].rstrip("]")
+        if cores.isdigit():
+            builder = builder.config("spark.sql.shuffle.partitions", cores)
+    spark = builder.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+
+    kwargs = {}
+    if args.buckets:
+        kwargs["n_buckets"] = args.buckets
+    if args.salt_df_threshold:
+        kwargs["salt_df_threshold"] = args.salt_df_threshold
+
+    df = spark.read.parquet(args.input)
+    n_docs = df.count()
+    t0 = time.time()
+    eng = BM25Engine(spark, args.index)
+    eng.build(df, text_is_extracted=not args.from_html, **kwargs)
+    elapsed = time.time() - t0
+    print(json.dumps({
+        "event": "index_built", "index": args.index, "n_docs": n_docs,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "manifest": eng.manifest,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""spark-submit entry point: query a built BM25 index.
+
+Usage:
+  python scripts/query.py --index /path/to/index --query "hello world" [-k 10]
+  python scripts/query.py --index /path/to/index --batch queries.json [--distributed]
+
+Single queries use the driver fast path (pyarrow pruned read + block-max
+WAND, no Spark job — the p50 latency path). --distributed runs the full
+Spark scoring plan instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", help="single query text")
+    ap.add_argument("--batch", help="JSON file: [{query_id, text, k}, ...]")
+    ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--master", default="local[4]")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from super_rag_spark.query.engine import BM25Engine
+
+    spark = (SparkSession.builder.master(args.master)
+             .appName("super-rag-spark-query")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    eng = BM25Engine(spark, args.index)
+
+    if args.query is not None:
+        t0 = time.time()
+        hits = eng.topk(args.query, args.k, use_wand=not args.no_wand)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.batch:
+        with open(args.batch) as f:
+            queries = json.load(f)
+        t0 = time.time()
+        if args.distributed:
+            rows = eng.query_batch(queries, k=args.k).collect()
+            out = [dict(query_id=r["query_id"], rank=r["rank"],
+                        doc_id=r["doc_id"], score=round(r["score"], 6)) for r in rows]
+        else:
+            out = []
+            for q in queries:
+                for i, (d, s) in enumerate(eng.topk(q["text"], q.get("k", args.k))):
+                    out.append(dict(query_id=q["query_id"], rank=i + 1,
+                                    doc_id=d, score=round(s, 6)))
+        sec = time.time() - t0
+        print(json.dumps({"n_queries": len(queries), "elapsed_sec": round(sec, 3),
+                          "qps": round(len(queries) / sec, 1), "results": len(out)}))
+    else:
+        ap.error("need --query or --batch")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,23 @@
+"""super_rag_spark — a from-scratch PySpark-native inverted-index + BM25 engine.
+
+Rebuilds the retrieval core of superagent-ai/super-rag (reference at
+/root/reference, a FastAPI RAG orchestration layer) as an exact sparse
+BM25 engine over Common-Crawl-style webtext tables, per BASELINE.json:
+
+- posting-list construction (delta-gap + varint blocks with block-max
+  metadata), term-hash bucketing, head-term salting for skew
+- block-max WAND top-k scoring, rank-identical to a pure-Python oracle
+- resumable index merge with per-bucket lineage records
+- deterministic HTML extraction + segmentation as Arrow-vectorized UDFs
+  (replaces unstructured.io + RollingWindowSplitter,
+  /root/reference/service/embedding.py:61-122,
+  /root/reference/service/splitter.py:21-216)
+- training-data ops: dedup (exact / MinHash-LSH / SimHash / n-gram
+  Jaccard), embedding ANN, language-ID, quality scoring
+
+Everything is DataFrame-first: built-in pyspark.sql.functions on the hot
+path, Arrow-batched pandas UDFs only for the genuinely per-doc
+sequential algorithms (extraction, segmentation, posting-block codec).
+"""
+
+__version__ = "0.1.0"

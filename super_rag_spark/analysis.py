@@ -1,0 +1,88 @@
+"""Shared analyzer: tokenizer, doc ids, BM25 math.
+
+This module is the single source of truth for the "encoder" of the
+sparse engine (replacing the reference's dense encoder config,
+/root/reference/models/ingest.py:17-46): the tokenizer spec and the
+BM25 (k1, b) parameters. Both the pure-Python oracle and the Spark
+pipeline import from here so they can never drift.
+
+Determinism requirements (BASELINE.json north_rule):
+- doc_id is content-addressed from the url (sha1 prefix), never UUID4
+  (the reference's UUID4 ids, /root/reference/service/embedding.py:196,
+  would break rank-identical re-runs — SURVEY.md §2.8 F6).
+- score summation order is fixed: contributions are summed in
+  term-ascending order on both the oracle and the Spark side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+# BM25 parameters (textbook defaults; SURVEY.md §5.1)
+K1 = 1.2
+B = 0.75
+
+# Posting-block size (docs per block; block-max metadata per block)
+BLOCK_SIZE = 128
+
+# Term-hash buckets for the postings table partitioning (local default;
+# a 1000-executor deployment would use e.g. 4096)
+N_BUCKETS = 32
+
+# Head-term salting: terms with df > SALT_DF_THRESHOLD get split into
+# SALT_COUNT sub-groups by the *top bits* of doc_id, so salt ranges are
+# contiguous and globally sorted (concatenating salt groups in salt
+# order yields sorted, non-overlapping posting blocks — WAND-safe).
+SALT_DF_THRESHOLD = 100_000
+SALT_COUNT = 16  # must be a power of two
+DOC_ID_BITS = 60  # doc_id = 15 hex chars of sha1(url) → uniform in [0, 2^60)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase alnum tokenizer.
+
+    Replaces the reference's tiktoken cl100k_base token counting
+    (/root/reference/service/embedding.py:124-127) with a deterministic
+    dependency-free analyzer. Spark equivalent (JVM-side, no UDF):
+    ``F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")``.
+    DuckDB oracle equivalent on clean text: ``string_split(text, ' ')``.
+    """
+    return _TOKEN_RE.findall(text.lower())
+
+
+def doc_id_for_url(url: str) -> int:
+    """Deterministic 60-bit doc id: int(sha1(url)[:15 hex], 16).
+
+    Spark equivalent:
+    ``F.conv(F.substring(F.sha1("url"), 1, 15), 16, 10).cast("long")``.
+    """
+    return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def salt_for_doc_id(doc_id: int, salt_count: int = SALT_COUNT) -> int:
+    """Contiguous-range salt = top log2(salt_count) bits of doc_id."""
+    shift = DOC_ID_BITS - (salt_count.bit_length() - 1)
+    return doc_id >> shift
+
+
+def idf(n_docs: int, df: int) -> float:
+    """BM25+ IDF: ln((N - df + 0.5)/(df + 0.5) + 1); always positive."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def bm25_term_score(tf: int, dl: int, avgdl: float, n_docs: int, df: int,
+                    k1: float = K1, b: float = B) -> float:
+    """Single-term BM25 contribution. The Spark column expression in
+    query/scoring.py mirrors this operation order exactly so floats
+    match bit-for-bit."""
+    return idf(n_docs, df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def chunk_id_for(url: str, chunk_index: int) -> str:
+    """Content-addressed chunk id (SURVEY.md §2.8 F6):
+    sha1(url + ":" + chunk_index) hex."""
+    return hashlib.sha1(f"{url}:{chunk_index}".encode("utf-8")).hexdigest()

@@ -1,0 +1,109 @@
+"""Posting-list codec: delta-gap + LEB128 varint, NumPy-vectorized.
+
+The reference stores vectors in external DBs and has no index format of
+its own (SURVEY.md §1.1 "index/collection" row); this codec is the
+from-scratch replacement required by BASELINE.json north_star:
+"per-partition posting lists (term -> delta-gap + varint-compressed
+docID/tf blocks with block-max metadata)".
+
+Everything here is pure NumPy over arrays (no per-row Python), so it
+runs inside Arrow-batched ``applyInPandas`` groups at full speed.
+
+Encoding of one block (<= BLOCK_SIZE postings of one term):
+  doc_ids: sorted ascending -> delta gaps (first value absolute) -> LEB128
+  tfs:     LEB128 as-is
+  dls:     per-posting document length, LEB128 as-is (storing dl inline
+           removes the doc_stats join from the scoring path entirely —
+           the scoring stage is shuffle-free until the final
+           per-(query,doc) aggregation; at 100 TB that join would
+           otherwise shuffle every candidate posting)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LEB_MAX_BYTES = 10  # 64-bit value -> at most 10 LEB128 bytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64 values."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (at least 1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    ngroups = np.maximum(nbits // 7, 1)
+    total = int(ngroups.sum())
+    out = np.empty(total, dtype=np.uint8)
+    pos = np.concatenate(([0], np.cumsum(ngroups)[:-1]))
+    tmp = v.copy()
+    idx = pos.copy()
+    remaining = ngroups.copy()
+    active = remaining > 0
+    while active.any():
+        byte = (tmp[active] & np.uint64(0x7F)).astype(np.uint8)
+        more = remaining[active] > 1
+        byte[more] |= np.uint8(0x80)
+        out[idx[active]] = byte
+        tmp[active] >>= np.uint64(7)
+        idx[active] += 1
+        remaining[active] -= 1
+        active = remaining > 0
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` LEB128 values from ``buf`` (vectorized)."""
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (raw & 0x80) == 0
+    # index of each value's terminating byte; value i spans (ends[i-1]+1 .. ends[i])
+    ends = np.flatnonzero(is_last)
+    assert ends.size == count, f"varint stream has {ends.size} values, expected {count}"
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    out = np.zeros(count, dtype=np.uint64)
+    max_len = int((ends - starts).max()) + 1
+    for k in range(max_len):
+        sel = starts + k <= ends
+        b = raw[starts[sel] + k].astype(np.uint64)
+        out[sel] |= (b & np.uint64(0x7F)) << np.uint64(7 * k)
+    return out.astype(np.int64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """First value absolute, rest as gaps (input must be sorted ascending)."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """Encode one block. doc_ids must already be sorted ascending."""
+    return (
+        encode_varint(delta_encode(doc_ids)),
+        encode_varint(tfs),
+        encode_varint(dls),
+    )
+
+
+def decode_block(doc_enc: bytes, tf_enc: bytes, dl_enc: bytes, n: int):
+    """Inverse of encode_block -> (doc_ids, tfs, dls) int64 arrays."""
+    return (
+        delta_decode(decode_varint(doc_enc, n)),
+        decode_varint(tf_enc, n),
+        decode_varint(dl_enc, n),
+    )

@@ -1,0 +1,127 @@
+"""Deterministic HTML -> text / elements extraction.
+
+Replaces the reference's network call to the unstructured.io partition
+API (/root/reference/service/embedding.py:61-122) with a dependency-free
+stdlib HTMLParser state machine (the reference itself uses the same
+stdlib-parser approach for tables, /root/reference/utils/table_parser.py:4-52).
+
+Contract (BASELINE.json input_hint): ``extract_text(html)`` must be
+byte-identical per url to the fixture ``text`` column. The fixture
+generator *uses this function* to produce the golden text, and
+``tests/test_extraction.py`` asserts the Spark UDF round-trips it
+through Arrow byte-identically.
+
+Element model mirrors the unstructured element dicts consumed at
+/root/reference/service/splitter.py:114-125:
+  {"type": "Title"|"NarrativeText"|"Table", "text": str}
+Table text = rows joined by "\\n", cells joined by "\\t".
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+
+_TITLE_TAGS = {"title", "h1", "h2", "h3"}
+_TEXT_TAGS = {"p", "li", "blockquote"}
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.elements: list[dict] = []
+        self._mode: str | None = None  # "title" | "text" | "table"
+        self._buf: list[str] = []
+        self._rows: list[list[str]] = []
+        self._cell: list[str] | None = None
+        self._seen_doc_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _TITLE_TAGS:
+            self._mode, self._buf = "title", []
+        elif tag in _TEXT_TAGS:
+            self._mode, self._buf = "text", []
+        elif tag == "table":
+            self._mode, self._rows = "table", []
+        elif tag == "tr" and self._mode == "table":
+            self._rows.append([])
+        elif tag in ("td", "th") and self._mode == "table":
+            self._cell = []
+
+    def handle_endtag(self, tag):
+        if tag in _TITLE_TAGS and self._mode == "title":
+            text = "".join(self._buf).strip()
+            if text:
+                # <title> and the first <h1> typically repeat; keep both
+                # elements (the segmenter dedups by title grouping) but
+                # the flat text keeps only the first occurrence per pair
+                self.elements.append({"type": "Title", "text": text})
+            self._mode = None
+        elif tag in _TEXT_TAGS and self._mode == "text":
+            text = "".join(self._buf).strip()
+            if text:
+                self.elements.append({"type": "NarrativeText", "text": text})
+            self._mode = None
+        elif tag in ("td", "th") and self._cell is not None:
+            if self._rows:
+                self._rows[-1].append("".join(self._cell).strip())
+            self._cell = None
+        elif tag == "table" and self._mode == "table":
+            text = "\n".join("\t".join(r) for r in self._rows if r)
+            if text:
+                self.elements.append({"type": "Table", "text": text})
+            self._mode = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+        elif self._mode in ("title", "text"):
+            self._buf.append(data)
+
+
+def extract_elements(html: bytes | str) -> list[dict]:
+    """Parse HTML into ordered typed elements (the UDTF analog of the
+    unstructured partitioner, SURVEY.md §2.11)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return p.elements
+
+
+def extract_text(html: bytes | str) -> str:
+    """Flat extracted text: element texts joined by newlines, with the
+    duplicated <title>/<h1> pair collapsed to one line."""
+    elements = extract_elements(html)
+    out: list[str] = []
+    prev_title: str | None = None
+    for el in elements:
+        if el["type"] == "Title":
+            if el["text"] == prev_title:
+                continue
+            prev_title = el["text"]
+        out.append(el["text"])
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------- Spark side
+
+EXTRACT_SCHEMA = "url string, text string"
+
+
+def extract_text_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html:binary) -> (url, text).
+
+    Arrow-batched; the per-doc parse is genuinely sequential (stateful
+    parser) but batches stream through without driver involvement.
+    Usage: ``df.select("url", "html").mapInPandas(extract_text_map_in_pandas,
+    schema=EXTRACT_SCHEMA)``.
+    """
+    for pdf in batches:
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "text": [extract_text(h) for h in pdf["html"]],
+        })

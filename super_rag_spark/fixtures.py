@@ -1,0 +1,169 @@
+"""Deterministic synthetic webtext corpus + reference query set.
+
+Implements FIXTURES.md §1-2 exactly: Common-Crawl-style pages with
+Zipf(s=1.07) word frequencies over a fixed 30k-word vocabulary, seeded
+per-doc by sha1(url), so the corpus is reproducible byte-for-byte on any
+machine with no external data. Replaces the reference's ad-hoc notebook
+fixtures (an arxiv PDF + titanic.csv, /root/reference/dev/walkthrough.ipynb).
+
+Scale: n_docs = round(sf * 1_000_000)  (sf0.001 -> 1000 docs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from datetime import datetime, timedelta, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .extraction import extract_text
+
+VOCAB_SIZE = 30_000
+ZIPF_S = 1.07
+N_SITES = 97
+CORPUS_SEED = 42
+QUERY_SEED = 43
+_EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_LANG_CUM = np.cumsum([0.55, 0.10, 0.10, 0.10, 0.15])
+
+_SYLLABLES = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du", "fa", "fe",
+    "fi", "fo", "fu", "ga", "ge", "gi", "go", "gu", "ka", "ke", "ki", "ko",
+    "ku", "la", "le", "li", "lo", "lu", "ma", "me", "mi", "mo", "mu", "na",
+    "ne", "ni", "no", "nu", "pa", "pe", "pi", "po", "pu", "ra", "re", "ri",
+    "ro", "ru", "sa", "se", "si", "so", "su", "ta", "te", "ti", "to", "tu",
+    "va", "ve", "vi", "vo", "vu", "za", "ze", "zi", "zo", "zu",
+]
+
+
+def build_vocab(size: int = VOCAB_SIZE, seed: int = CORPUS_SEED) -> list[str]:
+    """Fixed pseudo-word vocabulary: 2-4 syllables, deterministic."""
+    rng = random.Random(seed)
+    seen: set[str] = set()
+    vocab: list[str] = []
+    while len(vocab) < size:
+        w = "".join(rng.choice(_SYLLABLES) for _ in range(rng.randint(2, 4)))
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+    return vocab
+
+
+def zipf_cdf(size: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    w = ranks ** (-s)
+    return np.cumsum(w / w.sum())
+
+
+def _sample_words(rng: np.random.Generator, cdf: np.ndarray, vocab: list[str], n: int) -> list[str]:
+    idx = np.searchsorted(cdf, rng.random(n), side="left")
+    return [vocab[i] for i in idx]
+
+
+def url_for(i: int) -> str:
+    return f"https://site{i % N_SITES}.example/p/{i:08d}"
+
+
+def make_doc(i: int, vocab: list[str], cdf: np.ndarray) -> dict:
+    url = url_for(i)
+    seed = int(hashlib.sha1(url.encode()).hexdigest()[:16], 16)
+    rng = np.random.Generator(np.random.PCG64(seed))
+
+    title_words = _sample_words(rng, cdf, vocab, int(rng.integers(2, 6)))
+    title = " ".join(w.capitalize() for w in title_words)
+
+    parts = [f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"]
+    n_paras = int(rng.integers(1, 13))
+    for _ in range(n_paras):
+        words = _sample_words(rng, cdf, vocab, int(rng.integers(20, 81)))
+        sents, pos = [], 0
+        while pos < len(words):
+            ln = int(rng.integers(5, 13))
+            sent = " ".join(words[pos:pos + ln])
+            sents.append(sent[0].upper() + sent[1:] + ".")
+            pos += ln
+        parts.append(f"<p>{' '.join(sents)}</p>")
+    if rng.random() < 0.10:
+        n_cols = int(rng.integers(2, 6))
+        header = _sample_words(rng, cdf, vocab, n_cols)
+        rows_html = ["<tr>" + "".join(f"<th>{h}</th>" for h in header) + "</tr>"]
+        for _ in range(int(rng.integers(2, 41))):
+            cells = [
+                str(int(rng.integers(0, 10_000))) if rng.random() < 0.4
+                else " ".join(_sample_words(rng, cdf, vocab, int(rng.integers(1, 3))))
+                for _ in range(n_cols)
+            ]
+            rows_html.append("<tr>" + "".join(f"<td>{c}</td>" for c in cells) + "</tr>")
+        parts.append("<table>" + "".join(rows_html) + "</table>")
+    parts.append("</body></html>")
+    html = "".join(parts).encode("utf-8")
+
+    lang = _LANGS[int(np.searchsorted(_LANG_CUM, rng.random(), side="left"))]
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=i),
+        "html": html,
+        "text": extract_text(html),
+        "lang": lang,
+    }
+
+
+WEBTEXT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us", tz="UTC")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def generate_webtext(sf: float, out_dir: str, row_group_docs: int = 2000) -> str:
+    """Write the webtext parquet for scale factor ``sf``; returns path.
+    Idempotent: skips generation if the file already exists."""
+    n_docs = round(sf * 1_000_000)
+    path = os.path.join(out_dir, f"webtext_sf{sf}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = build_vocab()
+    cdf = zipf_cdf()
+    tmp = path + ".tmp"
+    writer = pq.ParquetWriter(tmp, WEBTEXT_SCHEMA, compression="zstd")
+    for start in range(0, n_docs, row_group_docs):
+        docs = [make_doc(i, vocab, cdf) for i in range(start, min(start + row_group_docs, n_docs))]
+        writer.write_table(pa.Table.from_pylist(docs, schema=WEBTEXT_SCHEMA))
+    writer.close()
+    os.replace(tmp, path)
+    return path
+
+
+def generate_queries(seed: int = QUERY_SEED, n: int = 100) -> list[dict]:
+    """FIXTURES.md §2: 80 conjunctions (30 head / 30 mid / 20 tail by
+    Zipf rank), 10 with an out-of-vocabulary term, 10 "summarize ..."."""
+    vocab = build_vocab()
+    rng = random.Random(seed)
+    head, mid, tail = vocab[:100], vocab[100:2000], vocab[2000:]
+    queries: list[dict] = []
+
+    def conj(pool: list[str]) -> str:
+        k = rng.randint(1, 5)
+        return " ".join(rng.choice(pool) for _ in range(k))
+
+    for _ in range(30):
+        queries.append(conj(head))
+    for _ in range(30):
+        queries.append(conj(mid))
+    for _ in range(20):
+        queries.append(conj(tail))
+    for i in range(10):
+        base = conj(mid)
+        queries.append(f"{base} zzqx{i}")
+    for _ in range(10):
+        queries.append("summarize " + conj(head))
+    return [{"query_id": i, "text": q, "k": 10} for i, q in enumerate(queries)]

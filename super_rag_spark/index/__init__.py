@@ -1,0 +1,2 @@
+from .build import build_index, extract, tokens_from_text  # noqa: F401
+from .storage import IndexStorage  # noqa: F401

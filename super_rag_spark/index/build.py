@@ -1,0 +1,209 @@
+"""Distributed inverted-index build (SURVEY.md §3.1 "Spark rebuild").
+
+Replaces the reference ingest pipeline (HTTP fetch -> unstructured.io ->
+embed -> vector-DB upsert, /root/reference/api/ingest.py:15-62 and
+/root/reference/service/embedding.py:153-296) with:
+
+  scan -> extract (mapInPandas) -> tokenize (JVM expr) -> explode ->
+  tf agg -> df agg + join -> head-term salting -> per-(term,salt)
+  posting-block build (applyInPandas, NumPy codec) -> partitioned write
+  + doc_stats + corpus_stats + per-bucket lineage
+
+Scale notes (100 TB / 10^12 docs):
+- tokenization is a pure Catalyst expression (lower + split + filter):
+  whole-stage codegen, no Python on the hot path.
+- tf agg gets automatic map-side partial aggregation; the only big
+  shuffles are (term,doc_id) for tf and term for the df join — both
+  hash-partitioned by Catalyst, AQE coalesces.
+- head-term skew (Zipf: "the" at 10^12 docs has ~10^11 postings) is
+  handled by *contiguous-range* salting: salt = top bits of doc_id for
+  terms with df > threshold, so one reducer never sees more than
+  df/SALT_COUNT postings AND concatenating salt groups in salt order
+  yields globally sorted, non-overlapping blocks (WAND-safe).
+- document length is stored inline in each posting block (dls_enc), so
+  the query path never joins doc_stats — see codec.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analysis
+from ..codec import encode_block
+from ..extraction import EXTRACT_SCHEMA, extract_text_map_in_pandas
+from .storage import POSTINGS_SCHEMA, IndexStorage, bucket_of_term
+
+# ---------------------------------------------------------------- expressions
+
+def doc_id_expr(url_col: str = "url"):
+    """60-bit content-addressed doc id; mirrors analysis.doc_id_for_url."""
+    return F.conv(F.substring(F.sha1(F.col(url_col)), 1, 15), 16, 10).cast("long")
+
+
+def tokens_expr(text_col: str = "text"):
+    """JVM-side tokenizer identical to analysis.tokenize (no UDF)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def extract(webtext_df: DataFrame) -> DataFrame:
+    """(url, html, ...) -> (url, text) via the Arrow-batched extractor."""
+    return webtext_df.select("url", "html").mapInPandas(
+        extract_text_map_in_pandas, schema=EXTRACT_SCHEMA
+    )
+
+
+def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(url, text) -> (doc_id, url, tokens, dl)."""
+    return (
+        df.select(
+            doc_id_expr(url_col).alias("doc_id"),
+            F.col(url_col).alias("url"),
+            tokens_expr(text_col).alias("tokens"),
+        )
+        .withColumn("dl", F.size("tokens"))
+    )
+
+
+# ---------------------------------------------------------------- block build
+
+def _make_block_builder(n_docs: int, avgdl: float, k1: float, b: float,
+                        block_size: int, n_buckets: int):
+    """applyInPandas body for one (term, salt) group -> block rows.
+
+    Pure NumPy: sorts once, slices into blocks, varint-encodes, and
+    computes exact block-max BM25 scores from the true per-posting dl.
+    """
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        df_t = int(pdf["df"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        bucket = bucket_of_term(term, n_buckets)
+
+        rows = []
+        for blk, start in enumerate(range(0, len(doc_ids), block_size)):
+            sl = slice(start, start + block_size)
+            d_enc, t_enc, l_enc = encode_block(doc_ids[sl], tfs[sl], dls[sl])
+            rows.append({
+                "term": term, "salt": salt, "block_id": blk,
+                "n": int(len(doc_ids[sl])),
+                "first_doc_id": int(doc_ids[sl][0]),
+                "last_doc_id": int(doc_ids[sl][-1]),
+                "docs_enc": d_enc, "tfs_enc": t_enc, "dls_enc": l_enc,
+                "block_max_tf": int(tfs[sl].max()),
+                "block_max_score": float(scores[sl].max()),
+                "df": df_t, "bucket": bucket,
+            })
+        return pd.DataFrame(rows)
+
+    return build
+
+
+def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
+                   k1: float = analysis.K1, b: float = analysis.B,
+                   block_size: int = analysis.BLOCK_SIZE,
+                   n_buckets: int = analysis.N_BUCKETS,
+                   salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
+                   salt_count: int = analysis.SALT_COUNT) -> DataFrame:
+    """tf rows (term, doc_id, tf, dl) -> posting-block rows.
+
+    df(term) is computed globally, joined back (Catalyst reuses the
+    term-hash exchange), then head terms are salted by contiguous
+    doc_id range before the per-group block build.
+    """
+    df_t = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    shift = analysis.DOC_ID_BITS - (salt_count.bit_length() - 1)
+    with_df = tf_df.join(df_t, "term")
+    salted = with_df.withColumn(
+        "salt",
+        F.when(F.col("df") > F.lit(salt_df_threshold),
+               F.shiftright(F.col("doc_id"), shift).cast("int"))
+         .otherwise(F.lit(0)),
+    )
+    builder = _make_block_builder(n_docs, avgdl, k1, b, block_size, n_buckets)
+    return salted.groupBy("term", "salt").applyInPandas(builder, schema=POSTINGS_SCHEMA)
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
+                text_is_extracted: bool = True,
+                k1: float = analysis.K1, b: float = analysis.B,
+                block_size: int = analysis.BLOCK_SIZE,
+                n_buckets: int = analysis.N_BUCKETS,
+                salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
+                salt_count: int = analysis.SALT_COUNT) -> IndexStorage:
+    """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
+    with ``text_is_extracted=False`` to run the extraction UDF first."""
+    store = IndexStorage(index_dir)
+
+    if not text_is_extracted:
+        docs_df = extract(docs_df)
+    toks = tokens_from_text(docs_df)
+
+    doc_stats = toks.select("doc_id", "url", "dl")
+    doc_stats.write.mode("overwrite").parquet(store.doc_stats_dir)
+    doc_stats = spark.read.parquet(store.doc_stats_dir)  # reuse materialization
+
+    stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    stats.write.mode("overwrite").parquet(store.corpus_stats_dir)
+    cs = store.corpus_stats(spark)
+    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    blocks = build_postings(
+        tf, n_docs, avgdl, k1=k1, b=b, block_size=block_size,
+        n_buckets=n_buckets, salt_df_threshold=salt_df_threshold,
+        salt_count=salt_count,
+    )
+    (blocks
+        .repartition("bucket")
+        .sortWithinPartitions("term", "salt", "block_id")
+        .write.mode("overwrite").partitionBy("bucket").parquet(store.postings_dir))
+
+    # per-bucket lineage/metrics (north_rule: per-partition lineage records)
+    lineage_rows = (
+        store.postings(spark)
+        .groupBy("bucket")
+        .agg(F.countDistinct("term").alias("n_terms"),
+             F.count(F.lit(1)).alias("n_blocks"),
+             F.sum("n").alias("n_postings"))
+        .collect()
+    )
+    store.append_lineage(spark, [
+        {"bucket": int(r["bucket"]), "phase": "build", "epoch": 0,
+         "n_terms": int(r["n_terms"]), "n_blocks": int(r["n_blocks"]),
+         "n_postings": int(r["n_postings"]), "status": "committed"}
+        for r in lineage_rows
+    ])
+
+    store.write_manifest({
+        "engine": "super_rag_spark", "version": 1,
+        "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
+        "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
+        "n_docs": n_docs, "avgdl": avgdl, "epoch": 0,
+        "tokenizer": "[a-z0-9]+ lowercase",
+    })
+    return store

@@ -1,0 +1,118 @@
+"""Thin index-table layout over a directory of Parquet tables.
+
+The reference's "index/collection create-if-absent" (SURVEY.md §2.1 S6,
+e.g. /root/reference/vectordbs/qdrant.py:30-41) maps here to a directory
+convention. Written against plain Parquet paths; on a cluster with the
+Iceberg runtime the same layout maps 1:1 onto Iceberg tables
+(`postings` PARTITIONED BY (bucket), `doc_stats`, `corpus_stats`,
+`lineage`, `tombstones`) — see SURVEY.md §7 note on the Parquet fallback.
+
+Layout:
+  <root>/manifest.json          analyzer + index config (k1, b, block_size, ...)
+  <root>/postings/bucket=<b>/   posting blocks, partitioned by term-hash bucket
+  <root>/doc_stats/             (doc_id, url, dl)
+  <root>/corpus_stats/          single row (n_docs, avgdl, total_tokens)
+  <root>/lineage/               per-bucket build/merge commit records
+  <root>/tombstones/            deleted doc_ids (anti-joined at query time)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+POSTINGS_SCHEMA = (
+    "term string, salt int, block_id int, n int, "
+    "first_doc_id long, last_doc_id long, "
+    "docs_enc binary, tfs_enc binary, dls_enc binary, "
+    "block_max_tf int, block_max_score double, df long, bucket int"
+)
+
+LINEAGE_SCHEMA = (
+    "bucket int, phase string, n_terms long, n_blocks long, n_postings long, "
+    "status string, epoch int"
+)
+
+
+def bucket_of_term(term: str, n_buckets: int) -> int:
+    """Term-hash bucket. Pure-Python (sha1-based) so the exact same
+    function runs in the pandas block builder, at query planning time on
+    the driver, and in the oracle — no dependence on Spark's Murmur3."""
+    return int(hashlib.sha1(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+class IndexStorage:
+    def __init__(self, root: str):
+        self.root = root
+        self.postings_dir = os.path.join(root, "postings")
+        self.doc_stats_dir = os.path.join(root, "doc_stats")
+        self.corpus_stats_dir = os.path.join(root, "corpus_stats")
+        self.lineage_dir = os.path.join(root, "lineage")
+        self.tombstones_dir = os.path.join(root, "tombstones")
+        self.manifest_path = os.path.join(root, "manifest.json")
+
+    # ---- manifest -------------------------------------------------------
+    def write_manifest(self, cfg: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cfg, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    def read_manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    # ---- tables ---------------------------------------------------------
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(POSTINGS_SCHEMA).parquet(self.postings_dir)
+
+    def doc_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.doc_stats_dir)
+
+    def corpus_stats(self, spark: SparkSession) -> dict:
+        row = spark.read.parquet(self.corpus_stats_dir).collect()[0]
+        return row.asDict()
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(LINEAGE_SCHEMA).json(self.lineage_dir)
+
+    def tombstones(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.tombstones_dir):
+            return None
+        try:
+            df = spark.read.parquet(self.tombstones_dir)
+            return df if len(df.columns) else None
+        except Exception:
+            return None
+
+    def append_tombstones(self, doc_ids_df: DataFrame) -> None:
+        doc_ids_df.select("doc_id").write.mode("append").parquet(self.tombstones_dir)
+
+    def append_lineage(self, spark: SparkSession, records: list[dict]) -> None:
+        """Lineage records are tiny per-bucket commit markers; written as
+        JSON lines so appends are atomic per file (north_rule: resumable
+        merge needs bucket-level commits without table transactions)."""
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        for rec in records:
+            name = f"{rec['phase']}-epoch{rec['epoch']}-bucket{rec['bucket']}.json"
+            tmp = os.path.join(self.lineage_dir, "." + name + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(rec, f)
+            os.replace(tmp, os.path.join(self.lineage_dir, name))
+
+    def committed_buckets(self, phase: str, epoch: int) -> set[int]:
+        if not os.path.isdir(self.lineage_dir):
+            return set()
+        out = set()
+        prefix = f"{phase}-epoch{epoch}-bucket"
+        for name in os.listdir(self.lineage_dir):
+            if name.startswith(prefix) and name.endswith(".json"):
+                with open(os.path.join(self.lineage_dir, name)) as f:
+                    rec = json.load(f)
+                if rec.get("status") == "committed":
+                    out.add(int(rec["bucket"]))
+        return out

@@ -1,0 +1,84 @@
+"""Pure-Python BM25 reference oracle (SURVEY.md §5.1).
+
+The reference repo ships no tests and no retrieval math of its own (it
+delegates to external vector DBs); this single-process implementation
+IS the "reference engine" that the Spark engine must match
+rank-identically (top-k doc_ids AND scores, <=1e-9 rel tol) per
+BASELINE.json. ~130 LoC, no Spark imports.
+
+Determinism contract shared with the engine (analysis.py):
+- same tokenizer, same doc_id derivation, same BM25 constants
+- per-doc score = sum of term contributions in TERM-ASCENDING order
+- final order: round(score, 9) desc, doc_id asc
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+
+from .analysis import bm25_term_score, doc_id_for_url, tokenize
+
+
+@dataclass
+class OracleIndex:
+    postings: dict[str, dict[int, int]] = field(default_factory=lambda: defaultdict(dict))
+    doclen: dict[int, int] = field(default_factory=dict)
+    url_of: dict[int, str] = field(default_factory=dict)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doclen)
+
+    @property
+    def avgdl(self) -> float:
+        return sum(self.doclen.values()) / len(self.doclen)
+
+    def add_document(self, url: str, text: str) -> int:
+        doc_id = doc_id_for_url(url)
+        tokens = tokenize(text)
+        self.doclen[doc_id] = len(tokens)
+        self.url_of[doc_id] = url
+        for term, tf in Counter(tokens).items():
+            self.postings[term][doc_id] = tf
+        return doc_id
+
+    def delete_url(self, url: str) -> None:
+        doc_id = doc_id_for_url(url)
+        self.doclen.pop(doc_id, None)
+        self.url_of.pop(doc_id, None)
+        for plist in self.postings.values():
+            plist.pop(doc_id, None)
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact BM25 top-k: [(doc_id, score)] in final rank order."""
+        terms = sorted(set(tokenize(query)))  # term-ascending sum order
+        n, avgdl = self.n_docs, self.avgdl
+        scores: dict[int, float] = defaultdict(float)
+        for term in terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            df = len(plist)
+            for doc_id, tf in plist.items():
+                scores[doc_id] += bm25_term_score(tf, self.doclen[doc_id], avgdl, n, df)
+        ranked = sorted(scores.items(), key=lambda it: (-round(it[1], 9), it[0]))
+        return ranked[:k]
+
+
+def build_oracle(rows) -> OracleIndex:
+    """rows: iterable of (url, text) pairs."""
+    idx = OracleIndex()
+    for url, text in rows:
+        idx.add_document(url, text)
+    return idx
+
+
+def oracle_results(idx: OracleIndex, queries: list[dict]) -> list[dict]:
+    """Golden result rows: (query_id, rank, doc_id, score)."""
+    out = []
+    for q in queries:
+        for rank, (doc_id, score) in enumerate(idx.topk(q["text"], q["k"]), start=1):
+            out.append({"query_id": q["query_id"], "rank": rank,
+                        "doc_id": doc_id, "score": score})
+    return out

@@ -1,0 +1,1 @@
+from .engine import BM25Engine  # noqa: F401

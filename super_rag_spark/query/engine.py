@@ -1,0 +1,159 @@
+"""BM25Engine — the user-facing facade (replaces the reference's three
+API endpoints: ingest / query / delete, /root/reference/router.py:8-10).
+
+- build()        <- POST /api/v1/ingest  (/root/reference/api/ingest.py:15-62)
+- query_batch()  <- POST /api/v1/query   (/root/reference/api/query.py:9-17),
+                    distributed Spark plan for query batches
+- topk()         <- same, driver fast path: pyarrow bucket+term-pruned
+                    postings read + NumPy block-max WAND (p50 latency path,
+                    SURVEY.md §3.2 allows this as long as ranks are identical)
+- delete_urls()  <- DELETE /api/v1/delete (/root/reference/api/delete.py:11-31):
+                    tombstone append; postings cleaned lazily at next merge
+                    (anti-join at query time), mirroring SURVEY.md §2.7
+- summary routing analog: queries starting with "summarize" are routed to
+  the "<name>summary" index when present (/root/reference/service/router.py:81-87,
+  /root/reference/utils/summarise.py:6) after stripping the routing keyword.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.dataset as ds
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analysis
+from ..analysis import tokenize
+from ..index.build import build_index, doc_id_expr
+from ..index.storage import IndexStorage, bucket_of_term
+from .scoring import score_query_batch
+from .wand import bruteforce_topk, wand_topk
+
+_BLOCK_COLS = ["term", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+               "docs_enc", "tfs_enc", "dls_enc", "block_max_tf",
+               "block_max_score", "df"]
+
+
+def _filter_tombstones(blocks: list[dict], tombs: set[int]) -> list[dict]:
+    """Drop tombstoned doc_ids from decoded blocks (lazy delete: the
+    on-disk index is untouched until the next merge compacts it)."""
+    import numpy as np
+
+    from ..codec import decode_block, encode_block
+
+    out = []
+    for blk in blocks:
+        docs, tfs, dls = decode_block(blk["docs_enc"], blk["tfs_enc"],
+                                      blk["dls_enc"], blk["n"])
+        keep = ~np.isin(docs, list(tombs))
+        if keep.all():
+            out.append(blk)
+            continue
+        if not keep.any():
+            continue
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        d_enc, t_enc, l_enc = encode_block(docs, tfs, dls)
+        nb = dict(blk)
+        nb.update(n=int(len(docs)), first_doc_id=int(docs[0]),
+                  last_doc_id=int(docs[-1]), docs_enc=d_enc,
+                  tfs_enc=t_enc, dls_enc=l_enc)
+        out.append(nb)
+    return out
+
+
+class BM25Engine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.store = IndexStorage(index_dir)
+        self._manifest: dict | None = None
+
+    # ------------------------------------------------------------- build
+    def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
+        build_index(self.spark, docs_df, self.store.root, **kwargs)
+        self._manifest = None
+        return self
+
+    @property
+    def manifest(self) -> dict:
+        if self._manifest is None:
+            self._manifest = self.store.read_manifest()
+        return self._manifest
+
+    # ------------------------------------------------------------- query
+    def query_batch(self, queries: list[dict], k: int = 10) -> DataFrame:
+        """Distributed exact BM25 for a batch of queries ->
+        (query_id, rank, doc_id, score)."""
+        return score_query_batch(self.spark, self.store, queries, k=k)
+
+    def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
+        """Driver-side pruned postings read: only the parquet partitions
+        (bucket=<b> dirs) owning the query terms are touched, and the
+        term filter hits parquet row-group stats (files sorted by term)."""
+        n_buckets = int(self.manifest["n_buckets"])
+        buckets = sorted({bucket_of_term(t, n_buckets) for t in terms})
+        paths = [os.path.join(self.store.postings_dir, f"bucket={b}") for b in buckets]
+        paths = [p for p in paths if os.path.isdir(p)]
+        out: dict[str, tuple[int, list[dict]]] = {}
+        if not paths:
+            return out
+        rows: list[dict] = []
+        for p in paths:
+            tbl = ds.dataset(p, format="parquet").to_table(
+                filter=ds.field("term").isin(terms), columns=_BLOCK_COLS)
+            rows.extend(tbl.to_pylist())
+        tombs = self._tombstone_set()
+        for row in rows:
+            df_t = int(row["df"])
+            out.setdefault(row["term"], (df_t, []))[1].append(row)
+        for term, (_, blocks) in out.items():
+            blocks.sort(key=lambda r: r["first_doc_id"])
+        if tombs:
+            out = {t: (df_t, _filter_tombstones(blocks, tombs))
+                   for t, (df_t, blocks) in out.items()}
+            out = {t: v for t, v in out.items() if v[1]}
+        return out
+
+    def _tombstone_set(self) -> set[int]:
+        d = self.store.tombstones_dir
+        if not os.path.isdir(d):
+            return set()
+        dataset = ds.dataset(d, format="parquet")
+        return set(dataset.to_table(columns=["doc_id"])["doc_id"].to_pylist())
+
+    def topk(self, query: str, k: int = 10, use_wand: bool = True) -> list[tuple[int, float]]:
+        """Single-query top-k on the driver (low-latency path).
+        Routes 'summarize ...' queries to the summary index when present."""
+        engine, qtext = self._route(query)
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return []
+        blocks = engine._load_term_blocks(terms)
+        if not blocks:
+            return []
+        m = engine.manifest
+        fn = wand_topk if use_wand else bruteforce_topk
+        return fn(blocks, int(m["n_docs"]), float(m["avgdl"]), k,
+                  k1=float(m["k1"]), b=float(m["b"]))
+
+    def _route(self, query: str) -> tuple["BM25Engine", str]:
+        """Keyword analog of the reference's semantic RouteLayer
+        (/root/reference/service/router.py:22-37): 'summarize' prefix ->
+        summary index (if built), keyword stripped from the query."""
+        toks = query.split()
+        if toks and toks[0].lower().startswith("summar"):
+            summary_dir = self.store.root + "summary"
+            if os.path.exists(os.path.join(summary_dir, "manifest.json")):
+                return BM25Engine(self.spark, summary_dir), " ".join(toks[1:])
+            return self, " ".join(toks[1:])
+        return self, query
+
+    # ------------------------------------------------------------- delete
+    def delete_urls(self, urls: list[str]) -> int:
+        """Tombstone the docs for these urls; returns count tombstoned.
+        (Fixes the reference bug where only the last file's delete count
+        is returned, /root/reference/api/delete.py:27-31.)"""
+        urls_df = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        doc_ids = urls_df.select(doc_id_expr("url").alias("doc_id"))
+        self.store.append_tombstones(doc_ids)
+        return doc_ids.count()

@@ -1,0 +1,142 @@
+"""Distributed BM25 scoring over the compressed postings table.
+
+Replaces the reference's ANN top-k + Cohere rerank
+(/root/reference/service/router.py:40-73, /root/reference/vectordbs/base.py:40-79)
+with exact sparse retrieval (SURVEY.md §2.6 T1/T2).
+
+Plan shape (batch of queries):
+  postings scan (bucket partition-pruned + term row-group filtered)
+    -> mapInPandas block decode (NumPy varint)      [1 -> n rows]
+    -> broadcast join with query terms              [no shuffle]
+    -> BM25 contribution column (pure Catalyst expr)
+    -> groupBy(query_id, doc_id) deterministic sum  [the ONE shuffle]
+    -> per-query top-k window                       [tiny after agg]
+
+Determinism: contributions are collected and summed in term-ascending
+order (sort_array over struct(term, contrib)) so float addition order
+matches the oracle exactly; final rank orders by round(score, 9) desc,
+doc_id asc (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import analysis
+from ..analysis import tokenize
+from ..codec import decode_block
+from ..index.storage import IndexStorage, bucket_of_term
+
+DECODED_SCHEMA = "term string, df long, doc_id long, tf int, dl int"
+
+
+def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block rows -> exploded (term, df, doc_id, tf, dl) posting rows."""
+    for pdf in batches:
+        terms, dfs, docs, tfs, dls = [], [], [], [], []
+        for row in pdf.itertuples(index=False):
+            d, t, l = decode_block(row.docs_enc, row.tfs_enc, row.dls_enc, row.n)
+            docs.append(d)
+            tfs.append(t)
+            dls.append(l)
+            terms.append(pd.Series([row.term]).repeat(row.n))
+            dfs.append(pd.Series([row.df]).repeat(row.n))
+        if not terms:
+            yield pd.DataFrame({c: [] for c in ["term", "df", "doc_id", "tf", "dl"]})
+            continue
+        import numpy as np
+        yield pd.DataFrame({
+            "term": pd.concat(terms, ignore_index=True),
+            "df": pd.concat(dfs, ignore_index=True),
+            "doc_id": np.concatenate(docs),
+            "tf": np.concatenate(tfs).astype("int32"),
+            "dl": np.concatenate(dls).astype("int32"),
+        })
+
+
+def analyze_queries(queries: list[dict]) -> pd.DataFrame:
+    """Driver-side query analysis (tiny): (query_id, term) pairs with
+    duplicate terms collapsed (conjunction semantics, matching the
+    oracle's set-of-terms behavior)."""
+    rows = []
+    for q in queries:
+        for term in sorted(set(tokenize(q["text"]))):
+            rows.append({"query_id": q["query_id"], "term": term})
+    return pd.DataFrame(rows, columns=["query_id", "term"])
+
+
+def contribution_expr(n_docs: int, avgdl: float, k1: float, b: float):
+    """Catalyst mirror of analysis.bm25_term_score (same operation order
+    for bit-identical floats)."""
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    return idf * (tf * F.lit(k1 + 1.0)) / denom
+
+
+def pruned_postings(spark: SparkSession, store: IndexStorage, terms: list[str],
+                    n_buckets: int) -> DataFrame:
+    """Postings scan restricted to the buckets owning the query terms
+    (directory-level partition pruning) and the terms themselves
+    (parquet row-group min/max pruning — files are sorted by term)."""
+    buckets = sorted({bucket_of_term(t, n_buckets) for t in terms})
+    return (
+        store.postings(spark)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(list(terms)))
+    )
+
+
+def score_query_batch(spark: SparkSession, store: IndexStorage,
+                      queries: list[dict], k: int = 10) -> DataFrame:
+    """Exact BM25 top-k for a batch of queries.
+
+    Returns (query_id int, rank int, doc_id long, score double).
+    """
+    manifest = store.read_manifest()
+    n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n_buckets = int(manifest["n_buckets"])
+
+    qterms_pdf = analyze_queries(queries)
+    if qterms_pdf.empty:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    qterms = spark.createDataFrame(qterms_pdf)
+    terms = sorted(qterms_pdf["term"].unique().tolist())
+
+    decoded = pruned_postings(spark, store, terms, n_buckets).mapInPandas(
+        decode_postings_map_in_pandas, schema=DECODED_SCHEMA
+    )
+
+    tomb = store.tombstones(spark)
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    contribs = (
+        decoded.join(F.broadcast(qterms), "term")
+        .withColumn("contrib", contribution_expr(n_docs, avgdl, k1, b))
+    )
+
+    scored = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"))
+        .withColumn(
+            "score",
+            F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .drop("parts")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

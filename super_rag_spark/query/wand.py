@@ -1,0 +1,188 @@
+"""Block-max WAND top-k scorer (NumPy, over compressed blocks).
+
+This is the index-side analog of the reference's "limit pushdown into
+the vector DB" (SURVEY.md §4.1 row 1, /root/reference/vectordbs/qdrant.py:81):
+instead of scoring every posting, WAND maintains a running threshold
+(theta = k-th best score) and skips whole blocks whose block_max_score
+upper bound cannot beat it. Results are EXACT — asserted equal to
+brute-force scoring in tests/test_wand.py.
+
+Used two ways:
+- driver fast path for single-query p50 latency (postings for <=5 query
+  terms are read via pyarrow with bucket+term pruning, no Spark job) —
+  the cached fast path SURVEY.md §3.2 explicitly allows;
+- inside applyInPandas per contiguous doc_id range for distributed
+  candidate generation (the salt ranges partition the doc space, so each
+  range holds a consistent slice of every term's posting list).
+
+Safety margin: blocks are skipped only when the upper bound is below
+theta - 1e-9; exact score ties (which the rank order breaks by doc_id
+asc) therefore always get fully evaluated.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..analysis import B, K1, bm25_term_score
+from ..codec import decode_block
+
+_EPS = 1e-9
+_INF = np.iinfo(np.int64).max
+
+
+class TermCursor:
+    """Forward iterator over one term's posting blocks with block skipping.
+
+    ``blocks`` must be sorted by first_doc_id with non-overlapping doc
+    ranges (guaranteed by the contiguous-range salting in index/build.py).
+    """
+
+    __slots__ = ("term", "df", "blocks", "bi", "pos", "docs", "tfs", "dls", "term_max")
+
+    def __init__(self, term: str, df: int, blocks: list[dict]):
+        self.term = term
+        self.df = df
+        self.blocks = blocks
+        self.bi = 0
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self.term_max = max(b["block_max_score"] for b in blocks)
+        self._ensure_decoded()
+
+    def _ensure_decoded(self):
+        if self.bi < len(self.blocks) and self.docs is None:
+            blk = self.blocks[self.bi]
+            self.docs, self.tfs, self.dls = decode_block(
+                blk["docs_enc"], blk["tfs_enc"], blk["dls_enc"], blk["n"])
+
+    @property
+    def doc(self) -> int:
+        if self.bi >= len(self.blocks):
+            return _INF
+        return int(self.docs[self.pos])
+
+    def block_max(self) -> float:
+        return self.blocks[self.bi]["block_max_score"]
+
+    def block_last(self) -> int:
+        return self.blocks[self.bi]["last_doc_id"]
+
+    def contribution(self, n_docs: int, avgdl: float, k1: float, b: float) -> float:
+        return bm25_term_score(int(self.tfs[self.pos]), int(self.dls[self.pos]),
+                               avgdl, n_docs, self.df, k1, b)
+
+    def advance(self):
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            self.bi += 1
+            self.pos = 0
+            self.docs = None
+            self._ensure_decoded()
+
+    def seek(self, target: int):
+        """Advance to the first posting with doc_id >= target, skipping
+        whole blocks via their last_doc_id (never decodes skipped blocks)."""
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["last_doc_id"] < target:
+            self.bi += 1
+            self.pos = 0
+            self.docs = None
+        if self.bi >= len(self.blocks):
+            return
+        self._ensure_decoded()
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        if self.pos >= len(self.docs):  # target falls in a gap between blocks
+            self.bi += 1
+            self.pos = 0
+            self.docs = None
+            self._ensure_decoded()
+
+
+def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
+              avgdl: float, k: int, k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    """Exact block-max WAND.
+
+    term_blocks: {term: (df, [block rows sorted by first_doc_id])}.
+    Returns [(doc_id, score)] ranked by (round(score,9) desc, doc_id asc).
+    Full evaluation sums contributions in term-ascending order — the
+    same float addition order as the oracle and the Spark scorer.
+    """
+    cursors = [TermCursor(t, df, blks)
+               for t, (df, blks) in sorted(term_blocks.items()) if blks]
+    if not cursors:
+        return []
+
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id), size <= k
+    evaluated: list[tuple[int, float]] = []
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    while True:
+        live = [c for c in cursors if c.doc != _INF]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+
+        # pivot: first prefix whose term-max sum can beat theta
+        acc, pivot_idx = 0.0, None
+        th = theta()
+        for i, c in enumerate(live):
+            acc += c.term_max
+            if acc > th - _EPS:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break
+        pivot_doc = live[pivot_idx].doc
+
+        if live[0].doc == pivot_doc:
+            group = [c for c in live if c.doc == pivot_doc]
+            bm = sum(c.block_max() for c in group)
+            # remaining pivot-prefix terms not at pivot_doc can't contribute
+            if bm > th - _EPS:
+                group.sort(key=lambda c: c.term)  # oracle sum order
+                score = 0.0
+                for c in group:
+                    score += c.contribution(n_docs, avgdl, k1, b)
+                for c in group:
+                    c.advance()
+                evaluated.append((pivot_doc, score))
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                elif score > heap[0][0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+            else:
+                # block-max skip: nothing in [pivot_doc, next_boundary) can win
+                boundary = min(c.block_last() for c in group) + 1
+                nxt = min((c.doc for c in live if c.doc > pivot_doc), default=_INF)
+                target = min(boundary, nxt)
+                for c in group:
+                    c.seek(target)
+        else:
+            # advance the lagging cursor with the largest upper bound
+            lag = max((c for c in live[:pivot_idx] if c.doc < pivot_doc),
+                      key=lambda c: c.term_max)
+            lag.seek(pivot_doc)
+
+    evaluated.sort(key=lambda it: (-round(it[1], 9), it[0]))
+    return evaluated[:k]
+
+
+def bruteforce_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
+                    avgdl: float, k: int, k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    """Reference scorer for WAND equivalence tests: decode everything,
+    score every candidate, term-ascending sum order."""
+    scores: dict[int, float] = {}
+    for term in sorted(term_blocks):
+        df, blocks = term_blocks[term]
+        for blk in blocks:
+            docs, tfs, dls = decode_block(blk["docs_enc"], blk["tfs_enc"],
+                                          blk["dls_enc"], blk["n"])
+            for d, tf, dl in zip(docs, tfs, dls):
+                scores[int(d)] = scores.get(int(d), 0.0) + bm25_term_score(
+                    int(tf), int(dl), avgdl, n_docs, df, k1, b)
+    ranked = sorted(scores.items(), key=lambda it: (-round(it[1], 9), it[0]))
+    return ranked[:k]

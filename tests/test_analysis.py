@@ -1,0 +1,55 @@
+import math
+
+from super_rag_spark.analysis import (K1, B, bm25_term_score, doc_id_for_url,
+                                      idf, salt_for_doc_id, tokenize)
+
+
+def test_tokenize():
+    assert tokenize("Hello, World! x2") == ["hello", "world", "x2"]
+    assert tokenize("") == []
+    assert tokenize("  a--b__c  ") == ["a", "b", "c"]  # _ is not [a-z0-9]
+
+
+def test_doc_id_range_and_determinism():
+    d = doc_id_for_url("https://site0.example/p/00000000")
+    assert 0 <= d < 2**60
+    assert d == doc_id_for_url("https://site0.example/p/00000000")
+
+
+def test_salt_contiguous():
+    # top-bit salting gives contiguous, ordered ranges
+    ids = sorted(doc_id_for_url(f"u{i}") for i in range(1000))
+    salts = [salt_for_doc_id(d) for d in ids]
+    assert salts == sorted(salts)
+    assert 0 <= min(salts) and max(salts) < 16
+
+
+def test_bm25_hand_computed():
+    # N=10, df=2, tf=3, dl=100, avgdl=80
+    expect_idf = math.log((10 - 2 + 0.5) / (2 + 0.5) + 1)
+    expect = expect_idf * (3 * (K1 + 1)) / (3 + K1 * (1 - B + B * 100 / 80))
+    assert abs(bm25_term_score(3, 100, 80.0, 10, 2) - expect) < 1e-15
+    assert idf(10, 2) == expect_idf
+    # idf positive even for df == N
+    assert idf(10, 10) > 0
+
+
+def test_spark_doc_id_expr_matches_python(spark):
+    from super_rag_spark.index.build import doc_id_expr
+
+    urls = [f"https://site{i}.example/p/{i:08d}" for i in range(50)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["doc_id"] for r in df.select("url", doc_id_expr().alias("doc_id")).collect()}
+    for u in urls:
+        assert got[u] == doc_id_for_url(u)
+
+
+def test_spark_tokens_expr_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.index.build import tokens_expr
+
+    texts = ["Hello, World! x2", "", "  a--b  ", "Ümlaut straße 42", "a\nb\tc"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["toks"] for r in df.select(tokens_expr().alias("toks")).collect()]
+    assert got == [tokenize(t) for t in texts]

@@ -1,0 +1,46 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from super_rag_spark.codec import (decode_block, decode_varint, delta_decode,
+                                   delta_encode, encode_block, encode_varint)
+
+
+def test_varint_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 300, 2**32, 2**60 - 1], dtype=np.int64)
+    assert np.array_equal(decode_varint(encode_varint(vals), len(vals)), vals)
+
+
+def test_varint_empty():
+    assert encode_varint(np.array([], dtype=np.int64)) == b""
+    assert decode_varint(b"", 0).size == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**60 - 1), min_size=1, max_size=500))
+def test_varint_roundtrip_random(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert np.array_equal(decode_varint(encode_varint(arr), len(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**60 - 1), min_size=1, max_size=300))
+def test_block_roundtrip_random(ids):
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    rng = np.random.default_rng(0)
+    tfs = rng.integers(1, 1000, len(doc_ids))
+    dls = rng.integers(1, 100_000, len(doc_ids))
+    enc = encode_block(doc_ids, tfs, dls)
+    d, t, l = decode_block(*enc, len(doc_ids))
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)
+
+
+def test_delta_is_compact():
+    # dense ids compress to ~1 byte/gap
+    ids = np.arange(10_000, 20_000, dtype=np.int64)
+    enc = encode_varint(delta_encode(ids))
+    assert len(enc) < 10_000 * 1.1 + 10
+    assert np.array_equal(delta_decode(decode_varint(enc, 10_000)), ids)

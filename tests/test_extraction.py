@@ -1,0 +1,40 @@
+"""Extraction byte-identity (BASELINE.json input_hint invariant)."""
+
+from super_rag_spark.extraction import extract_elements, extract_text
+
+
+def test_extract_basic():
+    html = (b"<html><head><title>My Title</title></head><body>"
+            b"<h1>My Title</h1><p>Hello world.</p>"
+            b"<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+            b"</body></html>")
+    els = extract_elements(html)
+    assert [e["type"] for e in els] == ["Title", "Title", "NarrativeText", "Table"]
+    assert extract_text(html) == "My Title\nHello world.\na\tb\n1\t2"
+
+
+def test_extract_handles_entities_and_empty():
+    assert extract_text(b"<p>a &amp; b</p>") == "a & b"
+    assert extract_text(b"<p>   </p><p>x</p>") == "x"
+    assert extract_text(b"") == ""
+
+
+def test_fixture_text_column_matches_extractor(webtext_rows):
+    for r in webtext_rows[:100]:
+        assert extract_text(r["html"]) == r["text"]
+
+
+def test_spark_udf_byte_identical(spark, webtext_sf0001_path):
+    """The mapInPandas extraction UDF must reproduce the text column
+    byte-identically per url through the Arrow boundary."""
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.index.build import extract
+
+    df = spark.read.parquet(webtext_sf0001_path)
+    extracted = extract(df).withColumnRenamed("text", "text2")
+    joined = df.select("url", "text").join(extracted, "url")
+    n_total = joined.count()
+    n_match = joined.where(F.col("text") == F.col("text2")).count()
+    assert n_total == 1000
+    assert n_match == n_total
