@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's ANN top-k (SURVEY.md §2.6 T1) is delegated to external
+vector DBs; here it's native DataFrame compute:
+
+- brute-force cosine top-k: exact baseline; broadcast the (small) query
+  set, zip_with dot product, per-query top-k window. One pass over the
+  corpus, no shuffle except the final window (which AQE keeps tiny
+  because candidates are filtered per query first).
+- LSH-bucketed variant (random hyperplanes): the scale path — sign
+  signature -> bucket equi-join -> exact re-rank inside buckets only.
+  Planes are derived deterministically from md5, so signatures are
+  reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k for each query id.
+    Returns (query_id, rank, vec_id, cosine). Self-matches excluded."""
+    q = (embeddings
+         .where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("vec_id"),
+                F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+def _planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from md5(plane:dim) parity."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            out[p, d] = 1.0 if h % 2 == 0 else -1.0
+    return out
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Bit-signature column: sign of dot(vec, plane) per plane, packed
+    into a string key (engine-independent bucket id)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in plane]),
+                           lambda v, c: v.cast("double") * c),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k: candidates limited to the query's LSH
+    bucket, then exact cosine re-rank. At 10^12 rows the bucket join
+    replaces the O(n·q) scan with O(n/2^planes · q)."""
+    planes = _planes(dim, n_planes)
+    sig = embeddings.withColumn("bucket_sig", lsh_signature_col(F.col(vec_col), planes))
+    q = (sig.where(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                 F.col("bucket_sig")))
+    cand = (
+        sig.join(F.broadcast(q), "bucket_sig")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("vec_id"),
+                F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))

@@ -1,0 +1,571 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle SQL pairs.
+
+Each entry maps one operator from SURVEY.md §2 (or a training-data op)
+to (a) a Spark callable (spark, sf_dir) -> DataFrame and (b) an
+equivalent ANSI-SQL string for DuckDB over the same parquet views.
+Column names/types are aliased identically on both sides; float columns
+are rounded (6 dp) and orderings use round(score, 9) + id tie-breaks so
+cross-engine float-sum jitter cannot flip the comparison.
+
+The documents table (doc_id, text, lang, source, n_chars) has clean
+space-separated lowercase text, so the engine tokenizer (regex) and the
+SQL string_split agree exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import analysis, ann, textops
+from .index.build import tokens_expr
+from .query.scoring import contribution_expr
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS_SQL = (
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, term FROM toks WHERE term <> ''), "
+    "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl), "
+    "dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)"
+)
+
+FIXED_TERMS = ["table", "scan", "fast", "query"]
+
+BM25_QUERIES = [
+    (0, "table scan"),
+    (1, "fast query value"),
+    (2, "key"),
+    (3, "agg join row"),
+    (4, "stream batch window"),
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tok_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) exploded tokens — mirror of the `tok` CTE."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    )
+
+
+def _tf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tok_docs(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str, queries: list[tuple[int, str]],
+                 k: int = 10) -> DataFrame:
+    """Direct DataFrame BM25 (tokenize -> tf -> df -> contribution ->
+    deterministic sum -> per-query top-k). Same exprs as the index path."""
+    toks = _tok_docs(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qrows = [(qid, t) for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+
+    contribs = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", contribution_expr(n_docs, avgdl, analysis.K1, analysis.B))
+    )
+    scored = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"))
+        .withColumn("score", F.aggregate("parts", F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def _bm25_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))
+    )
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {vals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# ---- BM25 core (SURVEY.md §2.4/2.6: tf, df, corpus stats, top-k) ----------
+
+_terms_in = ", ".join(f"'{t}'" for t in FIXED_TERMS)
+
+
+@_q("tf_per_doc_term", f"""
+WITH {_TOKS_SQL}
+SELECT doc_id, term, tf FROM tf WHERE term IN ({_terms_in})
+""")
+def tf_per_doc_term(spark, sf_dir):
+    return _tf_df(spark, sf_dir).where(F.col("term").isin(FIXED_TERMS))
+
+
+@_q("df_per_term", f"""
+WITH {_TOKS_SQL}
+SELECT term, df FROM dfreq
+""")
+def df_per_term(spark, sf_dir):
+    return (_tf_df(spark, sf_dir).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df")))
+
+
+@_q("corpus_stats", f"""
+WITH {_TOKS_SQL}
+SELECT n_docs, round(avgdl, 6) AS avgdl,
+       (SELECT sum(dl)::BIGINT FROM dl) AS total_tokens
+FROM stats
+""")
+def corpus_stats(spark, sf_dir):
+    dl = (_tok_docs(spark, sf_dir).groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("dl")))
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+@_q("doc_length", f"""
+WITH {_TOKS_SQL}
+SELECT doc_id, dl FROM dl
+""")
+def doc_length(spark, sf_dir):
+    return (_tok_docs(spark, sf_dir).groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dl")))
+
+
+@_q("bm25_topk_single", _bm25_sql([BM25_QUERIES[0]]))
+def bm25_topk_single(spark, sf_dir):
+    return _bm25_scored(spark, sf_dir, [BM25_QUERIES[0]])
+
+
+@_q("bm25_topk_multi", _bm25_sql(BM25_QUERIES))
+def bm25_topk_multi(spark, sf_dir):
+    return _bm25_scored(spark, sf_dir, BM25_QUERIES)
+
+
+# ---- dedup family ----------------------------------------------------------
+
+
+@_q("dedup_exact", """
+SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size
+FROM documents
+""")
+def dedup_exact(spark, sf_dir):
+    return textops.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@_q("ngram_jaccard_pairs", """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 120),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> array_to_string(ts[i:i+2], ' '))) AS shingle
+  FROM tk
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.05
+""")
+def ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+
+
+def _minhash_sql_cols() -> str:
+    return ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(textops.N_MINHASH_PERMS)
+    )
+
+
+@_q("minhash_signatures", f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> array_to_string(ts[i:i+2], ' '))) AS shingle
+  FROM tk
+)
+SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id
+""")
+def minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(_docs(spark, sf_dir))
+
+
+@_q("minhash_lsh_candidates", f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> array_to_string(ts[i:i+2], ' '))) AS shingle
+  FROM tk
+),
+sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS n_bands_shared
+FROM bands x JOIN bands y USING (band_id, band_val)
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+""")
+def minhash_lsh(spark, sf_dir):
+    return textops.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+@_q("simhash_table", None)  # bit-packing not SQL-expressible -> rows-only check
+def simhash(spark, sf_dir):
+    return textops.simhash_table(_docs(spark, sf_dir))
+
+
+# ---- text analysis ---------------------------------------------------------
+
+_stop_in = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+
+
+@_q("quality_metrics", f"""
+WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(length(term))::DOUBLE AS char_sum,
+         count(DISTINCT term)::BIGINT AS n_uniq,
+         sum(CASE WHEN term IN ({_stop_in}) THEN 1 ELSE 0 END)::DOUBLE AS n_stop
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)::INT AS n_chars,
+       p.n_tokens,
+       round(p.n_tokens / greatest(length(d.text), 1), 6) AS token_density,
+       round(p.char_sum / greatest(p.n_tokens, 1), 6) AS avg_token_len,
+       round(p.n_uniq / greatest(p.n_tokens, 1)::DOUBLE, 6) AS uniq_ratio,
+       round(p.n_stop / greatest(p.n_tokens, 1), 6) AS stopword_ratio
+FROM documents d JOIN per p USING (doc_id)
+""")
+def quality_metrics(spark, sf_dir):
+    out = textops.quality_metrics(_docs(spark, sf_dir))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@_q("doc_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')) AS fingerprint
+FROM documents
+""")
+def doc_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprints(_docs(spark, sf_dir))
+
+
+@_q("lang_id", """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+hits AS (
+  SELECT d.doc_id,
+         coalesce(sum(CASE WHEN t.term IN ('the','and','of','to','is') THEN 1 ELSE 0 END), 0)::INT AS hits_en,
+         coalesce(sum(CASE WHEN t.term IN ('der','die','und','das','ist') THEN 1 ELSE 0 END), 0)::INT AS hits_de,
+         coalesce(sum(CASE WHEN t.term IN ('le','la','et','les','est') THEN 1 ELSE 0 END), 0)::INT AS hits_fr,
+         coalesce(sum(CASE WHEN t.term IN ('el','la','los','que','es') THEN 1 ELSE 0 END), 0)::INT AS hits_es
+  FROM documents d LEFT JOIN toks t USING (doc_id) GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS pred_lang,
+       hits_en, hits_de, hits_fr, hits_es
+FROM hits
+""")
+def lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+# ---- similarity search -----------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+@_q("ann_cosine_topk", f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(e.v * q.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(q.v * q.v)) AS nq
+  FROM flat e JOIN flat q USING (i)
+  WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)}) AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(dot / (ne * nq), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (ne * nq), 6) DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 5
+""")
+def ann_cosine(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return (ann.cosine_topk(emb, ANN_QUERY_IDS, k=5)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    "rank", "vec_id", "cosine"))
+
+
+@_q("ann_lsh_topk", None)  # plane derivation not SQL-expressible -> rows-only
+def ann_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+# ---- generic relational operators over the TPC-H-ish tables ---------------
+# (SURVEY.md §2 mappings: A2 ordered concat, §2.5 windows, J2 broadcast
+# join, A6 order-preserving dedup, P filters/projections, F8 json)
+
+
+@_q("user_event_concat", """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS events_concat
+FROM events GROUP BY user_id
+""")
+def user_event_concat(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parts = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return (ev.groupBy("user_id")
+            .agg(F.concat_ws(",", F.transform(parts, lambda x: x["event_type"]))
+                 .alias("events_concat")))
+
+
+@_q("window_topk_per_group", """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT event_type, rank::INT AS rank, event_id, value FROM ranked WHERE rank <= 3
+""")
+def window_topk(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("event_type", "rank", "event_id", "value"))
+
+
+@_q("join_agg_orders_customers", """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""")
+def join_agg(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@_q("dedup_first_event", """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id FROM ranked WHERE rn = 1
+""")
+def dedup_first_event(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", F.col("event_id").alias("first_event_id")))
+
+
+@_q("filter_project_lineitem", """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+""")
+def filter_project(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+            .select("l_orderkey", "l_linenumber",
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+                    .alias("revenue")))
+
+
+@_q("tpch_q1_style", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@_q("json_extract_props", """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""")
+def json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id",
+                     F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+
+
+@_q("delete_antijoin", """
+SELECT lang, count(*)::BIGINT AS n_docs
+FROM documents WHERE doc_id NOT IN (1, 2, 3, 5, 8, 13)
+GROUP BY lang
+""")
+def delete_antijoin(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tomb = docs.sparkSession.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 8, 13)], "doc_id long")
+    return (docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---- the real index + WAND, checked against SQL ---------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _indexed_engine(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a real compressed index over the documents
+    table, treating 'doc://{doc_id}' as the url."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import hashlib
+    import tempfile
+
+    from .query.engine import BM25Engine
+
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "srs_contract_idx_" + hashlib.sha1(key.encode()).hexdigest()[:10])
+    eng = BM25Engine(spark, idx_dir)
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+        eng.build(docs, n_buckets=8, salt_df_threshold=200)
+    _INDEX_CACHE[key] = eng
+    return eng
+
+
+@_q("index_wand_topk", _bm25_sql([BM25_QUERIES[1]]))
+def index_wand_topk(spark, sf_dir):
+    """Block-max WAND over the compressed on-disk index, mapped back to
+    table doc_ids — must equal plain-SQL BM25 exactly."""
+    eng = _indexed_engine(spark, sf_dir)
+    qid, qtext = BM25_QUERIES[1]
+    hits = eng.topk(qtext, k=10, use_wand=True)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (qid, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
+
+
+# ---------------------------------------------------------------- exports
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

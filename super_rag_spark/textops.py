@@ -1,0 +1,222 @@
+"""Training-data text operators: dedup, fingerprinting, quality, lang-ID.
+
+These are the large-scale pipeline operators a 100 TB webtext corpus
+needs before indexing (dedup shrinks the index; quality/lang gates
+filter junk). All built-in pyspark.sql.functions — no Python on the
+hot path except the SimHash pandas UDF (bit manipulation).
+
+Scale notes:
+- exact dedup: one hash-groupBy shuffle on a 32-char key, partial aggs.
+- MinHash-LSH: shingle explode -> per-doc signature agg (one shuffle) ->
+  band explode -> bucket join (only colliding docs meet; never the full
+  O(n^2) cross join).
+- n-gram Jaccard: shingle self-join restricted to candidate pairs; at
+  scale run it AFTER LSH bucketing as the verify stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index.build import tokens_expr
+
+# fixed stopword list for quality scoring (tiny, engine-level constant)
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+N_MINHASH_PERMS = 8
+LSH_BAND_SIZE = 2  # perms per band -> 4 bands
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_expr(text_col))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash (SURVEY.md §2.4 A6 analog at corpus
+    scale): (doc_id, content_hash, canonical_id, group_size)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select("doc_id", h)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct n-gram token shingles per doc."""
+    toks = with_tokens(df, text_col)
+    # guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    # explicit empty array (DuckDB's generate_series(1, 0) is empty)
+    idx = F.when(
+        F.size("tokens") >= n,
+        F.sequence(F.lit(1), F.size("tokens") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i, F.lit(n))))
+    return (
+        toks.select("doc_id", F.explode(sh).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard similarity:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold."""
+    sh = shingles(df, n, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_cols(n_perms: int):
+    """Permutation i = lexicographic min of md5(i || ':' || shingle).
+    md5 hex is identical in Spark, DuckDB, and Python — the signature is
+    engine-independent (oracle-checkable)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_perms)
+    ]
+
+
+def minhash_signatures(df: DataFrame, n: int = 3, n_perms: int = N_MINHASH_PERMS,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, mh0..mh{P-1}) MinHash signature over n-gram shingles."""
+    return shingles(df, n, text_col).groupBy("doc_id").agg(*_minhash_cols(n_perms))
+
+
+def minhash_lsh_candidates(df: DataFrame, n: int = 3,
+                           n_perms: int = N_MINHASH_PERMS,
+                           band_size: int = LSH_BAND_SIZE,
+                           text_col: str = "text") -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature.
+    Returns candidate pairs (doc_a, doc_b, n_bands_shared)."""
+    sig = minhash_signatures(df, n, n_perms, text_col)
+    n_bands = n_perms // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"mh{bi * band_size + j}") for j in range(band_size)]).alias("band_val"),
+        )
+        for bi in range(n_bands)
+    ])
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def simhash_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit SimHash over token hashes (pandas UDF: per-bit majority
+    vote needs bit unpacking, cheaper in NumPy than in 64 Spark columns)."""
+    import hashlib
+
+    import numpy as np
+
+    def simhash(text: str) -> int:
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            out |= np.uint64(1) << np.uint64(i)
+        v = int(out)  # reinterpret as signed int64 for Spark LongType
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for pdf in batches:
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "simhash": [simhash(t) for t in pdf["text"]],
+        })
+
+
+def simhash_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash:long) — near-dup by small Hamming distance."""
+    src = df.select("doc_id", F.col(text_col).alias("text"))
+    return src.mapInPandas(simhash_map_in_pandas, schema="doc_id long, simhash long")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features (length, token stats, stopword ratio,
+    uniqueness) — the junk-page filter of a training pipeline."""
+    toks = with_tokens(df, text_col)
+    return toks.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size("tokens").alias("n_tokens"),
+        F.round(F.size("tokens") / F.greatest(F.length(text_col), F.lit(1)), 6).alias("token_density"),
+        F.round(
+            F.aggregate("tokens", F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct("tokens")) / F.greatest(F.size("tokens"), F.lit(1)), 6).alias("uniq_ratio"),
+        F.round(
+            F.size(F.filter("tokens", lambda x: x.isin(STOPWORDS)))
+            / F.greatest(F.size("tokens"), F.lit(1)).cast("double"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 over the token stream (robust
+    to whitespace/case variation, unlike raw-text md5)."""
+    toks = with_tokens(df, text_col)
+    return toks.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "tokens")).alias("fingerprint"),
+    )
+
+
+# tiny per-language marker lists for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und'
+    (undetermined) when nothing matches. Pure column expressions."""
+    toks = with_tokens(df, text_col)
+    hits = [
+        F.size(F.filter("tokens", lambda x: x.isin(ws))).alias(f"hits_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    scored = toks.select("doc_id", "tokens", *hits)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:  # first-match tie-break in fixed lang order
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.select("doc_id", pred.alias("pred_lang"),
+                         *[F.col(f"hits_{lg}") for lg in langs])
