@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Components:
+  build_sf      index build over synthetic webtext at the SF matching
+                $SPARK_GRAFT_SF_DIR (docs/sec headline, BASELINE.json)
+  build_scale8  same build at local[8] on the same input -> N vs 4N
+                scaling efficiency (north_rule, sandbox form)
+  query_p50     100 reference queries, driver vectorized path (p50 ms)
+  query_wand    same queries through block-max WAND
+  query_batch   distributed Spark scoring of all 100 queries
+  bm25_documents / dedup_minhash / ann_cosine over $SPARK_GRAFT_SF_DIR
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip the
+     second (local[8]) build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"srs-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # allocation-heavy codegen (sha1/explode) at 32 threads is GC-bound
+        # with default G1 sizing: a large fixed young gen keeps short-lived
+        # garbage out of mixed collections (measured 3-5x on this box)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn16g")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed_build(spark, webtext_path: str, index_dir: str) -> tuple[float, int]:
+    """Warm-up build on a 10% slice (JIT + codegen + young-gen commit),
+    then the timed full build — cold-JVM effects otherwise dominate and
+    make throughput numbers meaningless run-to-run."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    df = spark.read.parquet(webtext_path)
+    n_docs = df.count()
+    BM25Engine(spark, index_dir + "_warm").build(
+        df.limit(max(n_docs // 10, 100)), text_is_extracted=False)
+    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    t0 = time.time()
+    BM25Engine(spark, index_dir).build(df, text_is_extracted=False)
+    return time.time() - t0, n_docs
+
+
+def main() -> int:
+    from super_rag_spark import contract
+    from super_rag_spark.fixtures import generate_queries, generate_webtext
+    from super_rag_spark.query.engine import BM25Engine
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else 0.1
+
+    comp: dict[str, float] = {}
+    extra: dict[str, object] = {}
+    webtext_path = generate_webtext(sf, FIXTURE_DIR)
+    queries = generate_queries()
+    idx_dir = f"/tmp/srs_bench_idx_sf{sf}"
+
+    # --- scaling run at local[8] first (fresh JVM-side context each) ----
+    if DO_SCALING:
+        spark8 = make_session(8)
+        sec8, n_docs = timed_build(spark8, webtext_path, idx_dir + "_n8")
+        spark8.stop()
+        comp["build_scale8"] = round(sec8, 3)
+        extra["build8_docs_per_sec"] = round(n_docs / sec8, 1)
+        shutil.rmtree(idx_dir + "_n8", ignore_errors=True)
+
+    spark = make_session(CPUS)
+    try:
+        sec, n_docs = timed_build(spark, webtext_path, idx_dir)
+        comp["build_sf"] = round(sec, 3)
+        extra["build_docs_per_sec"] = round(n_docs / sec, 1)
+        extra["n_docs"] = n_docs
+        if DO_SCALING:
+            thr8 = extra["build8_docs_per_sec"]
+            thrN = extra["build_docs_per_sec"]
+            ratio = CPUS / 8.0
+            extra["scaling_efficiency"] = round(thrN / (ratio * thr8), 3)
+
+        eng = BM25Engine(spark, idx_dir)
+
+        lat = []
+        t0 = time.time()
+        for q in queries:
+            s = time.time()
+            eng.topk(q["text"], q["k"], method="vectorized")
+            lat.append(time.time() - s)
+        comp["query_p50"] = round(time.time() - t0, 3)
+        extra["query_p50_ms"] = round(statistics.median(lat) * 1e3, 2)
+        extra["query_p90_ms"] = round(sorted(lat)[int(len(lat) * 0.9)] * 1e3, 2)
+
+        t0 = time.time()
+        for q in queries[:30]:
+            eng.topk(q["text"], q["k"], method="wand")
+        comp["query_wand"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        eng.query_batch(queries, k=10).count()
+        comp["query_batch"] = round(time.time() - t0, 3)
+
+        for name in ["bm25_topk_multi", "minhash_lsh_candidates", "ann_cosine_topk"]:
+            fn = contract.queries()[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            comp[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+    total = round(sum(comp.values()), 3)
+    print(json.dumps({
+        "metric": "bm25_engine_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": comp,
+        "sf": sf,
+        **extra,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

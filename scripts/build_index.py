@@ -37,7 +37,18 @@ def main() -> int:
     from super_rag_spark import analysis
     from super_rag_spark.query.engine import BM25Engine
 
-    builder = SparkSession.builder.appName("super-rag-spark-build")
+    builder = (
+        SparkSession.builder.appName("super-rag-spark-build")
+        # local mode: the driver JVM hosts all executor threads; size the
+        # heap for 32 concurrent scans of multi-KB binary html rows and
+        # shrink the columnar batch (4096 rows x ~4 KB html blows the
+        # default 1g heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn16g")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.adaptive.enabled", "true")
+    )
     if args.master:
         builder = builder.master(args.master)
         cores = args.master.split("[")[-1].rstrip("]")

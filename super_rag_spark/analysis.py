@@ -63,6 +63,20 @@ def doc_id_for_url(url: str) -> int:
     return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def term_id_for(term: str) -> int:
+    """Deterministic 60-bit term id (same construction as doc ids).
+
+    Posting tables key on term_id, never the term string: the build
+    pipeline pushes tens of millions of rows through Arrow into Python
+    workers, and materializing that many Python str objects costs more
+    than the entire block encode (measured ~3x). Collisions: 60 bits vs
+    ~10^9 distinct web terms -> ~1e-10 birthday probability.
+    Spark equivalent:
+    ``F.conv(F.substring(F.sha1("term"), 1, 15), 16, 10).cast("long")``.
+    """
+    return int(hashlib.sha1(term.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def salt_for_doc_id(doc_id: int, salt_count: int = SALT_COUNT) -> int:
     """Contiguous-range salt = top log2(salt_count) bits of doc_id."""
     shift = DOC_ID_BITS - (salt_count.bit_length() - 1)

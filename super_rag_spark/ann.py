@@ -54,12 +54,12 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
             .select("query_id", "rank", "vec_id", "cosine"))
 
 
-def _planes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic +-1 hyperplanes from md5(plane:dim) parity."""
+def _planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from md5(table:plane:dim) parity."""
     out = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
         for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            h = hashlib.md5(f"{table}:{p}:{d}".encode()).digest()[0]
             out[p, d] = 1.0 if h % 2 == 0 else -1.0
     return out
 
@@ -80,20 +80,38 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
 
 
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                    n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding", dim: int = 64) -> DataFrame:
-    """Approximate cosine top-k: candidates limited to the query's LSH
-    bucket, then exact cosine re-rank. At 10^12 rows the bucket join
-    replaces the O(n·q) scan with O(n/2^planes · q)."""
-    planes = _planes(dim, n_planes)
-    sig = embeddings.withColumn("bucket_sig", lsh_signature_col(F.col(vec_col), planes))
-    q = (sig.where(F.col(id_col).isin(query_ids))
+                    n_planes: int = 4, n_tables: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` independent plane sets yields a bucket key; a
+    candidate is any vector sharing ANY table's bucket with the query
+    (union via an exploded (table_id, sig) join), then exact cosine
+    re-rank inside the candidate set. For collision prob p per table,
+    recall ~= 1-(1-p)^T — single-table LSH has near-zero recall on
+    weakly-correlated neighbors. At 10^12 rows the bucket join replaces
+    the O(n*q) scan with O(T * n / 2^planes * q)."""
+    sigs = F.array(*[
+        F.struct(F.lit(t).alias("table_id"),
+                 lsh_signature_col(F.col(vec_col), _planes(dim, n_planes, t))
+                 .alias("sig"))
+        for t in range(n_tables)
+    ])
+    banded = (embeddings
+              .select(id_col, vec_col, F.explode(sigs).alias("b"))
+              .select(id_col, vec_col,
+                      F.col("b.table_id").alias("table_id"),
+                      F.col("b.sig").alias("sig")))
+    q = (banded.where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                 F.col("bucket_sig")))
+                 "table_id", "sig"))
     cand = (
-        sig.join(F.broadcast(q), "bucket_sig")
+        banded.join(F.broadcast(q), ["table_id", "sig"])
         .where(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("vec_id"),
+        .select("query_id", F.col(id_col).alias("vec_id"), vec_col, "qvec")
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id",
                 F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -537,7 +537,13 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
         tempfile.gettempdir(),
         "srs_contract_idx_" + hashlib.sha1(key.encode()).hexdigest()[:10])
     eng = BM25Engine(spark, idx_dir)
-    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+    manifest_ok = False
+    if os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        manifest_ok = eng.store.read_manifest().get("version") == 2
+        if not manifest_ok:
+            import shutil
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    if not manifest_ok:
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
         eng.build(docs, n_buckets=8, salt_df_threshold=200)

@@ -26,7 +26,6 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -37,13 +36,20 @@ from pyspark.sql import functions as F
 from .. import analysis
 from ..codec import encode_block
 from ..extraction import EXTRACT_SCHEMA, extract_text_map_in_pandas
-from .storage import POSTINGS_SCHEMA, IndexStorage, bucket_of_term
+from .storage import POSTINGS_SCHEMA, IndexStorage
 
 # ---------------------------------------------------------------- expressions
 
 def doc_id_expr(url_col: str = "url"):
     """60-bit content-addressed doc id; mirrors analysis.doc_id_for_url."""
     return F.conv(F.substring(F.sha1(F.col(url_col)), 1, 15), 16, 10).cast("long")
+
+
+def term_id_expr(term_col: str = "term"):
+    """60-bit term id; mirrors analysis.term_id_for. Keying the postings
+    pipeline on int64 instead of the term string keeps every shuffle and
+    every Arrow->Python transfer string-free (measured ~3x on the build)."""
+    return F.conv(F.substring(F.sha1(F.col(term_col)), 1, 15), 16, 10).cast("long")
 
 
 def tokens_expr(text_col: str = "text"):
@@ -61,6 +67,50 @@ def extract(webtext_df: DataFrame) -> DataFrame:
     )
 
 
+def with_tf_pairs(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Adds a ``pairs`` column of per-doc (term, tf) structs computed
+    INSIDE the row with JVM higher-order functions (sort_array +
+    run-length boundaries).
+
+    This is the map-side combiner done in the row itself: the classic
+    explode -> groupBy(term, doc) plan shuffles one row per token
+    occurrence (~2x the corpus token count) through a hash aggregate
+    with ~one group per (term, doc) — the single most expensive stage at
+    scale. Run-length encoding the sorted token array emits exactly one
+    row per DISTINCT (term, doc) with zero shuffle and stays entirely in
+    whole-stage codegen.
+
+    The sorted array and boundary list are materialized as real columns
+    (not inlined sub-expressions): Catalyst does NOT common-subexpression
+    -eliminate inside lambda bodies, so inlining them re-evaluates the
+    O(dl) filter per element — O(dl^2) per document. F.get (0-based,
+    null-safe) avoids ANSI out-of-bounds errors at the array edges."""
+    df = df.withColumn("_s", F.sort_array(F.col(tokens_col)))
+    df = df.withColumn("_n", F.size("_s"))
+    bidx = F.filter(
+        F.sequence(F.lit(0), F.col("_n") - F.lit(1)),
+        lambda i: (i == F.lit(0)) | (F.get(F.col("_s"), i) != F.get(F.col("_s"), i - F.lit(1))),
+    )
+    df = df.withColumn(
+        "_b",
+        F.when(F.col("_n") > 0, bidx).otherwise(F.array().cast("array<int>")),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("_b") - F.lit(1)),
+        lambda j: F.struct(
+            F.get(F.col("_s"), F.get(F.col("_b"), j)).alias("term"),
+            (F.coalesce(F.get(F.col("_b"), j + F.lit(1)), F.col("_n"))
+             - F.get(F.col("_b"), j)).cast("long").alias("tf"),
+        ),
+    )
+    df = df.withColumn(
+        "pairs",
+        F.when(F.size("_b") > 0, pairs).otherwise(
+            F.array().cast("array<struct<term:string,tf:bigint>>")),
+    )
+    return df.drop("_s", "_n", "_b")
+
+
 def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
     """(url, text) -> (doc_id, url, tokens, dl)."""
     return (
@@ -75,44 +125,85 @@ def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text"
 
 # ---------------------------------------------------------------- block build
 
-def _make_block_builder(n_docs: int, avgdl: float, k1: float, b: float,
-                        block_size: int, n_buckets: int):
-    """applyInPandas body for one (term, salt) group -> block rows.
+def _build_blocks_np(pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float,
+                     b: float, block_size: int, n_buckets: int) -> pd.DataFrame:
+    """Vectorized block build over a batch of CONTIGUOUS, doc_id-sorted
+    (term, salt) groups. Group/pandas overhead is amortized across the
+    whole Arrow batch — essential when the corpus has millions of tail
+    terms (one pandas DataFrame per term would dominate the build)."""
+    terms = pdf["term_id"].to_numpy()
+    salts = pdf["salt"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy()
+    tfs = pdf["tf"].to_numpy().astype(np.int64)
+    dls = pdf["dl"].to_numpy().astype(np.int64)
+    dfs = pdf["df"].to_numpy().astype(np.int64)
 
-    Pure NumPy: sorts once, slices into blocks, varint-encodes, and
-    computes exact block-max BM25 scores from the true per-posting dl.
-    """
+    # per-posting exact score (vectorized over the whole batch)
+    idf = np.log((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0)
+    scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        df_t = int(pdf["df"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
+    starts = np.concatenate((
+        [0],
+        np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1,
+        [len(pdf)],
+    ))
+    cols: dict[str, list] = {c: [] for c in (
+        "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_max_score",
+        "df", "bucket")}
+    for gi in range(len(starts) - 1):
+        lo, hi = int(starts[gi]), int(starts[gi + 1])
+        term = int(terms[lo])
+        bucket = term % n_buckets  # bucket_of_term_id
+        for blk, s in enumerate(range(lo, hi, block_size)):
+            e = min(s + block_size, hi)
+            d_enc, t_enc, l_enc = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
+            cols["term_id"].append(term)
+            cols["salt"].append(int(salts[lo]))
+            cols["block_id"].append(blk)
+            cols["n"].append(e - s)
+            cols["first_doc_id"].append(int(doc_ids[s]))
+            cols["last_doc_id"].append(int(doc_ids[e - 1]))
+            cols["docs_enc"].append(d_enc)
+            cols["tfs_enc"].append(t_enc)
+            cols["dls_enc"].append(l_enc)
+            cols["block_max_tf"].append(int(tfs[s:e].max()))
+            cols["block_max_score"].append(float(scores[s:e].max()))
+            cols["df"].append(int(dfs[lo]))
+            cols["bucket"].append(bucket)
+    return pd.DataFrame(cols)
 
-        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
-        scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        bucket = bucket_of_term(term, n_buckets)
 
-        rows = []
-        for blk, start in enumerate(range(0, len(doc_ids), block_size)):
-            sl = slice(start, start + block_size)
-            d_enc, t_enc, l_enc = encode_block(doc_ids[sl], tfs[sl], dls[sl])
-            rows.append({
-                "term": term, "salt": salt, "block_id": blk,
-                "n": int(len(doc_ids[sl])),
-                "first_doc_id": int(doc_ids[sl][0]),
-                "last_doc_id": int(doc_ids[sl][-1]),
-                "docs_enc": d_enc, "tfs_enc": t_enc, "dls_enc": l_enc,
-                "block_max_tf": int(tfs[sl].max()),
-                "block_max_score": float(scores[sl].max()),
-                "df": df_t, "bucket": bucket,
-            })
-        return pd.DataFrame(rows)
+def _make_partition_builder(n_docs: int, avgdl: float, k1: float, b: float,
+                            block_size: int, n_buckets: int):
+    """mapInPandas body over a partition hash-clustered by (term, salt)
+    and sorted by (term, salt, doc_id). Arrow batches may split a group,
+    so an incomplete trailing group is carried into the next batch."""
 
-    return build
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            terms = pdf["term_id"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            bounds = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+            if len(bounds) == 0:  # whole batch is one (possibly partial) group
+                carry = pdf
+                continue
+            cut = int(bounds[-1])
+            carry = pdf.iloc[cut:]
+            yield _build_blocks_np(pdf.iloc[:cut], n_docs, avgdl, k1, b,
+                                   block_size, n_buckets)
+        if carry is not None and len(carry):
+            yield _build_blocks_np(carry, n_docs, avgdl, k1, b,
+                                   block_size, n_buckets)
+
+    return gen
 
 
 def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
@@ -127,17 +218,27 @@ def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
     term-hash exchange), then head terms are salted by contiguous
     doc_id range before the per-group block build.
     """
-    df_t = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_t = tf_df.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
     shift = analysis.DOC_ID_BITS - (salt_count.bit_length() - 1)
-    with_df = tf_df.join(df_t, "term")
+    with_df = tf_df.join(df_t, "term_id")
     salted = with_df.withColumn(
         "salt",
         F.when(F.col("df") > F.lit(salt_df_threshold),
                F.shiftright(F.col("doc_id"), shift).cast("int"))
          .otherwise(F.lit(0)),
     )
-    builder = _make_block_builder(n_docs, avgdl, k1, b, block_size, n_buckets)
-    return salted.groupBy("term", "salt").applyInPandas(builder, schema=POSTINGS_SCHEMA)
+    builder = _make_partition_builder(n_docs, avgdl, k1, b, block_size, n_buckets)
+    # hash-cluster groups, sort within partitions, then stream whole
+    # partitions through the NumPy builder (one Python call per Arrow
+    # batch instead of one per term — head-term salting keeps any single
+    # (term, salt) group bounded, so batches stay memory-safe)
+    return (
+        salted
+        .repartition("term_id", "salt")
+        .sortWithinPartitions("term_id", "salt", "doc_id")
+        .select("term_id", "salt", "doc_id", "tf", "dl", "df")
+        .mapInPandas(builder, schema=POSTINGS_SCHEMA)
+    )
 
 
 def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
@@ -153,13 +254,18 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
 
     if not text_is_extracted:
         docs_df = extract(docs_df)
-    toks = tokens_from_text(docs_df)
+    # The extraction + tokenize scan feeds doc_stats, corpus stats AND the
+    # tf aggregation; persist it so the (expensive) extraction UDF runs
+    # once. On a cluster this would be a checkpoint table — locally
+    # MEMORY_AND_DISK is the same idea without the extra write.
+    from pyspark import StorageLevel
+
+    toks = tokens_from_text(docs_df).persist(StorageLevel.MEMORY_AND_DISK)
 
     doc_stats = toks.select("doc_id", "url", "dl")
     doc_stats.write.mode("overwrite").parquet(store.doc_stats_dir)
-    doc_stats = spark.read.parquet(store.doc_stats_dir)  # reuse materialization
 
-    stats = doc_stats.agg(
+    stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
@@ -170,24 +276,27 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
 
     tf = (
         toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select("doc_id", "dl", term_id_expr("term").alias("term_id"))
+        .groupBy("term_id", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     blocks = build_postings(
         tf, n_docs, avgdl, k1=k1, b=b, block_size=block_size,
         n_buckets=n_buckets, salt_df_threshold=salt_df_threshold,
         salt_count=salt_count,
     )
+    postings_dir = store.postings_dir_for(0)
     (blocks
         .repartition("bucket")
-        .sortWithinPartitions("term", "salt", "block_id")
-        .write.mode("overwrite").partitionBy("bucket").parquet(store.postings_dir))
+        .sortWithinPartitions("term_id", "salt", "block_id")
+        .write.mode("overwrite").partitionBy("bucket").parquet(postings_dir))
+    toks.unpersist()
 
     # per-bucket lineage/metrics (north_rule: per-partition lineage records)
     lineage_rows = (
-        store.postings(spark)
+        spark.read.parquet(postings_dir)
         .groupBy("bucket")
-        .agg(F.countDistinct("term").alias("n_terms"),
+        .agg(F.countDistinct("term_id").alias("n_terms"),
              F.count(F.lit(1)).alias("n_blocks"),
              F.sum("n").alias("n_postings"))
         .collect()
@@ -200,7 +309,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     ])
 
     store.write_manifest({
-        "engine": "super_rag_spark", "version": 1,
+        "engine": "super_rag_spark", "version": 2,  # 2 = term_id posting keys
         "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
         "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
         "n_docs": n_docs, "avgdl": avgdl, "epoch": 0,

@@ -1,0 +1,146 @@
+"""External merge of partial indexes with per-bucket resumable commits.
+
+The reference has NO retry/resume story — a failed ingest restarts from
+zero (SURVEY.md §4.1 "Retry/resume" row); BASELINE.json north_rule makes
+this a first-class requirement: "resumable from checkpoint with
+per-partition lineage + metrics".
+
+Protocol (incremental batch, SURVEY.md §2.10):
+1. the delta corpus is built into a STAGING index (a normal build_index
+   run — its per-bucket stats are only partial);
+2. merged corpus stats (N, avgdl) are computed from the union of
+   doc_stats minus tombstones;
+3. per term-hash bucket, old-epoch + staging blocks are decoded,
+   tombstones dropped, df recomputed from the merged postings (exact),
+   and blocks re-encoded with the NEW global stats — so the merged
+   index is bit-identical to a from-scratch build over the union
+   (FIXTURES.md invariant 3), including block-max scores;
+4. each bucket commit appends a lineage record; a re-run (after a
+   crash) skips committed buckets — bucket jobs are deterministic, so
+   resume produces the identical index (invariant 5);
+5. finalize: write merged doc_stats/corpus_stats, clear tombstones
+   (the merge is the lazy-delete compaction), atomically replace the
+   manifest -> readers switch to the new epoch.
+
+Scale: one bucket = one bounded Spark job over two partition
+directories; buckets are independent, so a cluster runs them as one
+job over the bucket dimension or as parallel driver submissions. The
+decode -> regroup -> re-encode path shuffles only the touched bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import analysis
+from ..query.scoring import DECODED_SCHEMA, decode_postings_map_in_pandas
+from .build import build_index, build_postings
+from .storage import IndexStorage
+
+
+class SimulatedMergeFailure(RuntimeError):
+    """Raised by merge_append(fail_after_bucket=...) in resume tests."""
+
+
+def _staging_dir(store: IndexStorage, epoch: int) -> str:
+    return os.path.join(store.root, f"staging_e{epoch}")
+
+
+def merge_append(spark: SparkSession, index_dir: str,
+                 new_docs_df: DataFrame | None = None, *,
+                 text_is_extracted: bool = True,
+                 fail_after_bucket: int | None = None) -> IndexStorage:
+    """Append ``new_docs_df`` (url, text|html) to an existing index.
+
+    Call again with ``new_docs_df=None`` (or the same frame) after a
+    crash to resume: the staging build is reused if present and
+    committed buckets are skipped via lineage.
+    """
+    store = IndexStorage(index_dir)
+    manifest = store.read_manifest()
+    old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
+    n_buckets = int(manifest["n_buckets"])
+    cfg = {k: manifest[k] for k in
+           ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
+
+    # 1. staging build (idempotent: skipped when its manifest exists)
+    staging = _staging_dir(store, epoch)
+    sstore = IndexStorage(staging)
+    if not os.path.exists(sstore.manifest_path):
+        if new_docs_df is None:
+            raise ValueError("no staging index found and no new_docs_df given")
+        build_index(spark, new_docs_df, staging,
+                    text_is_extracted=text_is_extracted, **cfg)
+
+    # 2. merged doc stats (minus tombstones) -> new global N / avgdl
+    ds = store.doc_stats(spark).unionByName(sstore.doc_stats(spark))
+    tomb = store.tombstones(spark)
+    if tomb is not None:
+        ds = ds.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+    st = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("tot")).collect()[0]
+    n_docs, avgdl, total_tokens = int(st["n"]), float(st["avgdl"]), int(st["tot"])
+
+    # 3-4. per-bucket decode + rebuild with bucket-level lineage commits
+    new_dir = store.postings_dir_for(epoch)
+    committed = store.committed_buckets("merge", epoch)
+    tomb_small = tomb.select("doc_id") if tomb is not None else None
+    for bucket in range(n_buckets):
+        if bucket in committed:
+            continue
+        parts = []
+        for base in (store.postings_dir_for(old_epoch), sstore.postings_dir_for(0)):
+            p = os.path.join(base, f"bucket={bucket}")
+            if os.path.isdir(p):
+                parts.append(spark.read.parquet(p))
+        bucket_out = os.path.join(new_dir, f"bucket={bucket}")
+        if not parts:
+            os.makedirs(bucket_out, exist_ok=True)
+        else:
+            blocks = parts[0]
+            for extra in parts[1:]:
+                blocks = blocks.unionByName(extra)
+            decoded = blocks.mapInPandas(decode_postings_map_in_pandas,
+                                         schema=DECODED_SCHEMA).drop("df")
+            if tomb_small is not None:
+                decoded = decoded.join(F.broadcast(tomb_small), "doc_id", "left_anti")
+            rebuilt = build_postings(decoded, n_docs, avgdl, **cfg).drop("bucket")
+            tmp_out = bucket_out + ".tmp"
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            (rebuilt.repartition(1)
+             .sortWithinPartitions("term_id", "salt", "block_id")
+             .write.mode("overwrite").parquet(tmp_out))
+            shutil.rmtree(bucket_out, ignore_errors=True)
+            os.replace(tmp_out, bucket_out)
+        stats_row = (spark.read.parquet(bucket_out).agg(
+            F.countDistinct("term_id").alias("t"), F.count(F.lit(1)).alias("b"),
+            F.sum("n").alias("p")).collect()[0]) if parts else None
+        store.append_lineage(spark, [{
+            "bucket": bucket, "phase": "merge", "epoch": epoch,
+            "n_terms": int(stats_row["t"] or 0) if stats_row else 0,
+            "n_blocks": int(stats_row["b"] or 0) if stats_row else 0,
+            "n_postings": int(stats_row["p"] or 0) if stats_row else 0,
+            "status": "committed",
+        }])
+        if fail_after_bucket is not None and bucket >= fail_after_bucket:
+            raise SimulatedMergeFailure(f"injected failure after bucket {bucket}")
+
+    # 5. finalize: stats tables, tombstone GC, atomic manifest switch
+    ds.write.mode("overwrite").parquet(store.doc_stats_dir + ".tmp")
+    shutil.rmtree(store.doc_stats_dir, ignore_errors=True)
+    os.replace(store.doc_stats_dir + ".tmp", store.doc_stats_dir)
+    spark.createDataFrame(
+        [(n_docs, float(avgdl), total_tokens)],
+        "n_docs long, avgdl double, total_tokens long",
+    ).write.mode("overwrite").parquet(store.corpus_stats_dir)
+    shutil.rmtree(store.tombstones_dir, ignore_errors=True)
+
+    manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
+    store.write_manifest(manifest)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(store.postings_dir_for(old_epoch), ignore_errors=True)
+    return store

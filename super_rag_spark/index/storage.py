@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 POSTINGS_SCHEMA = (
-    "term string, salt int, block_id int, n int, "
+    "term_id long, salt int, block_id int, n int, "
     "first_doc_id long, last_doc_id long, "
     "docs_enc binary, tfs_enc binary, dls_enc binary, "
     "block_max_tf int, block_max_score double, df long, bucket int"
@@ -37,17 +37,22 @@ LINEAGE_SCHEMA = (
 )
 
 
+def bucket_of_term_id(term_id: int, n_buckets: int) -> int:
+    """Term-hash bucket from the numeric term id (sha1-uniform), so the
+    exact same arithmetic runs in the block builder, at query planning
+    time on the driver, and in SQL — no dependence on Spark's Murmur3."""
+    return term_id % n_buckets
+
+
 def bucket_of_term(term: str, n_buckets: int) -> int:
-    """Term-hash bucket. Pure-Python (sha1-based) so the exact same
-    function runs in the pandas block builder, at query planning time on
-    the driver, and in the oracle — no dependence on Spark's Murmur3."""
-    return int(hashlib.sha1(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+    from ..analysis import term_id_for
+
+    return bucket_of_term_id(term_id_for(term), n_buckets)
 
 
 class IndexStorage:
     def __init__(self, root: str):
         self.root = root
-        self.postings_dir = os.path.join(root, "postings")
         self.doc_stats_dir = os.path.join(root, "doc_stats")
         self.corpus_stats_dir = os.path.join(root, "corpus_stats")
         self.lineage_dir = os.path.join(root, "lineage")
@@ -67,8 +72,19 @@ class IndexStorage:
             return json.load(f)
 
     # ---- tables ---------------------------------------------------------
-    def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(POSTINGS_SCHEMA).parquet(self.postings_dir)
+    # postings live in per-epoch directories (postings_e<N>); the manifest
+    # names the current epoch, so a merge builds the next epoch fully and
+    # then switches readers with one atomic manifest replace.
+    def postings_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"postings_e{epoch}")
+
+    @property
+    def postings_dir(self) -> str:
+        return self.postings_dir_for(int(self.read_manifest()["epoch"]))
+
+    def postings(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
+        d = self.postings_dir if epoch is None else self.postings_dir_for(epoch)
+        return spark.read.schema(POSTINGS_SCHEMA).parquet(d)
 
     def doc_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.doc_stats_dir)

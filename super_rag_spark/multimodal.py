@@ -1,0 +1,115 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video alongside
+text. The engine treats them as opaque ``binary`` columns with typed
+metadata, exactly like the webtext ``html:binary`` column: all Spark
+plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
+real and tested; only the codec calls are stubbed because no
+image/audio libraries exist in this container.
+
+Stub policy: `decode_image` raises NotImplementedError unless
+``deterministic_fake=True``, in which case it derives a fake
+(width, height, n_channels, mean_luma) from the payload bytes — enough
+to exercise the full distributed path end-to-end and keep results
+reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, sha1 string, "
+    "width int, height int, n_channels int, mean_luma double"
+)
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_sha1 string"
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
+    """STUB — real implementation needs an image lib (PIL/opencv absent
+    in this container). The fake is a pure function of the bytes."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; pass deterministic_fake=True "
+            "for the test/CI path")
+    h = hashlib.sha1(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_channels": 1 + h[2] % 4,
+        "mean_luma": round(h[3] / 255.0, 6),
+    }
+
+
+def extract_image_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (asset_id, media_type, payload:binary) ->
+    IMAGE_META_SCHEMA rows. Arrow moves the binary column zero-copy;
+    the per-asset decode is the only Python work."""
+    for pdf in batches:
+        rows = []
+        for asset_id, media_type, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+            meta = decode_image(bytes(payload), deterministic_fake=True)
+            rows.append({
+                "asset_id": int(asset_id),
+                "media_type": media_type,
+                "n_bytes": len(payload),
+                "sha1": hashlib.sha1(bytes(payload)).hexdigest(),
+                **meta,
+            })
+        yield pd.DataFrame(rows, columns=[
+            "asset_id", "media_type", "n_bytes", "sha1",
+            "width", "height", "n_channels", "mean_luma"])
+
+
+def image_metadata(assets_df: DataFrame) -> DataFrame:
+    """(asset_id, media_type, payload) -> typed metadata table.
+    At scale: partition by asset_id ranges so one executor never holds
+    more than spark.sql.files.maxPartitionBytes of payloads at once."""
+    return assets_df.select("asset_id", "media_type", "payload").mapInPandas(
+        extract_image_metadata, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(assets_df: DataFrame, every_n: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Deterministic frame sampling for video payloads (stub: frame k is
+    a sha1 slice of the payload — the real decoder would seek keyframes).
+    Emits (asset_id, frame_index, frame_sha1), 1 row per sampled frame."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                n_frames = max(1, len(payload) // max(every_n, 1))
+                for k in range(min(n_frames, max_frames)):
+                    rows.append({
+                        "asset_id": int(asset_id),
+                        "frame_index": k * every_n,
+                        "frame_sha1": hashlib.sha1(
+                            payload[k * every_n:(k + 1) * every_n] or b"\x00"
+                        ).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_index", "frame_sha1"])
+
+    return assets_df.select("asset_id", "payload").mapInPandas(
+        gen, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def synth_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests (payload bytes derived
+    from the asset id; no external data)."""
+    rows = []
+    for i in range(n):
+        seed = hashlib.sha1(f"asset{i}".encode()).digest()
+        payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
+        rows.append((i, ["image/png", "image/jpeg", "video/mp4"][i % 3],
+                     bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary")

@@ -24,13 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import analysis
-from ..analysis import tokenize
+from ..analysis import term_id_for, tokenize
 from ..index.build import build_index, doc_id_expr
-from ..index.storage import IndexStorage, bucket_of_term
+from ..index.storage import IndexStorage, bucket_of_term_id
 from .scoring import score_query_batch
-from .wand import bruteforce_topk, wand_topk
+from .wand import bruteforce_topk, vectorized_topk, wand_topk
 
-_BLOCK_COLS = ["term", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+_TOPK_METHODS = {
+    "vectorized": vectorized_topk,  # NumPy batch scoring (lowest latency)
+    "wand": wand_topk,              # block-max skipping (the at-scale path)
+    "bruteforce": bruteforce_topk,  # per-posting reference
+}
+
+_BLOCK_COLS = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
                "docs_enc", "tfs_enc", "dls_enc", "block_max_tf",
                "block_max_score", "df"]
 
@@ -67,6 +73,7 @@ class BM25Engine:
         self.spark = spark
         self.store = IndexStorage(index_dir)
         self._manifest: dict | None = None
+        self._ds_cache: dict[int, "ds.Dataset"] = {}  # bucket -> pyarrow dataset
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
@@ -89,23 +96,33 @@ class BM25Engine:
     def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
         """Driver-side pruned postings read: only the parquet partitions
         (bucket=<b> dirs) owning the query terms are touched, and the
-        term filter hits parquet row-group stats (files sorted by term)."""
+        term_id filter hits parquet row-group stats (files sorted by
+        term_id). Returned dict is keyed by the term STRING so scorers
+        sum contributions in term-ascending (oracle) order."""
         n_buckets = int(self.manifest["n_buckets"])
-        buckets = sorted({bucket_of_term(t, n_buckets) for t in terms})
-        paths = [os.path.join(self.store.postings_dir, f"bucket={b}") for b in buckets]
-        paths = [p for p in paths if os.path.isdir(p)]
+        ids = {term_id_for(t): t for t in terms}
+        buckets = sorted({bucket_of_term_id(i, n_buckets) for i in ids})
         out: dict[str, tuple[int, list[dict]]] = {}
-        if not paths:
-            return out
         rows: list[dict] = []
-        for p in paths:
-            tbl = ds.dataset(p, format="parquet").to_table(
-                filter=ds.field("term").isin(terms), columns=_BLOCK_COLS)
+        for b in buckets:
+            dataset = self._ds_cache.get(b)
+            if dataset is None:
+                p = os.path.join(
+                    self.store.postings_dir_for(int(self.manifest["epoch"])),
+                    f"bucket={b}")
+                if not os.path.isdir(p):
+                    continue
+                dataset = ds.dataset(p, format="parquet")
+                self._ds_cache[b] = dataset
+            tbl = dataset.to_table(filter=ds.field("term_id").isin(list(ids)),
+                                   columns=_BLOCK_COLS)
             rows.extend(tbl.to_pylist())
+        if not rows:
+            return out
         tombs = self._tombstone_set()
         for row in rows:
             df_t = int(row["df"])
-            out.setdefault(row["term"], (df_t, []))[1].append(row)
+            out.setdefault(ids[row["term_id"]], (df_t, []))[1].append(row)
         for term, (_, blocks) in out.items():
             blocks.sort(key=lambda r: r["first_doc_id"])
         if tombs:
@@ -121,9 +138,13 @@ class BM25Engine:
         dataset = ds.dataset(d, format="parquet")
         return set(dataset.to_table(columns=["doc_id"])["doc_id"].to_pylist())
 
-    def topk(self, query: str, k: int = 10, use_wand: bool = True) -> list[tuple[int, float]]:
+    def topk(self, query: str, k: int = 10, use_wand: bool | None = None,
+             method: str = "vectorized") -> list[tuple[int, float]]:
         """Single-query top-k on the driver (low-latency path).
-        Routes 'summarize ...' queries to the summary index when present."""
+        Routes 'summarize ...' queries to the summary index when present.
+        All three methods return identical rankings (asserted in tests)."""
+        if use_wand is not None:  # back-compat boolean switch
+            method = "wand" if use_wand else "bruteforce"
         engine, qtext = self._route(query)
         terms = sorted(set(tokenize(qtext)))
         if not terms:
@@ -132,9 +153,9 @@ class BM25Engine:
         if not blocks:
             return []
         m = engine.manifest
-        fn = wand_topk if use_wand else bruteforce_topk
-        return fn(blocks, int(m["n_docs"]), float(m["avgdl"]), k,
-                  k1=float(m["k1"]), b=float(m["b"]))
+        return _TOPK_METHODS[method](
+            blocks, int(m["n_docs"]), float(m["avgdl"]), k,
+            k1=float(m["k1"]), b=float(m["b"]))
 
     def _route(self, query: str) -> tuple["BM25Engine", str]:
         """Keyword analog of the reference's semantic RouteLayer

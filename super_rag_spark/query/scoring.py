@@ -27,31 +27,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import analysis
-from ..analysis import tokenize
+from ..analysis import term_id_for, tokenize
 from ..codec import decode_block
-from ..index.storage import IndexStorage, bucket_of_term
+from ..index.storage import IndexStorage, bucket_of_term_id
 
-DECODED_SCHEMA = "term string, df long, doc_id long, tf int, dl int"
+DECODED_SCHEMA = "term_id long, df long, doc_id long, tf int, dl int"
 
 
 def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Block rows -> exploded (term, df, doc_id, tf, dl) posting rows."""
+    import numpy as np
+
     for pdf in batches:
-        terms, dfs, docs, tfs, dls = [], [], [], [], []
+        if not len(pdf):
+            yield pd.DataFrame({c: np.array([], dtype="int64")
+                                for c in ["term_id", "df", "doc_id", "tf", "dl"]})
+            continue
+        docs, tfs, dls = [], [], []
         for row in pdf.itertuples(index=False):
             d, t, l = decode_block(row.docs_enc, row.tfs_enc, row.dls_enc, row.n)
             docs.append(d)
             tfs.append(t)
             dls.append(l)
-            terms.append(pd.Series([row.term]).repeat(row.n))
-            dfs.append(pd.Series([row.df]).repeat(row.n))
-        if not terms:
-            yield pd.DataFrame({c: [] for c in ["term", "df", "doc_id", "tf", "dl"]})
-            continue
-        import numpy as np
+        ns = pdf["n"].to_numpy()
         yield pd.DataFrame({
-            "term": pd.concat(terms, ignore_index=True),
-            "df": pd.concat(dfs, ignore_index=True),
+            "term_id": np.repeat(pdf["term_id"].to_numpy(), ns),
+            "df": np.repeat(pdf["df"].to_numpy(), ns),
             "doc_id": np.concatenate(docs),
             "tf": np.concatenate(tfs).astype("int32"),
             "dl": np.concatenate(dls).astype("int32"),
@@ -59,14 +60,16 @@ def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[p
 
 
 def analyze_queries(queries: list[dict]) -> pd.DataFrame:
-    """Driver-side query analysis (tiny): (query_id, term) pairs with
-    duplicate terms collapsed (conjunction semantics, matching the
-    oracle's set-of-terms behavior)."""
+    """Driver-side query analysis (tiny): (query_id, term, term_id)
+    rows with duplicate terms collapsed (conjunction semantics, matching
+    the oracle's set-of-terms behavior). The term string rides along so
+    score summation can stay in term-ascending (oracle) order."""
     rows = []
     for q in queries:
         for term in sorted(set(tokenize(q["text"]))):
-            rows.append({"query_id": q["query_id"], "term": term})
-    return pd.DataFrame(rows, columns=["query_id", "term"])
+            rows.append({"query_id": q["query_id"], "term": term,
+                         "term_id": term_id_for(term)})
+    return pd.DataFrame(rows, columns=["query_id", "term", "term_id"])
 
 
 def contribution_expr(n_docs: int, avgdl: float, k1: float, b: float):
@@ -79,16 +82,16 @@ def contribution_expr(n_docs: int, avgdl: float, k1: float, b: float):
     return idf * (tf * F.lit(k1 + 1.0)) / denom
 
 
-def pruned_postings(spark: SparkSession, store: IndexStorage, terms: list[str],
+def pruned_postings(spark: SparkSession, store: IndexStorage, term_ids: list[int],
                     n_buckets: int) -> DataFrame:
     """Postings scan restricted to the buckets owning the query terms
-    (directory-level partition pruning) and the terms themselves
-    (parquet row-group min/max pruning — files are sorted by term)."""
-    buckets = sorted({bucket_of_term(t, n_buckets) for t in terms})
+    (directory-level partition pruning) and the term ids themselves
+    (parquet row-group min/max pruning — files are sorted by term_id)."""
+    buckets = sorted({bucket_of_term_id(t, n_buckets) for t in term_ids})
     return (
         store.postings(spark)
         .where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(list(terms)))
+        .where(F.col("term_id").isin(list(term_ids)))
     )
 
 
@@ -107,9 +110,9 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
     if qterms_pdf.empty:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     qterms = spark.createDataFrame(qterms_pdf)
-    terms = sorted(qterms_pdf["term"].unique().tolist())
+    term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
 
-    decoded = pruned_postings(spark, store, terms, n_buckets).mapInPandas(
+    decoded = pruned_postings(spark, store, term_ids, n_buckets).mapInPandas(
         decode_postings_map_in_pandas, schema=DECODED_SCHEMA
     )
 
@@ -118,7 +121,7 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
         decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     contribs = (
-        decoded.join(F.broadcast(qterms), "term")
+        decoded.join(F.broadcast(qterms), "term_id")
         .withColumn("contrib", contribution_expr(n_docs, avgdl, k1, b))
     )
 

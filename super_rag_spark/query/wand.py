@@ -171,6 +171,56 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
     return evaluated[:k]
 
 
+def vectorized_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
+                    avgdl: float, k: int, k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+    """Exact top-k, fully NumPy-vectorized (the low-latency driver path).
+
+    Per term (ascending, the oracle's sum order): decode all blocks at
+    once, compute the BM25 contribution vector, accumulate into a
+    doc->score map via np.unique + bincount. ~50x faster than the
+    per-posting Python loop of WAND for the posting sizes a single
+    query touches; WAND remains the scale story (block skipping) and
+    the two are asserted identical in tests.
+    """
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ids, contribs)
+    for term in sorted(term_blocks):
+        df, blocks = term_blocks[term]
+        if not blocks:
+            continue
+        d_parts, t_parts, l_parts = [], [], []
+        for blk in blocks:
+            d, t, l = decode_block(blk["docs_enc"], blk["tfs_enc"], blk["dls_enc"], blk["n"])
+            d_parts.append(d)
+            t_parts.append(t)
+            l_parts.append(l)
+        docs = np.concatenate(d_parts)
+        tfs = np.concatenate(t_parts).astype(np.float64)
+        dls = np.concatenate(l_parts).astype(np.float64)
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * dls / avgdl))
+        per_term.append((docs, contrib))
+
+    if not per_term:
+        return []
+    all_docs = np.concatenate([d for d, _ in per_term])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    off = 0
+    for docs, contrib in per_term:  # term-ascending accumulation order
+        np.add.at(scores, inv[off:off + len(docs)], contrib)
+        off += len(docs)
+
+    kk = min(k, len(uniq))
+    if kk == 0:
+        return []
+    # threshold preselect: keep EVERY doc whose score could reach rank k
+    # after 9-dp rounding (ties broken by doc_id must see all tied docs)
+    kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+    cand = np.flatnonzero(scores >= kth - 1e-9)
+    order = sorted(cand.tolist(), key=lambda i: (-round(float(scores[i]), 9), int(uniq[i])))
+    return [(int(uniq[i]), float(scores[i])) for i in order[:kk]]
+
+
 def bruteforce_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
                     avgdl: float, k: int, k1: float = K1, b: float = B) -> list[tuple[int, float]]:
     """Reference scorer for WAND equivalence tests: decode everything,

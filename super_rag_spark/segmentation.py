@@ -1,0 +1,184 @@
+"""Deterministic document segmentation (the reference's chunking core).
+
+Replaces super-rag's embedding-driven RollingWindowSplitter
+(/root/reference/service/splitter.py:21-35, external semantic-router
+dep) and the unstructured by_title chunker
+(/root/reference/service/embedding.py:103-110) with a fully
+deterministic segmenter, per BASELINE.json north_star ("splitter-style
+chunking becomes deterministic document segmentation").
+
+Semantics preserved from the reference:
+- title grouping: elements accumulate under the most recent VALID title
+  (A1, /root/reference/service/splitter.py:110-126), default "Untitled";
+- title validity rules (P6, /root/reference/service/splitter.py:37-47):
+  reject titles starting lowercase, containing special characters other
+  than ``:-.``, or ending with ``.``;
+- element accumulation with table flush (C3,
+  /root/reference/service/splitter.py:128-216): running text is flushed
+  when a Table arrives, table chunks are emitted separately with the
+  header row repeated per chunk
+  (/root/reference/service/splitter.py:49-108);
+- token budget min=30 / max=400 (/root/reference/models/ingest.py:63-64)
+  — here greedy sentence packing instead of embedding-similarity splits;
+- title prefixing of chunk content (P2,
+  /root/reference/service/embedding.py:202-207);
+- chunk ids are content-addressed sha1(url:chunk_index) instead of
+  UUID4 (F6 — reproducibility).
+
+The per-doc algorithm is genuinely sequential, so it runs as a
+1-row -> N-rows mapInPandas over (url, html); everything around it
+stays columnar.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from .analysis import chunk_id_for, tokenize
+from .extraction import extract_elements
+
+MIN_TOKENS = 30
+MAX_TOKENS = 400
+DEFAULT_TITLE = "Untitled"
+
+_SPECIALS = re.compile(r"[^A-Za-z0-9\s:\-.]")
+
+CHUNKS_SCHEMA = (
+    "chunk_id string, doc_id long, url string, chunk_index int, "
+    "title string, content string, token_count int, n_elements int, "
+    "kind string"
+)
+
+
+def is_valid_title(text: str) -> bool:
+    """P6 rules (/root/reference/service/splitter.py:37-47)."""
+    if not text or text[0].islower():
+        return False
+    if _SPECIALS.search(text):
+        return False
+    if text.endswith("."):
+        return False
+    return True
+
+
+def _sentences(text: str) -> list[str]:
+    """Deterministic sentence-ish units: newline blocks, then '. ' splits."""
+    out = []
+    for block in text.split("\n"):
+        parts = re.split(r"(?<=\.)\s+", block)
+        out.extend(p for p in parts if p.strip())
+    return out
+
+
+def _pack(sentences: list[str]) -> list[str]:
+    """Greedy packing of sentence units into [MIN_TOKENS, MAX_TOKENS]
+    chunks; an oversized single sentence becomes its own chunk."""
+    chunks, buf, buf_tokens = [], [], 0
+    for sent in sentences:
+        t = len(tokenize(sent))
+        if buf and buf_tokens + t > MAX_TOKENS and buf_tokens >= MIN_TOKENS:
+            chunks.append(" ".join(buf))
+            buf, buf_tokens = [], 0
+        buf.append(sent)
+        buf_tokens += t
+    if buf:
+        chunks.append(" ".join(buf))
+    return chunks
+
+
+def _split_table(rows: list[str]) -> list[str]:
+    """Table rows packed under the token budget, header repeated per
+    chunk (/root/reference/service/splitter.py:49-108)."""
+    if not rows:
+        return []
+    header, data = rows[0], rows[1:]
+    h_tokens = len(tokenize(header))
+    chunks, buf, buf_tokens = [], [], h_tokens
+    for row in data:
+        t = len(tokenize(row))
+        if buf and buf_tokens + t > MAX_TOKENS:
+            chunks.append("\n".join([header] + buf))
+            buf, buf_tokens = [], h_tokens
+        buf.append(row)
+        buf_tokens += t
+    if buf or not data:
+        chunks.append("\n".join([header] + buf))
+    return chunks
+
+
+def segment_doc(url: str, doc_id: int, html: bytes | str) -> list[dict]:
+    """Pure per-doc segmentation -> chunk dicts (shared by the Spark UDF
+    and the test oracle)."""
+    elements = extract_elements(html)
+    chunks: list[dict] = []
+    title = DEFAULT_TITLE
+    acc: list[str] = []
+    acc_elems = 0
+
+    def flush(kind: str = "text"):
+        nonlocal acc, acc_elems
+        if not acc:
+            return
+        for body in _pack(_sentences("\n".join(acc))):
+            _emit(body, kind, acc_elems)
+        acc, acc_elems = [], 0
+
+    def _emit(body: str, kind: str, n_elements: int):
+        idx = len(chunks)
+        content = f"{title}\n{body}"  # P2 title prefix
+        chunks.append({
+            "chunk_id": chunk_id_for(url, idx),
+            "doc_id": doc_id,
+            "url": url,
+            "chunk_index": idx,
+            "title": title,
+            "content": content,
+            "token_count": len(tokenize(content)),
+            "n_elements": n_elements,
+            "kind": kind,
+        })
+
+    prev_title: str | None = None
+    for el in elements:
+        if el["type"] == "Title":
+            if el["text"] == prev_title:
+                continue
+            prev_title = el["text"]
+            if is_valid_title(el["text"]):
+                flush()
+                title = el["text"]
+            continue
+        if el["type"] == "Table":
+            flush()
+            for tbl_chunk in _split_table(el["text"].split("\n")):
+                _emit(tbl_chunk, "table", 1)
+            continue
+        acc.append(el["text"])
+        acc_elems += 1
+    flush()
+    return chunks
+
+
+# ---------------------------------------------------------------- Spark side
+
+def segment_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(url, doc_id, html) -> chunk rows (the UDTF analog of the
+    reference's splitter service, SURVEY.md §2.11)."""
+    cols = ["chunk_id", "doc_id", "url", "chunk_index", "title", "content",
+            "token_count", "n_elements", "kind"]
+    for pdf in batches:
+        rows: list[dict] = []
+        for url, doc_id, html in zip(pdf["url"], pdf["doc_id"], pdf["html"]):
+            rows.extend(segment_doc(url, int(doc_id), html))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def segment(webtext_df) -> "pd.DataFrame":
+    """webtext (url, html, ...) -> chunks DataFrame (Spark)."""
+    from .index.build import doc_id_expr
+
+    src = webtext_df.select("url", doc_id_expr("url").alias("doc_id"), "html")
+    return src.mapInPandas(segment_map_in_pandas, schema=CHUNKS_SCHEMA)

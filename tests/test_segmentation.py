@@ -1,0 +1,91 @@
+"""Segmentation semantics (SURVEY.md §2.9 C1-C4, FIXTURES.md §3)."""
+
+from super_rag_spark.analysis import chunk_id_for, tokenize
+from super_rag_spark.segmentation import (MAX_TOKENS, MIN_TOKENS,
+                                          is_valid_title, segment_doc)
+
+
+def test_title_validity_rules():
+    # /root/reference/service/splitter.py:37-47 semantics
+    assert is_valid_title("Chunking Strategies")
+    assert is_valid_title("V2: The Re-Match")
+    assert not is_valid_title("lowercase start")
+    assert not is_valid_title("Ends with period.")
+    assert not is_valid_title("Special & chars")
+    assert not is_valid_title("")
+
+
+def _mkdoc(body_parts: list[str], title="Good Title") -> bytes:
+    html = f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"
+    html += "".join(body_parts) + "</body></html>"
+    return html.encode()
+
+
+def test_basic_chunking_and_ids():
+    words = " ".join(f"w{i}" for i in range(100)) + "."
+    html = _mkdoc([f"<p>{words}</p>"] * 10)
+    chunks = segment_doc("http://x/1", 42, html)
+    assert chunks
+    for i, c in enumerate(chunks):
+        assert c["chunk_index"] == i
+        assert c["chunk_id"] == chunk_id_for("http://x/1", i)
+        assert c["doc_id"] == 42
+        assert c["content"].startswith("Good Title\n")  # P2 prefix
+        assert c["title"] == "Good Title"
+    # budget: bodies at most MAX plus title overhead; all but last >= MIN
+    for c in chunks[:-1]:
+        assert c["token_count"] <= MAX_TOKENS + len(tokenize(c["title"])) + 5
+        assert c["token_count"] >= MIN_TOKENS
+
+
+def test_table_flush_ordering_and_header_repeat():
+    rows = "".join(
+        f"<tr><td>cell{i}a</td><td>cell{i}b</td></tr>" for i in range(300))
+    html = _mkdoc([
+        "<p>before table text one two three.</p>",
+        f"<table><tr><th>colA</th><th>colB</th></tr>{rows}</table>",
+        "<p>after table text.</p>",
+    ])
+    chunks = segment_doc("http://x/2", 7, html)
+    kinds = [c["kind"] for c in chunks]
+    # accumulated text flushed BEFORE the table (C3 ordering)
+    assert kinds[0] == "text" and "before table" in chunks[0]["content"]
+    tbl = [c for c in chunks if c["kind"] == "table"]
+    assert len(tbl) >= 2  # 300 rows exceed one budget
+    for c in tbl:
+        body = c["content"].split("\n", 1)[1]
+        assert body.startswith("colA\tcolB")  # header repeated
+    assert kinds[-1] == "text" and "after table" in chunks[-1]["content"]
+
+
+def test_invalid_title_does_not_switch_group():
+    html = (b"<html><body><h1>Valid Heading</h1><p>alpha beta gamma one.</p>"
+            b"<h2>bad lowercase title</h2><p>delta epsilon two.</p></body></html>")
+    chunks = segment_doc("http://x/3", 1, html)
+    assert all(c["title"] == "Valid Heading" for c in chunks)
+
+
+def test_deterministic():
+    html = _mkdoc(["<p>" + " ".join(f"t{i}" for i in range(500)) + ".</p>"])
+    a = segment_doc("http://x/4", 9, html)
+    b = segment_doc("http://x/4", 9, html)
+    assert a == b
+
+
+def test_spark_segmentation_matches_pure(spark, webtext_sf0001_path):
+    from super_rag_spark.analysis import doc_id_for_url
+    from super_rag_spark.segmentation import segment
+
+    df = spark.read.parquet(webtext_sf0001_path).limit(50)
+    got = segment(df).collect()
+    rows = {(r["chunk_id"]): r for r in got}
+    src = {r["url"]: r["html"] for r in df.collect()}
+    want = []
+    for url, html in src.items():
+        want.extend(segment_doc(url, doc_id_for_url(url), html))
+    assert len(rows) == len(want)
+    for w in want:
+        g = rows[w["chunk_id"]]
+        assert g["content"] == w["content"]
+        assert g["token_count"] == w["token_count"]
+        assert g["kind"] == w["kind"]

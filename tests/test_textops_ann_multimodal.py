@@ -1,0 +1,102 @@
+"""Training-data operators: dedup, quality, ANN, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_dup_groups_detects_planted_dup(spark):
+    from super_rag_spark.textops import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_dup_groups(df).collect()}
+    assert out[1]["canonical_id"] == 1 and out[2]["canonical_id"] == 1
+    assert out[2]["group_size"] == 2 and out[3]["group_size"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    from super_rag_spark.textops import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base + " extra"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "totally different words here " * 10)],
+        "doc_id long, text string")
+    cands = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in cands
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert jac.get((1, 2), 0) > 0.9
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    from super_rag_spark.textops import simhash_table
+
+    base = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "qq rr ss " * 30)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    ham12 = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < 8 < ham13
+
+
+def test_quality_and_langid(docs):
+    from super_rag_spark.textops import lang_id, quality_metrics
+
+    q = quality_metrics(docs).limit(20).collect()
+    for r in q:
+        assert 0 <= r["uniq_ratio"] <= 1 and 0 <= r["stopword_ratio"] <= 1
+        assert r["n_tokens"] > 0
+    langs = lang_id(docs).groupBy("pred_lang").count().collect()
+    assert {r["pred_lang"] for r in langs} <= {"en", "de", "fr", "es", "und"}
+
+
+def test_ann_exact_vs_lsh_recall(spark, tmp_path):
+    from super_rag_spark.ann import cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(emb, [0, 1, 2], k=5).collect()
+    approx = lsh_cosine_topk(emb, [0, 1, 2], k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # LSH results must be a subset of the corpus and internally consistent;
+    # recall vs exact is reported, not asserted (bucket-dependent)
+    for r in approx:
+        assert r["cosine"] <= 1.000001
+    hits = sum(1 for r in approx if r["vec_id"] in exact_sets.get(r["query_id"], set()))
+    assert hits >= 1  # at least some overlap on 500 vectors
+
+
+def test_multimodal_plumbing(spark):
+    from super_rag_spark.multimodal import (image_metadata, sample_frames,
+                                            synth_assets)
+
+    assets = synth_assets(spark, n=48)
+    meta = image_metadata(assets)
+    rows = meta.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+        assert 64 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4
+    # determinism through the distributed path
+    again = {r["asset_id"]: r["sha1"] for r in image_metadata(assets).collect()}
+    assert all(again[r["asset_id"]] == r["sha1"] for r in rows)
+
+    frames = sample_frames(assets.where(F.col("media_type") == "video/mp4"))
+    fr = frames.collect()
+    assert fr and all(f["frame_index"] % 10 == 0 for f in fr)
+
+
+def test_decode_stub_raises_without_fake():
+    from super_rag_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")

@@ -1,0 +1,104 @@
+"""WAND == brute force == vectorized on randomized corpora
+(FIXTURES.md invariant 4), without Spark — pure codec + scorer."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from super_rag_spark.analysis import BLOCK_SIZE
+from super_rag_spark.codec import encode_block
+from super_rag_spark.query.wand import bruteforce_topk, vectorized_topk, wand_topk
+
+
+def _blocks_for(doc_ids, tfs, dls, n_docs, avgdl, block_size=BLOCK_SIZE):
+    """Build in-memory block dicts the way index/build.py does."""
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids)[order]
+    tfs = np.asarray(tfs)[order]
+    dls = np.asarray(dls)[order]
+    import math
+    df = len(doc_ids)
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    scores = idf * (tfs * 2.2) / (tfs + 1.2 * (0.25 + 0.75 * dls / avgdl))
+    out = []
+    for blk, s in enumerate(range(0, len(doc_ids), block_size)):
+        e = min(s + block_size, len(doc_ids))
+        d_enc, t_enc, l_enc = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
+        out.append({
+            "docs_enc": d_enc, "tfs_enc": t_enc, "dls_enc": l_enc,
+            "n": e - s, "first_doc_id": int(doc_ids[s]),
+            "last_doc_id": int(doc_ids[e - 1]),
+            "block_max_score": float(scores[s:e].max()),
+        })
+    return df, out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_wand_equals_bruteforce_random(data):
+    rng_seed = data.draw(st.integers(0, 10_000))
+    rng = np.random.default_rng(rng_seed)
+    n_docs = data.draw(st.integers(50, 2000))
+    n_terms = data.draw(st.integers(1, 5))
+    avgdl = 120.0
+    all_docs = rng.choice(2**40, size=n_docs, replace=False)
+    dl_of = {int(d): int(rng.integers(20, 400)) for d in all_docs}
+
+    term_blocks = {}
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = rng.choice(all_docs, size=df, replace=False)
+        tfs = rng.integers(1, 12, size=df)
+        dls = np.array([dl_of[int(d)] for d in docs])
+        term_blocks[f"t{t}"] = _blocks_for(docs, tfs, dls, n_docs, avgdl,
+                                           block_size=32)
+
+    k = data.draw(st.integers(1, 20))
+    w = wand_topk(term_blocks, n_docs, avgdl, k)
+    b = bruteforce_topk(term_blocks, n_docs, avgdl, k)
+    v = vectorized_topk(term_blocks, n_docs, avgdl, k)
+    assert [(d, round(s, 9)) for d, s in w] == [(d, round(s, 9)) for d, s in b]
+    assert [(d, round(s, 9)) for d, s in v] == [(d, round(s, 9)) for d, s in b]
+
+
+def test_wand_ties_broken_by_doc_id():
+    # many docs with IDENTICAL scores at the cutoff
+    n = 300
+    docs = np.arange(1000, 1000 + n)
+    tfs = np.full(n, 3)
+    dls = np.full(n, 100)
+    df, blocks = _blocks_for(docs, tfs, dls, n_docs=n, avgdl=100.0, block_size=64)
+    res = wand_topk({"t": (df, blocks)}, n, 100.0, 10)
+    assert [d for d, _ in res] == list(range(1000, 1010))
+    assert len({round(s, 9) for _, s in res}) == 1
+
+
+def test_wand_skips_blocks():
+    """The pruning must actually skip: one high-scoring block at the end,
+    many low blocks before it; count decoded blocks via a probe."""
+    from super_rag_spark.query import wand as wand_mod
+
+    n = 64 * 50
+    docs = np.arange(n)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[-64:] = 50  # last block has huge tf
+    dls = np.full(n, 100)
+    df, blocks = _blocks_for(docs, tfs, dls, n_docs=n, avgdl=100.0, block_size=64)
+
+    decoded_count = 0
+    orig = wand_mod.decode_block
+
+    def probe(*a, **kw):
+        nonlocal decoded_count
+        decoded_count += 1
+        return orig(*a, **kw)
+
+    wand_mod.decode_block = probe
+    try:
+        res = wand_topk({"t": (df, blocks)}, n, 100.0, 5)
+    finally:
+        wand_mod.decode_block = orig
+    assert [d for d, _ in res] == list(range(n - 64, n - 59))
+    # k=5 fills from block 0; after threshold locks in, low blocks skip
+    assert decoded_count < len(blocks) * 3  # sanity: not decoding repeatedly
