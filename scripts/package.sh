@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Package super_rag_spark for spark-submit --py-files (BASELINE.json
+# north_rule: "run via spark-submit --py-files on a multi-executor
+# cluster"). Produces dist/super_rag_spark.zip.
+#
+# Cluster usage:
+#   spark-submit --py-files dist/super_rag_spark.zip \
+#       scripts/build_index.py --input s3://.../webtext --index s3://.../idx
+#   spark-submit --py-files dist/super_rag_spark.zip \
+#       scripts/query.py --index s3://.../idx --batch queries.json --distributed
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/super_rag_spark.zip
+zip -qr dist/super_rag_spark.zip super_rag_spark -x '*__pycache__*'
+echo "dist/super_rag_spark.zip:"
+unzip -l dist/super_rag_spark.zip | tail -3

@@ -41,6 +41,30 @@ _BLOCK_COLS = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id"
                "block_max_score", "df"]
 
 
+def _keep_only(blocks: list[dict], allowed: set[int]) -> list[dict]:
+    """Inverse of tombstone filtering: keep only allowed doc_ids (exact
+    metadata-filter candidate restriction on the driver path)."""
+    import numpy as np
+
+    from ..codec import decode_block, encode_block
+
+    out = []
+    for blk in blocks:
+        docs, tfs, dls = decode_block(blk["docs_enc"], blk["tfs_enc"],
+                                      blk["dls_enc"], blk["n"])
+        keep = np.isin(docs, list(allowed))
+        if not keep.any():
+            continue
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        d_enc, t_enc, l_enc = encode_block(docs, tfs, dls)
+        nb = dict(blk)
+        nb.update(n=int(len(docs)), first_doc_id=int(docs[0]),
+                  last_doc_id=int(docs[-1]), docs_enc=d_enc,
+                  tfs_enc=t_enc, dls_enc=l_enc)
+        out.append(nb)
+    return out
+
+
 def _filter_tombstones(blocks: list[dict], tombs: set[int]) -> list[dict]:
     """Drop tombstoned doc_ids from decoded blocks (lazy delete: the
     on-disk index is untouched until the next merge compacts it)."""
@@ -88,10 +112,13 @@ class BM25Engine:
         return self._manifest
 
     # ------------------------------------------------------------- query
-    def query_batch(self, queries: list[dict], k: int = 10) -> DataFrame:
+    def query_batch(self, queries: list[dict], k: int = 10,
+                    candidates: DataFrame | None = None) -> DataFrame:
         """Distributed exact BM25 for a batch of queries ->
-        (query_id, rank, doc_id, score)."""
-        return score_query_batch(self.spark, self.store, queries, k=k)
+        (query_id, rank, doc_id, score). ``candidates``: optional
+        (doc_id) frame restricting the scored set (P7 filter)."""
+        return score_query_batch(self.spark, self.store, queries, k=k,
+                                 candidates=candidates)
 
     def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
         """Driver-side pruned postings read: only the parquet partitions
@@ -168,6 +195,57 @@ class BM25Engine:
                 return BM25Engine(self.spark, summary_dir), " ".join(toks[1:])
             return self, " ".join(toks[1:])
         return self, query
+
+    # ------------------------------------------------------------- search
+    def search(self, query: str, k: int = 10, *, method: str = "vectorized",
+               docs_meta: DataFrame | None = None, where=None,
+               exclude_fields: list[str] | None = None) -> DataFrame:
+        """Full query lifecycle (SURVEY.md §3.2): route -> retrieve ->
+        filter -> materialize -> project.
+
+        - ``where`` + ``docs_meta``: metadata filter (P7) applied as an
+          exact candidate restriction BEFORE scoring, like the reference
+          pushes filters into the vector DB.
+        - result rows are materialized against doc_stats (url) and
+          optionally ``docs_meta`` (J-joins in SURVEY.md §2.3).
+        - ``exclude_fields``: P8 projection
+          (/root/reference/api/query.py:12-16).
+        Returns a DataFrame (rank, doc_id, score, url, *meta).
+        """
+        allowed: set[int] | None = None
+        if where is not None:
+            if docs_meta is None:
+                raise ValueError("where= requires docs_meta=")
+            allowed = {r["doc_id"] for r in
+                       docs_meta.where(where).select("doc_id").collect()}
+        engine, qtext = self._route(query)
+        terms = sorted(set(tokenize(qtext)))
+        hits = []
+        if terms:
+            blocks = engine._load_term_blocks(terms)
+            if allowed is not None:
+                keep = allowed
+                blocks = {t: (df_t, _keep_only(bl, keep))
+                          for t, (df_t, bl) in blocks.items()}
+                blocks = {t: v for t, v in blocks.items() if v[1]}
+            if blocks:
+                m = engine.manifest
+                hits = _TOPK_METHODS[method](
+                    blocks, int(m["n_docs"]), float(m["avgdl"]), k,
+                    k1=float(m["k1"]), b=float(m["b"]))
+        out = self.spark.createDataFrame(
+            [(i + 1, d, float(s)) for i, (d, s) in enumerate(hits)],
+            "rank int, doc_id long, score double")
+        out = out.join(engine.store.doc_stats(self.spark).select("doc_id", "url"),
+                       "doc_id", "left")
+        if docs_meta is not None:
+            out = out.join(docs_meta, "doc_id", "left")
+        # P3: drop whitespace-only content if present
+        if "content" in out.columns:
+            out = out.where(F.trim(F.col("content")) != "")
+        if exclude_fields:
+            out = out.drop(*exclude_fields)
+        return out.orderBy("rank")
 
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:

@@ -96,9 +96,14 @@ def pruned_postings(spark: SparkSession, store: IndexStorage, term_ids: list[int
 
 
 def score_query_batch(spark: SparkSession, store: IndexStorage,
-                      queries: list[dict], k: int = 10) -> DataFrame:
+                      queries: list[dict], k: int = 10,
+                      candidates: DataFrame | None = None) -> DataFrame:
     """Exact BM25 top-k for a batch of queries.
 
+    ``candidates``: optional (doc_id) frame — the metadata-filter
+    pushdown analog (P7, /root/reference/service/router.py:43-45): only
+    docs in the candidate set are scored (semi join BEFORE scoring, so
+    the filter is exact, not a post-hoc re-rank).
     Returns (query_id int, rank int, doc_id long, score double).
     """
     manifest = store.read_manifest()
@@ -119,6 +124,8 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
     tomb = store.tombstones(spark)
     if tomb is not None:
         decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
+    if candidates is not None:
+        decoded = decoded.join(candidates.select("doc_id"), "doc_id", "left_semi")
 
     contribs = (
         decoded.join(F.broadcast(qterms), "term_id")

@@ -1,0 +1,56 @@
+"""Summary-index build: the deterministic analog of super-rag's
+LLM-summarization second index.
+
+The reference builds a second index named "<name>summary" holding
+per-page LLM summaries (/root/reference/utils/summarise.py:6-36,
+/root/reference/api/ingest.py:38-53) and routes "summarize ..."
+queries to it (/root/reference/service/router.py:81-87). The LLM call
+is replaced by a deterministic extractive summary (SURVEY.md §2.8 F13):
+title + the first N sentences of each document — pure column
+expressions, reproducible, no model.
+
+The page-group concat aggregation (A2,
+/root/reference/service/embedding.py:306-315) appears here as the
+order-stabilized groupBy + sort_array(collect_list(struct(...))) when
+summarizing chunked input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.build import build_index
+
+SUMMARY_SENTENCES = 3
+
+
+def extractive_summary_col(text_col: str = "text",
+                           n_sentences: int = SUMMARY_SENTENCES):
+    """First line (title) + first n sentence-ish units, as one column
+    expression: split on newlines / '. ' boundaries, slice, rejoin."""
+    units = F.split(F.col(text_col), r"(?<=\.)\s+|\n")
+    head = F.slice(units, 1, n_sentences + 1)
+    return F.concat_ws(" ", head)
+
+
+def summarize_chunks(chunks_df: DataFrame) -> DataFrame:
+    """Per-doc summary from a chunks table: concatenate chunk contents
+    in chunk_index order (A2 semantics, order-stabilized), then take the
+    extractive head."""
+    parts = F.sort_array(F.collect_list(F.struct("chunk_index", "content")))
+    doc_text = F.concat_ws("\n", F.transform(parts, lambda x: x["content"]))
+    merged = (chunks_df.groupBy("doc_id", "url")
+              .agg(doc_text.alias("text")))
+    return merged.select("url", extractive_summary_col("text").alias("text"))
+
+
+def build_summary_index(spark: SparkSession, docs_df: DataFrame,
+                        index_dir: str, **build_kwargs) -> str:
+    """Builds the '<index_dir>summary' index over extractive summaries.
+    ``docs_df`` needs (url, text) — already-extracted text."""
+    summary_dir = index_dir + "summary"
+    summaries = docs_df.select(
+        "url", extractive_summary_col("text").alias("text"))
+    build_index(spark, summaries, summary_dir, **build_kwargs)
+    return summary_dir

@@ -1,0 +1,87 @@
+"""Full query lifecycle: routing, metadata filters (P7), projection
+(P8), summary index (F13 analog), chunk materialization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark.index.build import doc_id_expr
+
+
+@pytest.fixture(scope="module")
+def docs_meta(spark, webtext_sf0001_path):
+    df = spark.read.parquet(webtext_sf0001_path)
+    return df.select(doc_id_expr("url").alias("doc_id"), "lang").cache()
+
+
+def test_search_metadata_filter_exact(built_index, docs_meta, queries100):
+    q = queries100[0]["text"]
+    unfiltered = {d: s for d, s in built_index.topk(q, 1000)}
+    res = built_index.search(q, k=10, docs_meta=docs_meta,
+                             where=F.col("lang") == "en").collect()
+    assert res
+    allowed = {r["doc_id"] for r in docs_meta.where(F.col("lang") == "en").collect()}
+    for r in res:
+        assert r["doc_id"] in allowed
+        assert r["lang"] == "en"
+        # global stats: filtered score == unfiltered score for same doc (P7)
+        assert r["score"] == pytest.approx(unfiltered[r["doc_id"]], rel=1e-9)
+    # the filtered top-k = the unfiltered ranking restricted to allowed docs
+    want = [d for d, _ in sorted(unfiltered.items(),
+                                 key=lambda it: (-round(it[1], 9), it[0]))
+            if d in allowed][:10]
+    assert [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])] == want
+
+
+def test_search_exclude_fields(built_index, docs_meta, queries100):
+    q = queries100[1]["text"]
+    res = built_index.search(q, k=3, docs_meta=docs_meta,
+                             exclude_fields=["lang", "url"])
+    assert set(res.columns) == {"rank", "doc_id", "score"}
+
+
+def test_distributed_filter_matches_driver(built_index, docs_meta, queries100):
+    q = queries100[2]
+    cand = docs_meta.where(F.col("lang") == "en")
+    batch = built_index.query_batch([q], k=10, candidates=cand).collect()
+    drv = built_index.search(q["text"], k=10, docs_meta=docs_meta,
+                             where=F.col("lang") == "en").collect()
+    got_b = [(r["doc_id"], round(r["score"], 9)) for r in
+             sorted(batch, key=lambda r: r["rank"])]
+    got_d = [(r["doc_id"], round(r["score"], 9)) for r in
+             sorted(drv, key=lambda r: r["rank"])]
+    assert got_b == got_d
+
+
+def test_summary_index_routing(spark, webtext_sf0001_path, tmp_path):
+    from super_rag_spark.query.engine import BM25Engine
+    from super_rag_spark.summary import build_summary_index
+
+    idx = str(tmp_path / "main")
+    docs = spark.read.parquet(webtext_sf0001_path).select("url", "text").limit(300)
+    eng = BM25Engine(spark, idx).build(docs, n_buckets=8)
+    build_summary_index(spark, docs, idx, n_buckets=8)
+
+    q = "semudo muro"
+    main_hits = eng.topk(q, 10)
+    sum_hits = eng.topk("summarize " + q, 10)
+    assert sum_hits  # routed to the summary index and found docs
+    # summary corpus has different stats -> scores must differ from main
+    assert sum_hits != main_hits
+
+    # without a summary index the keyword is stripped and main serves it
+    eng2 = BM25Engine(spark, str(tmp_path / "nosum")).build(docs, n_buckets=8)
+    assert eng2.topk("summarize " + q, 10) == eng2.topk(q, 10)
+
+
+def test_chunk_materialization_join(spark, built_index, webtext_sf0001_path, queries100):
+    """J-join: top-k doc ids -> chunk rows (SURVEY.md §2.3)."""
+    from super_rag_spark.segmentation import segment
+
+    chunks = segment(spark.read.parquet(webtext_sf0001_path).limit(200))
+    q = queries100[0]
+    topk = built_index.query_batch([q], k=5)
+    joined = topk.join(chunks, "doc_id").select(
+        "rank", "doc_id", "chunk_index", "content")
+    rows = joined.collect()
+    if rows:  # only docs within the 200-doc chunk slice materialize
+        assert all(r["content"] for r in rows)
