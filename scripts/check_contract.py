@@ -27,7 +27,7 @@ def norm(v):
 
 def rows_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(repr(norm(r[i])) for i in order) for r in rows)
 
 
 def main() -> int:

@@ -517,6 +517,171 @@ def delete_antijoin(spark, sf_dir):
             .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")))
 
 
+# ---- windowing / sessionization / misc relational (SURVEY.md §2.5-2.8) ----
+
+
+@_q("running_last_nonnull", """
+SELECT event_id,
+       last_value(nullif(event_type, 'error') IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+FROM events
+""")
+def running_last_nonnull(spark, sf_dir):
+    """A1 analog: running most-recent valid value (title grouping uses
+    exactly this shape, /root/reference/service/splitter.py:110-126)."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = F.last(F.nullif(F.col("event_type"), F.lit("error")),
+                     ignorenulls=True).over(w)
+    return ev.select("event_id", carried.alias("carried"))
+
+
+@_q("sessionize_events", """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT event_id,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+FROM g
+""")
+def sessionize_events(spark, sf_dir):
+    """Sessionization: lag(ts) + cumulative sum over gap > 30 min."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (ev.withColumn("new_sess", new_sess)
+            .select("event_id",
+                    F.sum("new_sess").over(wsum).alias("session_idx")))
+
+
+@_q("rollup_orders", """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_orders(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@_q("pivot_event_counts", """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events GROUP BY user_id
+""")
+def pivot_event_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ["click", "view", "purchase", "signup", "error"]]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@_q("asof_signup_before_purchase", """
+SELECT p.event_id, max(s.ts) AS last_signup_ts
+FROM events p JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def asof_join(spark, sf_dir):
+    """As-of join analog (no native Spark op): equi-join on the entity
+    key + range predicate + max-agg (SURVEY.md §2.3 note)."""
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    s = ev.where(F.col("event_type") == "signup").alias("s")
+    return (p.join(s, (F.col("s.user_id") == F.col("p.user_id"))
+                   & (F.col("s.ts") <= F.col("p.ts")))
+            .groupBy(F.col("p.event_id").alias("event_id"))
+            .agg(F.max(F.col("s.ts")).alias("last_signup_ts")))
+
+
+@_q("value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(avg(value), 6) AS mean
+FROM events GROUP BY event_type
+""")
+def value_percentiles(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.avg("value"), 6).alias("mean"))
+
+
+@_q("events_by_hour", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def events_by_hour(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@_q("users_without_purchase", """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+""")
+def users_without_purchase(spark, sf_dir):
+    """Set op / anti-join (§2.7 delete analog)."""
+    ev = _events(spark, sf_dir)
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return (ev.select("user_id").distinct()
+            .join(buyers, "user_id", "left_anti"))
+
+
+@_q("delete_candidate_count", """
+SELECT count(*)::BIGINT AS n_candidates FROM documents WHERE source = 'src1'
+""")
+def delete_candidate_count(spark, sf_dir):
+    """A4: exact count of delete candidates before deletion
+    (/root/reference/vectordbs/qdrant.py:99-109)."""
+    return (_docs(spark, sf_dir).where(F.col("source") == "src1")
+            .agg(F.count(F.lit(1)).alias("n_candidates")))
+
+
+@_q("multi_join_q3_style", """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       count(*)::BIGINT AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+""")
+def multi_join_q3(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
 # ---- the real index + WAND, checked against SQL ---------------------------
 
 _INDEX_CACHE: dict[str, object] = {}
