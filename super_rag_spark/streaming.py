@@ -1,0 +1,55 @@
+"""Structured Streaming ingest: continuous index maintenance.
+
+The reference is request-driven (SURVEY.md §2.10 — no streaming
+operators), so this is the Spark-native extension of its incremental
+behavior: a file-source stream of webtext parquet drops, each
+micro-batch folded into the live index through the SAME resumable
+merge operator used for batch appends (index/merge.py). Exactly-once
+per micro-batch comes from the pairing of Spark's streaming checkpoint
+(offsets) with the merge's per-bucket lineage commits: a replayed batch
+re-runs the merge idempotently (staging build is content-addressed by
+epoch, committed buckets skip).
+
+At scale this is `readStream` over an Iceberg CDC feed; locally it's
+the parquet file source with availableNow for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .index.merge import merge_append
+
+WEBTEXT_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string")
+
+
+def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
+                  checkpoint_dir: str | None = None,
+                  available_now: bool = True):
+    """Fold every new parquet file in ``input_dir`` into the index.
+
+    Returns the StreamingQuery; with ``available_now`` the query drains
+    the currently-visible files and stops (deterministic for tests and
+    backfills); without it, it keeps watching the directory.
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+
+    stream = (
+        spark.readStream.schema(WEBTEXT_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_append(spark, index_dir, batch_df.select("url", "text"))
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

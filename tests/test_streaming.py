@@ -1,0 +1,40 @@
+"""Structured Streaming ingest folds micro-batches into the index via
+the resumable merge; final index equals a batch build over everything."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_stream_ingest_matches_batch_build(spark, webtext_sf0001_path, tmp_path):
+    from super_rag_spark.query.engine import BM25Engine
+    from super_rag_spark.streaming import stream_ingest
+
+    tbl = pq.read_table(webtext_sf0001_path).select(
+        ["url", "warc_ts", "html", "text", "lang"]).slice(0, 240)
+
+    # seed index with the first 120 docs; stream in two more drops of 60
+    seed = tbl.slice(0, 120)
+    drops = [tbl.slice(120, 60), tbl.slice(180, 60)]
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    idx_dir = str(tmp_path / "idx")
+
+    import pandas as pd
+    seed_df = spark.createDataFrame(seed.to_pandas()[["url", "text"]])
+    eng = BM25Engine(spark, idx_dir).build(seed_df, n_buckets=8)
+
+    for i, drop in enumerate(drops):
+        pq.write_table(drop, str(in_dir / f"drop{i}.parquet"))
+    q = stream_ingest(spark, str(in_dir), idx_dir, available_now=True)
+    q.awaitTermination(300)
+
+    eng = BM25Engine(spark, idx_dir)
+    assert eng.manifest["n_docs"] == 240
+
+    want_df = spark.createDataFrame(tbl.to_pandas()[["url", "text"]])
+    want = BM25Engine(spark, str(tmp_path / "want")).build(want_df, n_buckets=8)
+    for query in ["semudo muro", "fuboname", "zibapevi"]:
+        assert eng.topk(query, 10) == want.topk(query, 10)
