@@ -126,6 +126,10 @@ def main() -> int:
         comp["query_wand"] = round(time.time() - t0, 3)
 
         t0 = time.time()
+        eng.query_batch_wand(queries, k=10).count()
+        comp["query_batch_wand"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
         eng.query_batch(queries, k=10).count()
         comp["query_batch"] = round(time.time() - t0, 3)
 

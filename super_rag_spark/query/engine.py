@@ -27,7 +27,7 @@ from .. import analysis
 from ..analysis import term_id_for, tokenize
 from ..index.build import build_index, doc_id_expr
 from ..index.storage import IndexStorage, bucket_of_term_id
-from .scoring import score_query_batch
+from .scoring import score_query_batch, score_query_batch_wand
 from .wand import bruteforce_topk, vectorized_topk, wand_topk
 
 _TOPK_METHODS = {
@@ -119,6 +119,12 @@ class BM25Engine:
         (doc_id) frame restricting the scored set (P7 filter)."""
         return score_query_batch(self.spark, self.store, queries, k=k,
                                  candidates=candidates)
+
+    def query_batch_wand(self, queries: list[dict], k: int = 10) -> DataFrame:
+        """Distributed block-max WAND over the query batch (one WAND
+        task per query; blocks stay encoded until the scorer needs
+        them). Rank-identical to query_batch."""
+        return score_query_batch_wand(self.spark, self.store, queries, k=k)
 
     def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
         """Driver-side pruned postings read: only the parquet partitions

@@ -150,3 +150,63 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
+                           queries: list[dict], k: int = 10) -> DataFrame:
+    """Distributed block-max WAND: the query batch is the parallelism
+    axis — each query's (compressed, still-encoded) blocks are grouped
+    to one task, which runs the NumPy WAND scorer with full block-skip
+    pruning. Compared to score_query_batch this never decodes blocks
+    the threshold prunes, at the cost of shipping one query's blocks to
+    one task (bounded: <=5 terms x df/BLOCK_SIZE block rows).
+
+    Returns (query_id int, rank int, doc_id long, score double) —
+    rank-identical to the exhaustive plan (tests assert it).
+    """
+    import numpy as np
+
+    manifest = store.read_manifest()
+    n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n_buckets = int(manifest["n_buckets"])
+
+    qterms_pdf = analyze_queries(queries)
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    if qterms_pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    qterms = spark.createDataFrame(qterms_pdf)
+    term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
+
+    if store.tombstones(spark) is not None:
+        # pending lazy deletes change set membership below the WAND
+        # threshold; use the exhaustive plan until the next merge GCs them
+        return score_query_batch(spark, store, queries, k=k)
+
+    blocks = pruned_postings(spark, store, term_ids, n_buckets)
+    per_query = blocks.join(F.broadcast(qterms), "term_id")  # 1 block row per (query, term)
+
+    def run_wand(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .wand import wand_topk
+
+        qid = int(pdf["query_id"].iloc[0])
+        term_blocks: dict[str, tuple[int, list[dict]]] = {}
+        for row in pdf.itertuples(index=False):
+            term_blocks.setdefault(row.term, (int(row.df), []))[1].append({
+                "docs_enc": row.docs_enc, "tfs_enc": row.tfs_enc,
+                "dls_enc": row.dls_enc, "n": int(row.n),
+                "first_doc_id": int(row.first_doc_id),
+                "last_doc_id": int(row.last_doc_id),
+                "block_max_score": float(row.block_max_score),
+            })
+        for _, (_, bl) in term_blocks.items():
+            bl.sort(key=lambda r: r["first_doc_id"])
+        hits = wand_topk(term_blocks, n_docs, avgdl, k, k1=k1, b=b)
+        return pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(hits) + 1, dtype="int32"),
+            "doc_id": [d for d, _ in hits],
+            "score": [s for _, s in hits],
+        })
+
+    return per_query.groupBy("query_id").applyInPandas(run_wand, schema=out_schema)

@@ -96,3 +96,17 @@ def test_delete_tombstones(built_index, oracle_index, queries100, tmp_path, spar
     for v in victims:
         assert doc_id_for_url(v) not in after_ids
         assert doc_id_for_url(v) not in batch_ids
+
+
+def test_distributed_wand_batch_rank_identity(built_index, oracle_index, queries100):
+    """Distributed per-query WAND == oracle (same queries as the
+    exhaustive distributed plan)."""
+    sample = queries100[:15] + queries100[78:84]
+    res = built_index.query_batch_wand(sample, k=10).collect()
+    by_q: dict[int, list] = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in sample:
+        got = [(d, s) for _, d, s in sorted(by_q.get(q["query_id"], []))]
+        want = oracle_index.topk(q["text"], 10)
+        _assert_rank_identical(got, want, q["text"])
