@@ -1,0 +1,37 @@
+"""Chunk <-> point round trip (P10/F9) and source dispatch (S3/F5)."""
+
+from pyspark.sql import functions as F
+
+from super_rag_spark.points import (chunks_to_points, points_to_chunks,
+                                    source_type_expr)
+
+
+def test_source_type_dispatch(spark):
+    urls = [("https://x/a.pdf",), ("https://x/b.CSV",), ("https://x/p/001",),
+            ("https://x/c.html?q=1",), ("https://x/d.unknownext",)]
+    df = spark.createDataFrame(urls, "url string")
+    got = [r["source_type"] for r in df.select(source_type_expr()).collect()]
+    assert got == ["PDF", "CSV", "HTML", "HTML", "HTML"]
+
+
+def test_chunk_point_roundtrip(spark, webtext_sf0001_path):
+    from super_rag_spark.segmentation import segment
+
+    chunks = segment(spark.read.parquet(webtext_sf0001_path).limit(30)).cache()
+    back = points_to_chunks(chunks_to_points(chunks))
+    cols = ["chunk_id", "doc_id", "url", "chunk_index", "title", "content",
+            "token_count"]
+    orig = sorted(tuple(r) for r in chunks.select(*cols).collect())
+    rt = sorted(tuple(r) for r in back.select(*cols).collect())
+    assert orig == rt
+
+
+def test_try_cast_coercion_guards(spark):
+    pts = spark.createDataFrame(
+        [("c1", {"chunk_id": "c1", "document_id": "notanint",
+                 "chunk_index": "7", "token_count": ""})],
+        "id string, payload map<string,string>")
+    row = points_to_chunks(pts).collect()[0]
+    assert row["doc_id"] is None  # isdigit-guard analog
+    assert row["chunk_index"] == 7
+    assert row["token_count"] is None
