@@ -67,50 +67,6 @@ def extract(webtext_df: DataFrame) -> DataFrame:
     )
 
 
-def with_tf_pairs(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
-    """Adds a ``pairs`` column of per-doc (term, tf) structs computed
-    INSIDE the row with JVM higher-order functions (sort_array +
-    run-length boundaries).
-
-    This is the map-side combiner done in the row itself: the classic
-    explode -> groupBy(term, doc) plan shuffles one row per token
-    occurrence (~2x the corpus token count) through a hash aggregate
-    with ~one group per (term, doc) — the single most expensive stage at
-    scale. Run-length encoding the sorted token array emits exactly one
-    row per DISTINCT (term, doc) with zero shuffle and stays entirely in
-    whole-stage codegen.
-
-    The sorted array and boundary list are materialized as real columns
-    (not inlined sub-expressions): Catalyst does NOT common-subexpression
-    -eliminate inside lambda bodies, so inlining them re-evaluates the
-    O(dl) filter per element — O(dl^2) per document. F.get (0-based,
-    null-safe) avoids ANSI out-of-bounds errors at the array edges."""
-    df = df.withColumn("_s", F.sort_array(F.col(tokens_col)))
-    df = df.withColumn("_n", F.size("_s"))
-    bidx = F.filter(
-        F.sequence(F.lit(0), F.col("_n") - F.lit(1)),
-        lambda i: (i == F.lit(0)) | (F.get(F.col("_s"), i) != F.get(F.col("_s"), i - F.lit(1))),
-    )
-    df = df.withColumn(
-        "_b",
-        F.when(F.col("_n") > 0, bidx).otherwise(F.array().cast("array<int>")),
-    )
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size("_b") - F.lit(1)),
-        lambda j: F.struct(
-            F.get(F.col("_s"), F.get(F.col("_b"), j)).alias("term"),
-            (F.coalesce(F.get(F.col("_b"), j + F.lit(1)), F.col("_n"))
-             - F.get(F.col("_b"), j)).cast("long").alias("tf"),
-        ),
-    )
-    df = df.withColumn(
-        "pairs",
-        F.when(F.size("_b") > 0, pairs).otherwise(
-            F.array().cast("array<struct<term:string,tf:bigint>>")),
-    )
-    return df.drop("_s", "_n", "_b")
-
-
 def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
     """(url, text) -> (doc_id, url, tokens, dl)."""
     return (
@@ -274,6 +230,11 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     cs = store.corpus_stats(spark)
     n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
 
+    # tf via explode + hash agg (map-side partial combine). An in-row
+    # run-length alternative (sort_array + higher-order fns) was measured
+    # WORSE: Catalyst re-inlines lambda sub-expressions (no CSE inside
+    # HOFs), going O(dl^2) per doc. Keep the shuffle; it's compact
+    # (all-int64 rows) and AQE-coalesced.
     tf = (
         toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .select("doc_id", "dl", term_id_expr("term").alias("term_id"))
