@@ -55,22 +55,28 @@ def make_session(cores: int):
     )
 
 
-def timed_build(spark, webtext_path: str, index_dir: str) -> tuple[float, int]:
-    """Warm-up build on a 10% slice (JIT + codegen + young-gen commit),
-    then the timed full build — cold-JVM effects otherwise dominate and
-    make throughput numbers meaningless run-to-run."""
+def timed_build(spark, webtext_path: str, index_dir: str, *,
+                warm_path: str | None = None, repeats: int = 1,
+                from_html: bool = True) -> tuple[float, int]:
+    """Warm the JVM with one build over ``warm_path`` (JIT + codegen +
+    young-gen commit + python workers — cold runs vary 2-5x on this
+    box), then time ``repeats`` builds and keep the MINIMUM (the box has
+    external noise; min is the standard noise-resistant estimator)."""
     from super_rag_spark.query.engine import BM25Engine
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
     df = spark.read.parquet(webtext_path)
     n_docs = df.count()
-    BM25Engine(spark, index_dir + "_warm").build(
-        df.limit(max(n_docs // 10, 100)), text_is_extracted=False)
     shutil.rmtree(index_dir + "_warm", ignore_errors=True)
-    t0 = time.time()
-    BM25Engine(spark, index_dir).build(df, text_is_extracted=False)
-    return time.time() - t0, n_docs
+    wdf = spark.read.parquet(warm_path) if warm_path else df
+    BM25Engine(spark, index_dir + "_warm").build(wdf, text_is_extracted=not from_html)
+    shutil.rmtree(index_dir + "_warm", ignore_errors=True)
+    best = float("inf")
+    for _ in range(repeats):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        BM25Engine(spark, index_dir).build(df, text_is_extracted=not from_html)
+        best = min(best, time.time() - t0)
+    return best, n_docs
 
 
 def main() -> int:
@@ -87,26 +93,35 @@ def main() -> int:
     queries = generate_queries()
     idx_dir = f"/tmp/srs_bench_idx_sf{sf}"
 
-    # --- scaling run at local[8] first (fresh JVM-side context each) ----
+    # --- N vs 4N scaling pair (north_rule) --------------------------------
+    # Measured at sf0.3 regardless of the bench SF: at sf0.1 the build
+    # has ~35 s of parallel work vs ~7 s of fixed stage/GC overhead, so
+    # core scaling is invisible (Amdahl); 3x the corpus makes the
+    # parallel fraction dominate. Warm-up uses a small sf0.01 build.
+    warm_path = generate_webtext(0.01, FIXTURE_DIR)
     if DO_SCALING:
-        spark8 = make_session(8)
-        sec8, n_docs = timed_build(spark8, webtext_path, idx_dir + "_n8")
-        spark8.stop()
-        comp["build_scale8"] = round(sec8, 3)
-        extra["build8_docs_per_sec"] = round(n_docs / sec8, 1)
-        shutil.rmtree(idx_dir + "_n8", ignore_errors=True)
+        scale_path = generate_webtext(0.3, FIXTURE_DIR)
+        thr = {}
+        for cores in (8, 32):
+            sp = make_session(cores)
+            sec_c, n_c = timed_build(sp, scale_path, idx_dir + f"_n{cores}",
+                                     warm_path=warm_path, repeats=2)
+            sp.stop()
+            comp[f"build_scale{cores}"] = round(sec_c, 3)
+            thr[cores] = n_c / sec_c
+            shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
+            shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
+        extra["build8_docs_per_sec"] = round(thr[8], 1)
+        extra["build32_docs_per_sec"] = round(thr[32], 1)
+        extra["scaling_efficiency"] = round(thr[32] / (4.0 * thr[8]), 3)
 
     spark = make_session(CPUS)
     try:
-        sec, n_docs = timed_build(spark, webtext_path, idx_dir)
+        sec, n_docs = timed_build(spark, webtext_path, idx_dir,
+                                  warm_path=warm_path)
         comp["build_sf"] = round(sec, 3)
         extra["build_docs_per_sec"] = round(n_docs / sec, 1)
         extra["n_docs"] = n_docs
-        if DO_SCALING:
-            thr8 = extra["build8_docs_per_sec"]
-            thrN = extra["build_docs_per_sec"]
-            ratio = CPUS / 8.0
-            extra["scaling_efficiency"] = round(thrN / (ratio * thr8), 3)
 
         eng = BM25Engine(spark, idx_dir)
 

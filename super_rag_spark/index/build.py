@@ -184,13 +184,17 @@ def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
          .otherwise(F.lit(0)),
     )
     builder = _make_partition_builder(n_docs, avgdl, k1, b, block_size, n_buckets)
-    # hash-cluster groups, sort within partitions, then stream whole
-    # partitions through the NumPy builder (one Python call per Arrow
-    # batch instead of one per term — head-term salting keeps any single
-    # (term, salt) group bounded, so batches stay memory-safe)
+    # ONE shuffle: cluster by the OUTPUT partitioning (bucket =
+    # term_id % B), sort within partitions by (term_id, salt, doc_id),
+    # and stream whole partitions through the NumPy builder — each task
+    # then owns exactly one bucket directory at write time, so no second
+    # shuffle is needed to lay the index out. Head-term salting keeps
+    # any single (term, salt) group bounded; the builder streams Arrow
+    # batches, so a bucket-sized partition never materializes in Python.
     return (
         salted
-        .repartition("term_id", "salt")
+        .withColumn("bucket_p", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        .repartition(n_buckets, "bucket_p")
         .sortWithinPartitions("term_id", "salt", "doc_id")
         .select("term_id", "salt", "doc_id", "tf", "dl", "df")
         .mapInPandas(builder, schema=POSTINGS_SCHEMA)
@@ -240,6 +244,10 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         .select("doc_id", "dl", term_id_expr("term").alias("term_id"))
         .groupBy("term_id", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds BOTH the df(term) aggregate and the block-build join;
+        # persist so the explode+agg runs once (Catalyst does not reuse
+        # the exchange across the two branches)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     blocks = build_postings(
         tf, n_docs, avgdl, k1=k1, b=b, block_size=block_size,
@@ -247,11 +255,13 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         salt_count=salt_count,
     )
     postings_dir = store.postings_dir_for(0)
-    (blocks
-        .repartition("bucket")
-        .sortWithinPartitions("term_id", "salt", "block_id")
-        .write.mode("overwrite").partitionBy("bucket").parquet(postings_dir))
+    # blocks arrive pre-clustered by bucket and pre-sorted by term_id
+    # (build_postings shuffles ONCE on the output partitioning), so the
+    # partitionBy write emits exactly one file per bucket with sorted
+    # term_id row groups — no extra exchange
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(postings_dir)
     toks.unpersist()
+    tf.unpersist()
 
     # per-bucket lineage/metrics (north_rule: per-partition lineage records)
     lineage_rows = (
