@@ -98,11 +98,20 @@ class BM25Engine:
         self.store = IndexStorage(index_dir)
         self._manifest: dict | None = None
         self._ds_cache: dict[int, "ds.Dataset"] = {}  # bucket -> pyarrow dataset
+        # (epoch, term) -> (df, [block rows]); hot-term cache for the
+        # driver latency path (the reference's cache analog, SURVEY.md
+        # §4.1 "Caching/session reuse"). Cold postings reads on this box
+        # run at disk speed (~2 MB/s first touch); head terms repeat
+        # across real query streams, so an LRU pays for itself fast.
+        self._term_cache: "dict[tuple[int, str], tuple[int, list[dict]]]" = {}
+        self._term_cache_max = 4096
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
         build_index(self.spark, docs_df, self.store.root, **kwargs)
         self._manifest = None
+        self._ds_cache.clear()
+        self._term_cache.clear()
         return self
 
     @property
@@ -133,9 +142,19 @@ class BM25Engine:
         term_id). Returned dict is keyed by the term STRING so scorers
         sum contributions in term-ascending (oracle) order."""
         n_buckets = int(self.manifest["n_buckets"])
-        ids = {term_id_for(t): t for t in terms}
-        buckets = sorted({bucket_of_term_id(i, n_buckets) for i in ids})
+        epoch = int(self.manifest["epoch"])
         out: dict[str, tuple[int, list[dict]]] = {}
+        missing = []
+        for t in terms:
+            hit = self._term_cache.get((epoch, t))
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return self._apply_tombstones(out)
+        ids = {term_id_for(t): t for t in missing}
+        buckets = sorted({bucket_of_term_id(i, n_buckets) for i in ids})
         rows: list[dict] = []
         for b in buckets:
             dataset = self._ds_cache.get(b)
@@ -150,14 +169,22 @@ class BM25Engine:
             tbl = dataset.to_table(filter=ds.field("term_id").isin(list(ids)),
                                    columns=_BLOCK_COLS)
             rows.extend(tbl.to_pylist())
-        if not rows:
-            return out
-        tombs = self._tombstone_set()
+        loaded: dict[str, tuple[int, list[dict]]] = {}
         for row in rows:
             df_t = int(row["df"])
-            out.setdefault(ids[row["term_id"]], (df_t, []))[1].append(row)
-        for term, (_, blocks) in out.items():
+            loaded.setdefault(ids[row["term_id"]], (df_t, []))[1].append(row)
+        for term, (df_t, blocks) in loaded.items():
             blocks.sort(key=lambda r: r["first_doc_id"])
+        for term in missing:  # cache misses too (empty = OOV term)
+            if len(self._term_cache) >= self._term_cache_max:
+                self._term_cache.pop(next(iter(self._term_cache)))
+            self._term_cache[(epoch, term)] = loaded.get(term, (0, []))
+        out.update({t: v for t, v in loaded.items()})
+        return self._apply_tombstones(out)
+
+    def _apply_tombstones(self, out: dict) -> dict:
+        out = {t: v for t, v in out.items() if v[1]}
+        tombs = self._tombstone_set()
         if tombs:
             out = {t: (df_t, _filter_tombstones(blocks, tombs))
                    for t, (df_t, blocks) in out.items()}
