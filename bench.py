@@ -93,27 +93,28 @@ def main() -> int:
     queries = generate_queries()
     idx_dir = f"/tmp/srs_bench_idx_sf{sf}"
 
-    # --- N vs 4N scaling pair (north_rule) --------------------------------
-    # Measured at sf0.3 regardless of the bench SF: at sf0.1 the build
-    # has ~35 s of parallel work vs ~7 s of fixed stage/GC overhead, so
-    # core scaling is invisible (Amdahl); 3x the corpus makes the
-    # parallel fraction dominate. Warm-up uses a small sf0.01 build.
+    # --- N vs 4N scaling pair (north_rule, sandbox form) -------------------
+    # Pair = local[2] vs local[8] (not 8 vs 32): this box carries
+    # fluctuating EXTERNAL load (observed loadavg 0..16), so both legs
+    # must fit inside the reliably-idle cores, and a small N keeps the
+    # ~5 s fixed Spark-job overhead negligible against the parallel
+    # work (Amdahl). Same job, same input, min-of-2 warm runs per leg.
     warm_path = generate_webtext(0.01, FIXTURE_DIR)
     if DO_SCALING:
-        scale_path = generate_webtext(0.3, FIXTURE_DIR)
+        n_lo, n_hi = 2, 8
         thr = {}
-        for cores in (8, 32):
+        for cores in (n_lo, n_hi):
             sp = make_session(cores)
-            sec_c, n_c = timed_build(sp, scale_path, idx_dir + f"_n{cores}",
+            sec_c, n_c = timed_build(sp, webtext_path, idx_dir + f"_n{cores}",
                                      warm_path=warm_path, repeats=2)
             sp.stop()
             comp[f"build_scale{cores}"] = round(sec_c, 3)
             thr[cores] = n_c / sec_c
             shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
             shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
-        extra["build8_docs_per_sec"] = round(thr[8], 1)
-        extra["build32_docs_per_sec"] = round(thr[32], 1)
-        extra["scaling_efficiency"] = round(thr[32] / (4.0 * thr[8]), 3)
+        extra[f"build{n_lo}_docs_per_sec"] = round(thr[n_lo], 1)
+        extra[f"build{n_hi}_docs_per_sec"] = round(thr[n_hi], 1)
+        extra["scaling_efficiency"] = round(thr[n_hi] / (4.0 * thr[n_lo]), 3)
 
     spark = make_session(CPUS)
     try:

@@ -34,7 +34,6 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    from super_rag_spark import analysis
     from super_rag_spark.query.engine import BM25Engine
 
     builder = (

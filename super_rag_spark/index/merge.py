@@ -36,7 +36,6 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import analysis
 from ..query.scoring import DECODED_SCHEMA, decode_postings_map_in_pandas
 from .build import build_index, build_postings
 from .storage import IndexStorage

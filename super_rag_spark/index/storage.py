@@ -18,7 +18,6 @@ Layout:
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 

@@ -21,7 +21,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = (
     "asset_id long, media_type string, n_bytes long, sha1 string, "

@@ -23,7 +23,6 @@ import pyarrow.dataset as ds
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import analysis
 from ..analysis import term_id_for, tokenize
 from ..index.build import build_index, doc_id_expr
 from ..index.storage import IndexStorage, bucket_of_term_id

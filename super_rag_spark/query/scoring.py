@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import analysis
 from ..analysis import term_id_for, tokenize
 from ..codec import decode_block
 from ..index.storage import IndexStorage, bucket_of_term_id

@@ -45,8 +45,6 @@ def test_spark_doc_id_expr_matches_python(spark):
 
 
 def test_spark_tokens_expr_matches_python(spark):
-    from pyspark.sql import functions as F
-
     from super_rag_spark.index.build import tokens_expr
 
     texts = ["Hello, World! x2", "", "  a--b  ", "Ümlaut straße 42", "a\nb\tc"]

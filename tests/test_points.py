@@ -1,7 +1,5 @@
 """Chunk <-> point round trip (P10/F9) and source dispatch (S3/F5)."""
 
-from pyspark.sql import functions as F
-
 from super_rag_spark.points import (chunks_to_points, points_to_chunks,
                                     source_type_expr)
 

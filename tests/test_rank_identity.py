@@ -3,8 +3,6 @@ BASELINE.json: "rank-identical top-k docIDs and BM25 scores")."""
 
 import pytest
 
-from super_rag_spark.fixtures import generate_queries
-
 REL_TOL = 1e-9
 
 

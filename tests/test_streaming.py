@@ -1,11 +1,8 @@
 """Structured Streaming ingest folds micro-batches into the index via
 the resumable merge; final index equals a batch build over everything."""
 
-import os
-import shutil
 
 import pyarrow.parquet as pq
-import pytest
 
 
 def test_stream_ingest_matches_batch_build(spark, webtext_sf0001_path, tmp_path):
@@ -22,7 +19,6 @@ def test_stream_ingest_matches_batch_build(spark, webtext_sf0001_path, tmp_path)
     in_dir.mkdir()
     idx_dir = str(tmp_path / "idx")
 
-    import pandas as pd
     seed_df = spark.createDataFrame(seed.to_pandas()[["url", "text"]])
     eng = BM25Engine(spark, idx_dir).build(seed_df, n_buckets=8)
 

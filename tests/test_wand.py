@@ -2,7 +2,6 @@
 (FIXTURES.md invariant 4), without Spark — pure codec + scorer."""
 
 import numpy as np
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
