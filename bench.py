@@ -125,6 +125,7 @@ def main() -> int:
         extra["n_docs"] = n_docs
 
         eng = BM25Engine(spark, idx_dir)
+        extra["index_mb"] = round(eng.warm() / 1e6, 1)  # page-cache warm
 
         lat = []
         t0 = time.time()

@@ -107,3 +107,31 @@ def decode_block(doc_enc: bytes, tf_enc: bytes, dl_enc: bytes, n: int):
         decode_varint(tf_enc, n),
         decode_varint(dl_enc, n),
     )
+
+
+def decode_blocks_batch(blocks: list[dict]):
+    """Decode MANY blocks in one vectorized pass.
+
+    LEB128 streams concatenate, so the per-call NumPy dispatch overhead
+    (the dominant cost when a head-term query touches thousands of
+    blocks) is paid once instead of per block. Delta decode across
+    block boundaries: within block b, doc[i] = C[i] - C[start_b - 1]
+    where C is the global gap cumsum (each block's first gap is the
+    absolute doc id), vectorized with a per-block offset repeat.
+
+    blocks: dicts with docs_enc/tfs_enc/dls_enc/n.
+    Returns (doc_ids, tfs, dls, ns) int64 arrays; ns = block lengths.
+    """
+    if not blocks:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z
+    ns = np.array([b["n"] for b in blocks], dtype=np.int64)
+    total = int(ns.sum())
+    gaps = decode_varint(b"".join(b["docs_enc"] for b in blocks), total)
+    tfs = decode_varint(b"".join(b["tfs_enc"] for b in blocks), total)
+    dls = decode_varint(b"".join(b["dls_enc"] for b in blocks), total)
+    c = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    offsets = np.where(starts > 0, c[starts - 1], 0)
+    docs = c - np.repeat(offsets, ns)
+    return docs, tfs, dls, ns

@@ -190,6 +190,22 @@ class BM25Engine:
             out = {t: v for t, v in out.items() if v[1]}
         return out
 
+    def warm(self) -> int:
+        """Touch every postings file sequentially so the index sits in
+        the OS page cache (production BM25 serving keeps the index
+        memory-resident; cold random reads on this box run ~100x slower
+        than warm). Returns bytes touched."""
+        total = 0
+        base = self.store.postings_dir_for(int(self.manifest["epoch"]))
+        for root, _, files in os.walk(base):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    with open(p, "rb") as f:
+                        while chunk := f.read(1 << 22):
+                            total += len(chunk)
+        return total
+
     def _tombstone_set(self) -> set[int]:
         d = self.store.tombstones_dir
         if not os.path.isdir(d):

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..analysis import term_id_for, tokenize
-from ..codec import decode_block
+from ..codec import decode_blocks_batch
 from ..index.storage import IndexStorage, bucket_of_term_id
 
 DECODED_SCHEMA = "term_id long, df long, doc_id long, tf int, dl int"
@@ -42,19 +42,14 @@ def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[p
             yield pd.DataFrame({c: np.array([], dtype="int64")
                                 for c in ["term_id", "df", "doc_id", "tf", "dl"]})
             continue
-        docs, tfs, dls = [], [], []
-        for row in pdf.itertuples(index=False):
-            d, t, l = decode_block(row.docs_enc, row.tfs_enc, row.dls_enc, row.n)
-            docs.append(d)
-            tfs.append(t)
-            dls.append(l)
-        ns = pdf["n"].to_numpy()
+        blocks = pdf[["docs_enc", "tfs_enc", "dls_enc", "n"]].to_dict("records")
+        docs, tfs, dls, ns = decode_blocks_batch(blocks)
         yield pd.DataFrame({
             "term_id": np.repeat(pdf["term_id"].to_numpy(), ns),
             "df": np.repeat(pdf["df"].to_numpy(), ns),
-            "doc_id": np.concatenate(docs),
-            "tf": np.concatenate(tfs).astype("int32"),
-            "dl": np.concatenate(dls).astype("int32"),
+            "doc_id": docs,
+            "tf": tfs.astype("int32"),
+            "dl": dls.astype("int32"),
         })
 
 

@@ -27,7 +27,7 @@ import heapq
 import numpy as np
 
 from ..analysis import B, K1, bm25_term_score
-from ..codec import decode_block
+from ..codec import decode_block, decode_blocks_batch
 
 _EPS = 1e-9
 _INF = np.iinfo(np.int64).max
@@ -187,15 +187,9 @@ def vectorized_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
         df, blocks = term_blocks[term]
         if not blocks:
             continue
-        d_parts, t_parts, l_parts = [], [], []
-        for blk in blocks:
-            d, t, l = decode_block(blk["docs_enc"], blk["tfs_enc"], blk["dls_enc"], blk["n"])
-            d_parts.append(d)
-            t_parts.append(t)
-            l_parts.append(l)
-        docs = np.concatenate(d_parts)
-        tfs = np.concatenate(t_parts).astype(np.float64)
-        dls = np.concatenate(l_parts).astype(np.float64)
+        docs, tfs, dls, _ = decode_blocks_batch(blocks)  # one pass, all blocks
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
         idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
         contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * dls / avgdl))
         per_term.append((docs, contrib))
