@@ -387,6 +387,41 @@ def ann_cosine(spark, sf_dir):
                     "rank", "vec_id", "cosine"))
 
 
+@_q("dedup_embedding_cosine", f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings WHERE vec_id < 150
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         sum(a.v * b.v) AS dot,
+         sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+  FROM flat a JOIN flat b USING (i)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+FROM dots WHERE round(dot / (na * nb), 6) >= 0.5
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dense analog of MinHash
+    dedup): exact pairwise cosine above threshold on a bounded slice —
+    at scale the LSH bucketing in ann.py generates the candidate pairs
+    first and this exact check verifies them."""
+    emb = (_read(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 150)
+           .select("vec_id", "embedding"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pair = (a.crossJoin(b)
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(ann.cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6)
+                    .alias("cosine")))
+    return pair.where(F.col("cosine") >= 0.5)
+
+
 @_q("ann_lsh_topk", None)  # plane derivation not SQL-expressible -> rows-only
 def ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")

@@ -1,0 +1,36 @@
+"""Chunk-level retrieval: segment -> index chunks -> top-k returns
+chunk ids with materializable content (the reference's retrieval unit,
+/root/reference/models/document.py:14-26)."""
+
+from pyspark.sql import functions as F
+
+from super_rag_spark.analysis import doc_id_for_url
+from super_rag_spark.query.engine import BM25Engine
+from super_rag_spark.segmentation import segment
+
+
+def test_chunk_level_index_and_search(spark, webtext_sf0001_path, tmp_path):
+    chunks = segment(spark.read.parquet(webtext_sf0001_path).limit(150)).cache()
+    # chunk table -> engine docs: url = chunk://<chunk_id>, text = content
+    docs = chunks.select(
+        F.concat(F.lit("chunk://"), F.col("chunk_id")).alias("url"),
+        F.col("content").alias("text"))
+    eng = BM25Engine(spark, str(tmp_path / "chunk_idx")).build(docs, n_buckets=8)
+
+    hits = eng.topk("semudo muro", k=5)
+    assert hits
+
+    # map hits back to chunk rows via doc_stats urls (J2 lookup join)
+    id_to_url = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    chunk_ids = [id_to_url[d].split("chunk://")[1] for d, _ in hits]
+    got = {r["chunk_id"]: r for r in
+           chunks.where(F.col("chunk_id").isin(chunk_ids)).collect()}
+    assert len(got) == len(chunk_ids)
+    # every hit's content must actually contain a query term
+    for cid in chunk_ids:
+        text = got[cid]["content"].lower()
+        assert "semudo" in text or "muro" in text
+    # determinism: doc ids derive from the chunk url
+    for d, _ in hits:
+        assert d == doc_id_for_url(id_to_url[d])
