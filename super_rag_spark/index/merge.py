@@ -52,12 +52,19 @@ def _staging_dir(store: IndexStorage, epoch: int) -> str:
 def merge_append(spark: SparkSession, index_dir: str,
                  new_docs_df: DataFrame | None = None, *,
                  text_is_extracted: bool = True,
-                 fail_after_bucket: int | None = None) -> IndexStorage:
+                 fail_after_bucket: int | None = None,
+                 parallelism: int = 4) -> IndexStorage:
     """Append ``new_docs_df`` (url, text|html) to an existing index.
 
     Call again with ``new_docs_df=None`` (or the same frame) after a
     crash to resume: the staging build is reused if present and
     committed buckets are skipped via lineage.
+
+    ``parallelism``: buckets are independent, so their (small) Spark
+    jobs are submitted from a thread pool — Spark's scheduler runs them
+    concurrently, which matters when each bucket job is overhead-bound.
+    Fault-injection runs (``fail_after_bucket``) force sequential order
+    so resume tests are deterministic.
     """
     store = IndexStorage(index_dir)
     manifest = store.read_manifest()
@@ -88,9 +95,8 @@ def merge_append(spark: SparkSession, index_dir: str,
     new_dir = store.postings_dir_for(epoch)
     committed = store.committed_buckets("merge", epoch)
     tomb_small = tomb.select("doc_id") if tomb is not None else None
-    for bucket in range(n_buckets):
-        if bucket in committed:
-            continue
+
+    def merge_bucket(bucket: int) -> None:
         parts = []
         for base in (store.postings_dir_for(old_epoch), sstore.postings_dir_for(0)):
             p = os.path.join(base, f"bucket={bucket}")
@@ -125,8 +131,18 @@ def merge_append(spark: SparkSession, index_dir: str,
             "n_postings": int(stats_row["p"] or 0) if stats_row else 0,
             "status": "committed",
         }])
-        if fail_after_bucket is not None and bucket >= fail_after_bucket:
-            raise SimulatedMergeFailure(f"injected failure after bucket {bucket}")
+
+    todo = [b for b in range(n_buckets) if b not in committed]
+    if fail_after_bucket is not None:
+        for bucket in todo:  # deterministic order for resume tests
+            merge_bucket(bucket)
+            if bucket >= fail_after_bucket:
+                raise SimulatedMergeFailure(f"injected failure after bucket {bucket}")
+    elif todo:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+            list(pool.map(merge_bucket, todo))
 
     # 5. finalize: stats tables, tombstone GC, atomic manifest switch
     ds.write.mode("overwrite").parquet(store.doc_stats_dir + ".tmp")
