@@ -28,6 +28,8 @@ def main() -> int:
     ap.add_argument("--batch", help="JSON file: [{query_id, text, k}, ...]")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--distributed-wand", action="store_true",
+                    help="distributed block-max WAND (one task per query)")
     ap.add_argument("--no-wand", action="store_true")
     ap.add_argument("--master", default="local[4]")
     args = ap.parse_args()
@@ -55,8 +57,9 @@ def main() -> int:
         with open(args.batch) as f:
             queries = json.load(f)
         t0 = time.time()
-        if args.distributed:
-            rows = eng.query_batch(queries, k=args.k).collect()
+        if args.distributed or args.distributed_wand:
+            method = eng.query_batch_wand if args.distributed_wand else eng.query_batch
+            rows = method(queries, k=args.k).collect()
             out = [dict(query_id=r["query_id"], rank=r["rank"],
                         doc_id=r["doc_id"], score=round(r["score"], 6)) for r in rows]
         else:
