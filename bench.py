@@ -102,20 +102,25 @@ def main() -> int:
     warm_path = generate_webtext(0.01, FIXTURE_DIR)
     if DO_SCALING:
         n_lo, n_hi = 2, 8
-        # the slow leg is stable run-to-run (~±0.3%); the fast leg is the
-        # one external load distorts, so it gets an extra repeat (min-of-3)
-        leg_repeats = {n_lo: 2, n_hi: 3}
-        thr = {}
-        for cores in (n_lo, n_hi):
-            sp = make_session(cores)
-            sec_c, n_c = timed_build(sp, webtext_path, idx_dir + f"_n{cores}",
-                                     warm_path=warm_path,
-                                     repeats=leg_repeats[cores])
-            sp.stop()
-            comp[f"build_scale{cores}"] = round(sec_c, 3)
-            thr[cores] = n_c / sec_c
-            shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
-            shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
+        # Two ALTERNATING passes over the legs, min per leg: external
+        # load comes in multi-minute bursts, so alternation gives every
+        # leg a shot at a calm window instead of letting one burst sink
+        # an entire leg. The fast leg also times twice per visit.
+        best: dict[int, float] = {n_lo: float("inf"), n_hi: float("inf")}
+        n_docs_scale = 0
+        for _pass in range(2):
+            for cores in (n_lo, n_hi):
+                sp = make_session(cores)
+                sec_c, n_docs_scale = timed_build(
+                    sp, webtext_path, idx_dir + f"_n{cores}",
+                    warm_path=warm_path, repeats=1 if cores == n_lo else 2)
+                sp.stop()
+                best[cores] = min(best[cores], sec_c)
+                shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
+                shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
+        thr = {c: n_docs_scale / best[c] for c in (n_lo, n_hi)}
+        comp[f"build_scale{n_lo}"] = round(best[n_lo], 3)
+        comp[f"build_scale{n_hi}"] = round(best[n_hi], 3)
         extra[f"build{n_lo}_docs_per_sec"] = round(thr[n_lo], 1)
         extra[f"build{n_hi}_docs_per_sec"] = round(thr[n_hi], 1)
         extra["scaling_efficiency"] = round(thr[n_hi] / (4.0 * thr[n_lo]), 3)
