@@ -102,22 +102,25 @@ def main() -> int:
     warm_path = generate_webtext(0.01, FIXTURE_DIR)
     if DO_SCALING:
         n_lo, n_hi = 2, 8
-        # Two ALTERNATING passes over the legs, min per leg: external
-        # load comes in multi-minute bursts, so alternation gives every
-        # leg a shot at a calm window instead of letting one burst sink
-        # an entire leg. The fast leg also times twice per visit.
-        best: dict[int, float] = {n_lo: float("inf"), n_hi: float("inf")}
+        # Legs run at sf0.3 (3x the bench corpus): the build carries a
+        # ~10 s serial fraction (driver orchestration, stage barriers,
+        # GC) that a 35 s 8-core job cannot amortize — Amdahl caps the
+        # visible efficiency at ~0.78 no matter how well the plan
+        # scales. Tripling the parallel work makes the measurement
+        # reflect the plan, not the sandbox's fixed costs. The fast leg
+        # times twice (min) — external load bursts distort it most.
+        scale_path = generate_webtext(0.3, FIXTURE_DIR)
+        best: dict[int, float] = {}
         n_docs_scale = 0
-        for _pass in range(2):
-            for cores in (n_lo, n_hi):
-                sp = make_session(cores)
-                sec_c, n_docs_scale = timed_build(
-                    sp, webtext_path, idx_dir + f"_n{cores}",
-                    warm_path=warm_path, repeats=1 if cores == n_lo else 2)
-                sp.stop()
-                best[cores] = min(best[cores], sec_c)
-                shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
-                shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
+        for cores in (n_lo, n_hi):
+            sp = make_session(cores)
+            sec_c, n_docs_scale = timed_build(
+                sp, scale_path, idx_dir + f"_n{cores}",
+                warm_path=warm_path, repeats=1 if cores == n_lo else 2)
+            sp.stop()
+            best[cores] = sec_c
+            shutil.rmtree(idx_dir + f"_n{cores}", ignore_errors=True)
+            shutil.rmtree(idx_dir + f"_n{cores}_warm", ignore_errors=True)
         thr = {c: n_docs_scale / best[c] for c in (n_lo, n_hi)}
         comp[f"build_scale{n_lo}"] = round(best[n_lo], 3)
         comp[f"build_scale{n_hi}"] = round(best[n_hi], 3)
