@@ -109,19 +109,27 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, queries: list[tuple[int, str]
     )
 
 
-def _bm25_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+def _bm25_sql(queries: list[tuple[int, str]], k: int = 10,
+              cand_where: str | None = None) -> str:
+    """BM25 ranking SQL; ``cand_where``: optional documents-table
+    predicate restricting the SCORED set (P7 filter semantics: corpus
+    stats n_docs/avgdl/df stay global, only candidates are ranked)."""
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))
     )
+    cand_cte = (f"cand AS (SELECT doc_id FROM documents WHERE {cand_where}),"
+                if cand_where else "")
+    cand_join = " JOIN cand USING (doc_id)" if cand_where else ""
     return f"""
 WITH {_TOKS_SQL},
 q(query_id, term) AS (VALUES {vals}),
+{cand_cte}
 contrib AS (
   SELECT q.query_id, tf.doc_id,
          ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
          * (tf.tf * {analysis.K1 + 1.0}) /
            (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
-  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  FROM q JOIN tf USING (term){cand_join} JOIN dfreq d USING (term) JOIN dl USING (doc_id)
   CROSS JOIN stats s
 ),
 scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
@@ -765,6 +773,30 @@ def index_wand_topk(spark, sf_dir):
         for rank, (d, s) in enumerate(hits, start=1)
     ]
     return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
+
+
+@_q("bm25_topk_filtered", _bm25_sql([BM25_QUERIES[1]], cand_where="lang = 'en'"))
+def bm25_topk_filtered(spark, sf_dir):
+    """Metadata-filtered top-k through the DISTRIBUTED plan (P7,
+    /root/reference/service/router.py:43-45): the dict filter is
+    compiled to a Column, candidates are semi-joined BEFORE scoring,
+    and the driver never collects the candidate set
+    (driver_filter_max=0 forces the scale path)."""
+    from .index.build import doc_id_expr
+
+    eng = _indexed_engine(spark, sf_dir)
+    meta = (_docs(spark, sf_dir)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("_u"),
+                    F.col("doc_id").alias("table_doc_id"), "lang")
+            .select(doc_id_expr("_u").alias("doc_id"), "table_doc_id", "lang"))
+    qid, qtext = BM25_QUERIES[1]
+    out = eng.search(
+        qtext, k=10, docs_meta=meta,
+        where={"must": [{"key": "lang", "match": {"value": "en"}}]},
+        driver_filter_max=0)
+    return out.select(F.lit(qid).alias("query_id"), "rank",
+                      F.col("table_doc_id").alias("doc_id"),
+                      F.round("score", 6).alias("score"))
 
 
 # ---------------------------------------------------------------- exports

@@ -1,0 +1,95 @@
+"""Qdrant-style dict filter -> Spark Column translator.
+
+The reference accepts ``filter: Union[QdrantFilter, dict]``
+(/root/reference/models/query.py:7-21) and passes it verbatim into the
+vector DB (/root/reference/service/router.py:43-45,
+/root/reference/vectordbs/qdrant.py:73-81). Here the same dict shape is
+compiled into a boolean Column so Catalyst can push it into the
+metadata-table scan (partition/file pruning) before the candidate
+semi-join — the Spark analog of "the DB applies the filter server-side".
+
+Supported shape (the subset Qdrant's Filter model defines and the
+reference's walkthrough exercises):
+
+  {"must":     [<condition>, ...],   # AND
+   "should":   [<condition>, ...],   # OR  (at least one)
+   "must_not": [<condition>, ...]}   # NONE may hold
+
+  <condition> :=
+    {"key": col, "match": {"value": v}}        equality
+    {"key": col, "match": {"any": [v, ...]}}   IN-list
+    {"key": col, "range": {"gt"|"gte"|"lt"|"lte": v, ...}}
+    {"key": col, "is_null": true|false}
+    nested {"must"/"should"/"must_not": ...}   boolean sub-group
+
+A plain Spark Column passes through untouched, so existing callers are
+unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_RANGE_OPS = {
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+}
+
+
+def _condition(cond: dict) -> Column:
+    if any(k in cond for k in ("must", "should", "must_not")):
+        return to_column(cond)  # nested boolean group
+    key = cond.get("key")
+    if key is None:
+        raise ValueError(f"filter condition needs 'key': {cond!r}")
+    col = F.col(key)
+    if "match" in cond:
+        m = cond["match"]
+        if "value" in m:
+            return col == F.lit(m["value"])
+        if "any" in m:
+            return col.isin(list(m["any"]))
+        raise ValueError(f"unsupported match: {m!r}")
+    if "range" in cond:
+        parts = [
+            _RANGE_OPS[op](col, F.lit(v))
+            for op, v in cond["range"].items()
+            if op in _RANGE_OPS
+        ]
+        if not parts:
+            raise ValueError(f"empty range: {cond!r}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out & p
+        return out
+    if "is_null" in cond:
+        return col.isNull() if cond["is_null"] else col.isNotNull()
+    raise ValueError(f"unsupported condition: {cond!r}")
+
+
+def to_column(flt) -> Column:
+    """Compile a Qdrant-style dict filter (or pass through a Column)."""
+    if isinstance(flt, Column):
+        return flt
+    if not isinstance(flt, dict):
+        raise TypeError(f"filter must be a Column or dict, got {type(flt)}")
+    clauses: list[Column] = []
+    for cond in flt.get("must", []):
+        clauses.append(_condition(cond))
+    should = [_condition(c) for c in flt.get("should", [])]
+    if should:
+        any_of = should[0]
+        for s in should[1:]:
+            any_of = any_of | s
+        clauses.append(any_of)
+    for cond in flt.get("must_not", []):
+        clauses.append(~_condition(cond))
+    if not clauses:
+        return F.lit(True)
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = out & c
+    return out

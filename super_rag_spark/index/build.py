@@ -222,17 +222,36 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
 
     toks = tokens_from_text(docs_df).persist(StorageLevel.MEMORY_AND_DISK)
 
-    doc_stats = toks.select("doc_id", "url", "dl")
-    doc_stats.write.mode("overwrite").parquet(store.doc_stats_dir)
-
-    stats = toks.agg(
+    # Input-uniqueness guard: duplicate urls would double-count n_docs /
+    # dl and emit duplicate postings (doc scored twice, diverging from
+    # the oracle's upsert-by-doc_id semantics). The check rides the
+    # corpus-stats aggregate (no extra pass); the dedup shuffle runs
+    # ONLY when a duplicate is actually present.
+    st = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_uniq"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
-    )
-    stats.write.mode("overwrite").parquet(store.corpus_stats_dir)
-    cs = store.corpus_stats(spark)
-    n_docs, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    ).collect()[0]
+    if int(st["n_docs"]) != int(st["n_uniq"]):
+        deduped = toks.dropDuplicates(["doc_id"]).persist(StorageLevel.MEMORY_AND_DISK)
+        toks.unpersist()
+        toks = deduped
+        st = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_uniq"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+    n_docs = int(st["n_docs"])
+    avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+
+    toks.select("doc_id", "url", "dl").write.mode("overwrite").parquet(
+        store.doc_stats_dir)
+    spark.createDataFrame(
+        [(n_docs, avgdl, int(st["total_tokens"] or 0))],
+        "n_docs long, avgdl double, total_tokens long",
+    ).write.mode("overwrite").parquet(store.corpus_stats_dir)
 
     # tf via explode + hash agg (map-side partial combine). An in-row
     # run-length alternative (sort_array + higher-order fns) was measured

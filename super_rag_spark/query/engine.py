@@ -40,9 +40,10 @@ _BLOCK_COLS = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id"
                "block_max_score", "df"]
 
 
-def _keep_only(blocks: list[dict], allowed: set[int]) -> list[dict]:
+def _keep_only(blocks: list[dict], allowed) -> list[dict]:
     """Inverse of tombstone filtering: keep only allowed doc_ids (exact
-    metadata-filter candidate restriction on the driver path)."""
+    metadata-filter candidate restriction on the driver path).
+    ``allowed``: sorted int64 np.ndarray (hoisted once per query)."""
     import numpy as np
 
     from ..codec import decode_block, encode_block
@@ -51,7 +52,7 @@ def _keep_only(blocks: list[dict], allowed: set[int]) -> list[dict]:
     for blk in blocks:
         docs, tfs, dls = decode_block(blk["docs_enc"], blk["tfs_enc"],
                                       blk["dls_enc"], blk["n"])
-        keep = np.isin(docs, list(allowed))
+        keep = np.isin(docs, allowed, assume_unique=False)
         if not keep.any():
             continue
         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
@@ -64,9 +65,10 @@ def _keep_only(blocks: list[dict], allowed: set[int]) -> list[dict]:
     return out
 
 
-def _filter_tombstones(blocks: list[dict], tombs: set[int]) -> list[dict]:
+def _filter_tombstones(blocks: list[dict], tombs) -> list[dict]:
     """Drop tombstoned doc_ids from decoded blocks (lazy delete: the
-    on-disk index is untouched until the next merge compacts it)."""
+    on-disk index is untouched until the next merge compacts it).
+    ``tombs``: sorted int64 np.ndarray (hoisted once per query)."""
     import numpy as np
 
     from ..codec import decode_block, encode_block
@@ -75,7 +77,7 @@ def _filter_tombstones(blocks: list[dict], tombs: set[int]) -> list[dict]:
     for blk in blocks:
         docs, tfs, dls = decode_block(blk["docs_enc"], blk["tfs_enc"],
                                       blk["dls_enc"], blk["n"])
-        keep = ~np.isin(docs, list(tombs))
+        keep = ~np.isin(docs, tombs)
         if keep.all():
             out.append(blk)
             continue
@@ -96,7 +98,10 @@ class BM25Engine:
         self.spark = spark
         self.store = IndexStorage(index_dir)
         self._manifest: dict | None = None
-        self._ds_cache: dict[int, "ds.Dataset"] = {}  # bucket -> pyarrow dataset
+        # (epoch, bucket) -> pyarrow dataset; epoch-keyed so a long-lived
+        # engine spanning an out-of-band merge_append never reads a
+        # GC'd postings_e<N> directory through a stale dataset handle
+        self._ds_cache: dict[tuple[int, int], "ds.Dataset"] = {}
         # (epoch, term) -> (df, [block rows]); hot-term cache for the
         # driver latency path (the reference's cache analog, SURVEY.md
         # §4.1 "Caching/session reuse"). Cold postings reads on this box
@@ -156,15 +161,14 @@ class BM25Engine:
         buckets = sorted({bucket_of_term_id(i, n_buckets) for i in ids})
         rows: list[dict] = []
         for b in buckets:
-            dataset = self._ds_cache.get(b)
+            dataset = self._ds_cache.get((epoch, b))
             if dataset is None:
                 p = os.path.join(
-                    self.store.postings_dir_for(int(self.manifest["epoch"])),
-                    f"bucket={b}")
+                    self.store.postings_dir_for(epoch), f"bucket={b}")
                 if not os.path.isdir(p):
                     continue
                 dataset = ds.dataset(p, format="parquet")
-                self._ds_cache[b] = dataset
+                self._ds_cache[(epoch, b)] = dataset
             tbl = dataset.to_table(filter=ds.field("term_id").isin(list(ids)),
                                    columns=_BLOCK_COLS)
             rows.extend(tbl.to_pylist())
@@ -184,7 +188,7 @@ class BM25Engine:
     def _apply_tombstones(self, out: dict) -> dict:
         out = {t: v for t, v in out.items() if v[1]}
         tombs = self._tombstone_set()
-        if tombs:
+        if tombs.size:
             out = {t: (df_t, _filter_tombstones(blocks, tombs))
                    for t, (df_t, blocks) in out.items()}
             out = {t: v for t, v in out.items() if v[1]}
@@ -206,12 +210,17 @@ class BM25Engine:
                             total += len(chunk)
         return total
 
-    def _tombstone_set(self) -> set[int]:
+    def _tombstone_set(self):
+        """Pending tombstones as a sorted int64 array (np.isin-ready)."""
+        import numpy as np
+
         d = self.store.tombstones_dir
         if not os.path.isdir(d):
-            return set()
+            return np.empty(0, dtype=np.int64)
         dataset = ds.dataset(d, format="parquet")
-        return set(dataset.to_table(columns=["doc_id"])["doc_id"].to_pylist())
+        arr = dataset.to_table(columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return np.unique(arr)
 
     def topk(self, query: str, k: int = 10, use_wand: bool | None = None,
              method: str = "vectorized") -> list[tuple[int, float]]:
@@ -247,33 +256,61 @@ class BM25Engine:
     # ------------------------------------------------------------- search
     def search(self, query: str, k: int = 10, *, method: str = "vectorized",
                docs_meta: DataFrame | None = None, where=None,
-               exclude_fields: list[str] | None = None) -> DataFrame:
+               exclude_fields: list[str] | None = None,
+               driver_filter_max: int = 10_000) -> DataFrame:
         """Full query lifecycle (SURVEY.md §3.2): route -> retrieve ->
         filter -> materialize -> project.
 
         - ``where`` + ``docs_meta``: metadata filter (P7) applied as an
           exact candidate restriction BEFORE scoring, like the reference
-          pushes filters into the vector DB.
+          pushes filters into the vector DB. ``where`` is a Spark Column
+          or a Qdrant-style dict (/root/reference/models/query.py:7-21),
+          compiled by filters.to_column.
+        - Selective filters (<= ``driver_filter_max`` candidates) ride
+          the low-latency driver path; broad filters go through the
+          distributed semi-join plan (score_query_batch(candidates=)),
+          so the driver NEVER materializes an unbounded doc_id set —
+          a 100x corpus with ``lang='en'`` stays a Spark-side join.
         - result rows are materialized against doc_stats (url) and
           optionally ``docs_meta`` (J-joins in SURVEY.md §2.3).
         - ``exclude_fields``: P8 projection
           (/root/reference/api/query.py:12-16).
         Returns a DataFrame (rank, doc_id, score, url, *meta).
         """
-        allowed: set[int] | None = None
+        import numpy as np
+
+        cand_df: DataFrame | None = None
+        allowed = None  # small-set fast path: sorted int64 array
         if where is not None:
             if docs_meta is None:
                 raise ValueError("where= requires docs_meta=")
-            allowed = {r["doc_id"] for r in
-                       docs_meta.where(where).select("doc_id").collect()}
+            from ..filters import to_column
+
+            cand_df = docs_meta.where(to_column(where)).select("doc_id")
+            # one probe job: fetch at most max+1 ids; a short result IS
+            # the candidate set (no second scan), a full one proves the
+            # filter is broad -> distributed plan
+            probe = cand_df.limit(driver_filter_max + 1).collect()
+            if len(probe) <= driver_filter_max:
+                allowed = np.unique(np.array(
+                    [r["doc_id"] for r in probe], dtype=np.int64))
+                cand_df = None
         engine, qtext = self._route(query)
         terms = sorted(set(tokenize(qtext)))
         hits = []
-        if terms:
+        if terms and cand_df is not None:
+            # distributed path: candidate semi-join BEFORE scoring, then
+            # global top-k — identical ranking to the driver path (the
+            # contribution exprs mirror bm25_term_score bit-for-bit)
+            res = score_query_batch(self.spark, engine.store,
+                                    [{"query_id": 0, "text": qtext}], k=k,
+                                    candidates=cand_df)
+            hits = [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        elif terms:
             blocks = engine._load_term_blocks(terms)
             if allowed is not None:
-                keep = allowed
-                blocks = {t: (df_t, _keep_only(bl, keep))
+                blocks = {t: (df_t, _keep_only(bl, allowed))
                           for t, (df_t, bl) in blocks.items()}
                 blocks = {t: v for t, v in blocks.items() if v[1]}
             if blocks:

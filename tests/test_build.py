@@ -1,0 +1,19 @@
+"""Index-build input hygiene: duplicate-url inputs must not corrupt
+corpus stats or postings (upsert-by-doc_id semantics, matching the
+reference's content-addressed upsert)."""
+
+from super_rag_spark.query.engine import BM25Engine
+
+
+def test_build_dedupes_duplicate_urls(spark, webtext_sf0001_path, tmp_path, queries100):
+    docs = spark.read.parquet(webtext_sf0001_path).select("url", "text").limit(100)
+    dup = docs.unionByName(docs.limit(20))  # 20 urls ingested twice
+
+    clean = BM25Engine(spark, str(tmp_path / "clean")).build(docs, n_buckets=4)
+    dirty = BM25Engine(spark, str(tmp_path / "dirty")).build(dup, n_buckets=4)
+
+    assert dirty.manifest["n_docs"] == clean.manifest["n_docs"] == 100
+    assert dirty.manifest["avgdl"] == clean.manifest["avgdl"]
+
+    q = queries100[0]["text"]
+    assert dirty.topk(q, 10) == clean.topk(q, 10)

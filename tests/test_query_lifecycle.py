@@ -52,6 +52,54 @@ def test_distributed_filter_matches_driver(built_index, docs_meta, queries100):
     assert got_b == got_d
 
 
+def test_search_distributed_path_matches_driver(built_index, docs_meta, queries100):
+    """driver_filter_max=0 forces the semi-join plan; ranking must be
+    identical to the driver fast path (same contribution exprs)."""
+    q = queries100[3]["text"]
+    drv = built_index.search(q, k=10, docs_meta=docs_meta,
+                             where=F.col("lang") == "en").collect()
+    dist = built_index.search(q, k=10, docs_meta=docs_meta,
+                              where=F.col("lang") == "en",
+                              driver_filter_max=0).collect()
+    key = lambda rows: [(r["doc_id"], round(r["score"], 9))
+                        for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(dist) == key(drv)
+    assert len(drv) > 0
+
+
+def test_dict_filter_matches_column_filter(built_index, docs_meta, queries100):
+    """Qdrant-style dict filter (reference models/query.py:7-21) compiles
+    to the same plan as a hand-written Column predicate."""
+    q = queries100[0]["text"]
+    a = built_index.search(q, k=10, docs_meta=docs_meta,
+                           where=F.col("lang") == "en").collect()
+    b = built_index.search(
+        q, k=10, docs_meta=docs_meta,
+        where={"must": [{"key": "lang", "match": {"value": "en"}}]}).collect()
+    key = lambda rows: [(r["doc_id"], round(r["score"], 9))
+                        for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key(a) == key(b)
+
+
+def test_filter_dsl_shapes(spark):
+    from super_rag_spark.filters import to_column
+
+    df = spark.createDataFrame(
+        [(1, "en", 5, None), (2, "de", 15, "x"), (3, "en", 25, "y")],
+        "doc_id long, lang string, n int, tag string")
+    got = {r["doc_id"] for r in df.where(to_column(
+        {"must": [{"key": "lang", "match": {"value": "en"}}],
+         "must_not": [{"key": "n", "range": {"gte": 20}}]})).collect()}
+    assert got == {1}
+    got = {r["doc_id"] for r in df.where(to_column(
+        {"should": [{"key": "lang", "match": {"any": ["de"]}},
+                    {"key": "tag", "is_null": True}]})).collect()}
+    assert got == {1, 2}
+    got = {r["doc_id"] for r in df.where(to_column(
+        {"must": [{"key": "n", "range": {"gt": 4, "lt": 16}}]})).collect()}
+    assert got == {1, 2}
+
+
 def test_summary_index_routing(spark, webtext_sf0001_path, tmp_path):
     from super_rag_spark.query.engine import BM25Engine
     from super_rag_spark.summary import build_summary_index
