@@ -224,15 +224,45 @@ def dedup_exact(spark, sf_dir):
     return textops.exact_dup_groups(_docs(spark, sf_dir))
 
 
-@_q("ngram_jaccard_pairs", """
-WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 120),
+# Planted near-duplicates: the raw documents table is random text with
+# no near-dup pairs, which made similarity entries pass vacuously
+# (0 rows == 0 rows). Both engines augment the SAME bounded slice with
+# deterministic variants — doubled text (shingle-set near-identity,
+# SimHash-identical) and a suffixed tail (high-but-<1 Jaccard, small
+# Hamming) — so every near-dup operator verifies real rows.
+_AUG_SQL = """aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' qq zz qq' FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+)"""
+
+_AUG_SHINGLES_SQL = """
+tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
                                i -> array_to_string(ts[i:i+2], ' '))) AS shingle
   FROM tk
 ),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id)"""
+
+
+def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = (base.where(F.col("doc_id") < 30)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat("text", F.lit(" "), "text").alias("text")))
+    tail = (base.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+            .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat("text", F.lit(" qq zz qq")).alias("text")))
+    return base.where(F.col("doc_id") < 120).unionByName(dup).unionByName(tail)
+
+
+@_q("ngram_jaccard_pairs", f"""
+WITH {_AUG_SQL}, {_AUG_SHINGLES_SQL},
 inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
   FROM sh x JOIN sh y USING (shingle)
@@ -244,17 +274,60 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.05
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 """)
 def ngram_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
-    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    return textops.ngram_jaccard_pairs(_docs_aug(spark, sf_dir), n=3, threshold=0.5)
 
 
 def _minhash_sql_cols() -> str:
     return ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(textops.N_MINHASH_PERMS)
     )
+
+
+def _minhash_aug_sql_parts() -> str:
+    """sig + bands CTE text over the augmented docs (shared by the LSH
+    candidate entry and the LSH-verified Jaccard entry)."""
+    return f"""
+sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+),
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y USING (band_id, band_val)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)"""
+
+
+@_q("ngram_jaccard_lsh_verified", f"""
+WITH {_AUG_SQL}, {_AUG_SHINGLES_SQL}, {_minhash_aug_sql_parts()},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.3
+""")
+def ngram_jaccard_lsh_verified(spark, sf_dir):
+    """The at-scale dedup pipeline: MinHash-LSH candidate generation
+    (banded bucket join, never all-pairs) feeding the exact n-gram
+    Jaccard verifier through ``candidates=``."""
+    docs = _docs_aug(spark, sf_dir)
+    cand = textops.minhash_lsh_candidates(docs)
+    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.3, candidates=cand)
 
 
 @_q("minhash_signatures", f"""
@@ -295,9 +368,72 @@ def minhash_lsh(spark, sf_dir):
     return textops.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
-@_q("simhash_table", None)  # bit-packing not SQL-expressible -> rows-only check
+# SimHash in pure SQL: per token, bit i of the 64-bit hash lives in hex
+# nibble 16 - i//4 of md5(term) (big-endian first 8 bytes, exactly
+# int.from_bytes(md5[:8], 'big') in textops.simhash_map_in_pandas);
+# majority vote per bit, pack via HUGEINT shifts, reinterpret as
+# two's-complement BIGINT.
+_SIMHASH_SQL_BODY = """
+toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM {src}),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+bits AS (
+  SELECT doc_id, r.i AS i,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(term), 16 - (r.i // 4), 1)) - 1)
+                        >> (r.i % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM tok, range(0, 64) r(i)
+  GROUP BY doc_id, r.i
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+),
+simhashed AS (
+  SELECT d.doc_id,
+         coalesce((CASE WHEN p.u >= 9223372036854775808::HUGEINT
+                        THEN p.u - 18446744073709551616::HUGEINT
+                        ELSE p.u END)::BIGINT, 0) AS simhash
+  FROM {src} d LEFT JOIN packed p USING (doc_id)
+)"""
+
+
+@_q("simhash_table", f"""
+WITH {_SIMHASH_SQL_BODY.format(src="documents")}
+SELECT doc_id, simhash FROM simhashed
+""")
 def simhash(spark, sf_dir):
     return textops.simhash_table(_docs(spark, sf_dir))
+
+
+@_q("simhash_neighbors", f"""
+WITH {_AUG_SQL}, {_SIMHASH_SQL_BODY.format(src="aug")},
+u AS (
+  SELECT doc_id, simhash,
+         (CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+               ELSE simhash::HUGEINT END) AS uh
+  FROM simhashed
+),
+banded AS (
+  SELECT doc_id, simhash, r.i AS band_id,
+         ((uh >> (16 * r.i)) % 65536)::BIGINT AS band_val
+  FROM u, range(0, 4) r(i)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sh_a, y.simhash AS sh_b
+  FROM banded x JOIN banded y USING (band_id, band_val)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""")
+def simhash_neighbors(spark, sf_dir):
+    """SimHash near-dup SEARCH (not just the signature table): 4x16-bit
+    band equi-join (pigeonhole-complete for Hamming<=3) + exact popcount
+    verify, on the planted-near-dup corpus."""
+    return textops.simhash_neighbor_pairs(_docs_aug(spark, sf_dir), max_hamming=3)
 
 
 # ---- text analysis ---------------------------------------------------------
@@ -430,10 +566,62 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pair.where(F.col("cosine") >= 0.5)
 
 
-@_q("ann_lsh_topk", None)  # plane derivation not SQL-expressible -> rows-only
+# The +-1 hyperplanes are md5-parity-derived (ann._planes): plane(t,p,d)
+# = +1 iff byte0 of md5("t:p:d") is even, i.e. iff its SECOND hex char
+# is even — directly expressible in SQL, so the whole multi-table LSH
+# path (signature -> bucket join -> exact re-rank) gets a real oracle.
+@_q("ann_lsh_topk", f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+planes AS (
+  SELECT t.i AS tbl, p.i AS p, d.i AS d,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(t.i::VARCHAR || ':' || p.i::VARCHAR || ':' || d.i::VARCHAR), 2, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(0, 8) t(i), range(0, 4) p(i), range(0, 64) d(i)
+),
+dots AS (
+  SELECT f.vec_id, pl.tbl, pl.p, sum(f.v * pl.w) AS dot
+  FROM flat f JOIN planes pl USING (d)
+  GROUP BY f.vec_id, pl.tbl, pl.p
+),
+sigs AS (
+  SELECT vec_id, tbl,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM dots GROUP BY vec_id, tbl
+),
+q AS (SELECT vec_id AS query_id, tbl, sig FROM sigs
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM sigs s JOIN q USING (tbl, sig)
+  WHERE s.vec_id <> q.query_id
+),
+pairdot AS (
+  SELECT c.query_id, c.vec_id,
+         sum(e.v * qv.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(qv.v * qv.v)) AS nq
+  FROM cand c
+  JOIN flat e ON e.vec_id = c.vec_id
+  JOIN flat qv ON qv.vec_id = c.query_id AND qv.d = e.d
+  GROUP BY c.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(dot / (ne * nq), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (ne * nq), 6) DESC, vec_id) AS rank
+  FROM pairdot
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 5
+""")
 def ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
-    return ann.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=5)
+    return (ann.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=5)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    "rank", "vec_id", "cosine"))
 
 
 # ---- generic relational operators over the TPC-H-ish tables ---------------

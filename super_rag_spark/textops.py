@@ -64,18 +64,38 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard similarity:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold."""
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+
+    ``candidates``: (doc_a, doc_b) frame restricting the comparison —
+    at scale this MUST be the LSH candidate set (minhash_lsh_candidates
+    or simhash_neighbor_pairs); the shingle intersection is then joined
+    through the pair list (cost O(|pairs| x shingles/doc)). Without it
+    the shingle self-join is all-pairs-on-shared-shingles: fine for a
+    bounded slice, quadratic on a head-term corpus.
+    """
     sh = shingles(df, n, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is not None:
+        pair = candidates.select("doc_a", "doc_b")
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            pair.join(sha, "doc_a")            # expand A's shingles
+            .join(shb, ["doc_b", "shingle"])   # keep those B shares
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
@@ -130,31 +150,42 @@ def minhash_lsh_candidates(df: DataFrame, n: int = 3,
 
 def simhash_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """64-bit SimHash over token hashes (pandas UDF: per-bit majority
-    vote needs bit unpacking, cheaper in NumPy than in 64 Spark columns)."""
+    vote needs bit unpacking, cheaper in NumPy than in 64 Spark columns).
+
+    Vectorized per Arrow batch: the token VOCABULARY is hashed once
+    (np.unique dedup), then per-doc bit votes are a single reduceat over
+    the flattened token stream — a head-size corpus no longer pays one
+    md5 per token occurrence."""
     import hashlib
 
     import numpy as np
 
-    def simhash(text: str) -> int:
-        toks = text.lower().split()
-        if not toks:
-            return 0
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            out |= np.uint64(1) << np.uint64(i)
-        v = int(out)  # reinterpret as signed int64 for Spark LongType
-        return v - (1 << 64) if v >= (1 << 63) else v
-
     for pdf in batches:
+        n = len(pdf)
+        out = np.zeros(n, dtype=np.uint64)
+        tok_lists = [t.lower().split() for t in pdf["text"]]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [tok for toks in tok_lists for tok in toks]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+            uh = np.array(
+                [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in uniq],
+                dtype=np.uint64,
+            )
+            hs = uh[inv]  # per-occurrence hash, doc-contiguous
+            signs = (2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                          & np.uint64(1)).astype(np.int64) - 1)
+            nonempty = np.flatnonzero(lens > 0)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+            votes = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+            packed = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            out[nonempty] = packed
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "simhash": [simhash(t) for t in pdf["text"]],
+            "simhash": out.view(np.int64),  # two's-complement reinterpret
         })
 
 
@@ -162,6 +193,60 @@ def simhash_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash:long) — near-dup by small Hamming distance."""
     src = df.select("doc_id", F.col(text_col).alias("text"))
     return src.mapInPandas(simhash_map_in_pandas, schema="doc_id long, simhash long")
+
+
+SIMHASH_BANDS = 4  # 4 x 16-bit bands -> pigeonhole-complete for Hamming <= 3
+
+
+def simhash_neighbor_pairs(df: DataFrame, max_hamming: int = 3,
+                           text_col: str = "text",
+                           signatures: DataFrame | None = None) -> DataFrame:
+    """SimHash near-dup search: (doc_a, doc_b, hamming) pairs with
+    Hamming distance <= ``max_hamming``.
+
+    Scale shape (mirrors minhash_lsh_candidates): the 64-bit signature
+    is split into 4 x 16-bit bands; by pigeonhole, any pair within
+    Hamming <= 3 agrees on at least one whole band, so a band equi-join
+    generates ALL qualifying candidates (never an O(n^2) cross join),
+    then an exact popcount verifies. At 10^12 docs each band bucket
+    holds ~n/2^16 docs of a random corpus; duplicate-heavy buckets are
+    exactly the near-dup clusters we want.
+
+    ``signatures``: optional precomputed (doc_id, simhash) frame (reuse
+    across operators / oracle checks).
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        # pigeonhole needs more differing bits than bands to miss a pair
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {SIMHASH_BANDS} bands for "
+            "complete candidate generation")
+    sig = signatures if signatures is not None else simhash_table(df, text_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.shiftrightunsigned("simhash", 16 * bi)
+            .bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        )
+        for bi in range(SIMHASH_BANDS)
+    ])
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash",
+        F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"))
+        .dropDuplicates(["doc_a", "doc_b"])  # pairs sharing >1 band
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:

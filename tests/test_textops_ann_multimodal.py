@@ -47,6 +47,49 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham12 < 8 < ham13
 
 
+def test_simhash_neighbor_pairs_band_join(spark):
+    """Band join finds planted near-dups; pure-python popcount agrees;
+    unrelated docs are absent; >=bands Hamming budget is rejected."""
+    import pytest as _pytest
+
+    from super_rag_spark.textops import simhash_neighbor_pairs, simhash_table
+
+    base = " ".join(f"w{i}" for i in range(200))
+    rows = [(1, base), (2, base + " " + base),  # doubled -> identical simhash
+            (3, base + " tail"),                # small perturbation
+            (4, "qq rr ss tt " * 40)]           # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neighbor_pairs(df, max_hamming=3).collect()}
+    assert got.get((1, 2)) == 0
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    for (a, b), h in got.items():
+        assert bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") == h
+        assert 4 not in (a, b)
+    with _pytest.raises(ValueError):
+        simhash_neighbor_pairs(df, max_hamming=4)
+
+
+def test_ngram_jaccard_candidates_restriction(spark):
+    """candidates= must produce the same jaccard values as the
+    unrestricted join, limited to the candidate pairs."""
+    from super_rag_spark.textops import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base + " other tail"),
+         (4, "zz yy xx " * 20)],
+        "doc_id long, text string")
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    cand = minhash_lsh_candidates(df)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.1, candidates=cand).collect()}
+    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert got == {p: j for p, j in full.items() if p in cand_pairs}
+    assert got  # non-vacuous: the planted near-dups collide in LSH
+
+
 def test_quality_and_langid(docs):
     from super_rag_spark.textops import lang_id, quality_metrics
 
