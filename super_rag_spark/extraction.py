@@ -107,9 +107,142 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(out)
 
 
+# ------------------------------------------------------- TXT / MARKDOWN
+
+def extract_elements_txt(payload: bytes | str) -> list[dict]:
+    """Plain text -> NarrativeText elements, one per blank-line-separated
+    paragraph (the TXT arm of the reference's 11-type dispatch,
+    /root/reference/models/file.py:7-34; unstructured.io does the same
+    paragraph split for text/plain)."""
+    if isinstance(payload, (bytes, bytearray)):
+        payload = payload.decode("utf-8", errors="replace")
+    out = []
+    for para in payload.split("\n\n"):
+        text = " ".join(line.strip() for line in para.splitlines()).strip()
+        if text:
+            out.append({"type": "NarrativeText", "text": text})
+    return out
+
+
+def extract_elements_markdown(payload: bytes | str) -> list[dict]:
+    """Markdown -> typed elements without a markdown dependency:
+    ``#``-headings -> Title, ``|``-tables -> Table (separator rows
+    dropped, cells tab-joined like the HTML path), fenced code blocks ->
+    one NarrativeText each, everything else -> paragraph NarrativeText.
+    Deterministic line-based state machine (MARKDOWN arm of
+    /root/reference/models/file.py:20-34)."""
+    if isinstance(payload, (bytes, bytearray)):
+        payload = payload.decode("utf-8", errors="replace")
+    elements: list[dict] = []
+    para: list[str] = []
+    rows: list[list[str]] = []
+    code: list[str] | None = None
+
+    def flush_para():
+        if para:
+            text = " ".join(para).strip()
+            if text:
+                elements.append({"type": "NarrativeText", "text": text})
+            para.clear()
+
+    def flush_table():
+        nonlocal rows
+        if rows:
+            text = "\n".join("\t".join(r) for r in rows if r)
+            if text:
+                elements.append({"type": "Table", "text": text})
+            rows = []
+
+    for line in payload.splitlines():
+        stripped = line.strip()
+        if code is not None:
+            if stripped.startswith("```"):
+                text = "\n".join(code).strip("\n")
+                if text:
+                    elements.append({"type": "NarrativeText", "text": text})
+                code = None
+            else:
+                code.append(line)
+            continue
+        if stripped.startswith("```"):
+            flush_para()
+            flush_table()
+            code = []
+        elif stripped.startswith("#"):
+            flush_para()
+            flush_table()
+            text = stripped.lstrip("#").strip()
+            if text:
+                elements.append({"type": "Title", "text": text})
+        elif stripped.startswith("|"):
+            flush_para()
+            cells = [c.strip() for c in stripped.strip("|").split("|")]
+            if not all(set(c) <= set("-: ") for c in cells):  # drop |---|---|
+                rows.append(cells)
+        elif not stripped:
+            flush_para()
+            flush_table()
+        else:
+            flush_table()
+            para.append(stripped)
+    if code is not None:  # unterminated fence
+        text = "\n".join(code).strip("\n")
+        if text:
+            elements.append({"type": "NarrativeText", "text": text})
+    flush_para()
+    flush_table()
+    return elements
+
+
+_EXTRACTORS = {
+    "HTML": extract_elements,
+    "TXT": extract_elements_txt,
+    "MARKDOWN": extract_elements_markdown,
+}
+
+
+def extract_elements_any(payload: bytes | str, source_type: str = "HTML") -> list[dict]:
+    """Format dispatch (S3): route the payload to the matching element
+    extractor. Formats the sandbox cannot parse (PDF/DOCX/... need
+    external parsers the reference delegates to unstructured.io) raise
+    explicitly rather than silently mis-parsing."""
+    fn = _EXTRACTORS.get(source_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"source_type={source_type!r}: no in-sandbox parser "
+            "(reference delegates these to unstructured.io)")
+    return fn(payload)
+
+
+def extract_text_any(payload: bytes | str, source_type: str = "HTML") -> str:
+    """Flat text for any supported format (same Title-dedup as HTML)."""
+    elements = extract_elements_any(payload, source_type)
+    out: list[str] = []
+    prev_title: str | None = None
+    for el in elements:
+        if el["type"] == "Title":
+            if el["text"] == prev_title:
+                continue
+            prev_title = el["text"]
+        out.append(el["text"])
+    return "\n".join(out)
+
+
 # ---------------------------------------------------------------- Spark side
 
 EXTRACT_SCHEMA = "url string, text string"
+
+
+def extract_any_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html:binary, source_type) -> (url, text).
+    Multi-format variant of extract_text_map_in_pandas; pair with
+    points.source_type_expr for extension dispatch."""
+    for pdf in batches:
+        yield pd.DataFrame({
+            "url": pdf["url"],
+            "text": [extract_text_any(h, st)
+                     for h, st in zip(pdf["html"], pdf["source_type"])],
+        })
 
 
 def extract_text_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -67,6 +67,19 @@ def extract(webtext_df: DataFrame) -> DataFrame:
     )
 
 
+def extract_any(df: DataFrame) -> DataFrame:
+    """Multi-format variant: dispatch on the url extension (S3,
+    /root/reference/models/file.py:42-53) before extraction — HTML /
+    TXT / MARKDOWN parse in-sandbox, other reference formats raise in
+    the UDF (they need external parsers)."""
+    from ..extraction import extract_any_map_in_pandas
+    from ..points import source_type_expr
+
+    return df.select("url", "html", source_type_expr("url")).mapInPandas(
+        extract_any_map_in_pandas, schema=EXTRACT_SCHEMA
+    )
+
+
 def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
     """(url, text) -> (doc_id, url, tokens, dl)."""
     return (

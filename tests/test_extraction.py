@@ -38,3 +38,57 @@ def test_spark_udf_byte_identical(spark, webtext_sf0001_path):
     n_match = joined.where(F.col("text") == F.col("text2")).count()
     assert n_total == 1000
     assert n_match == n_total
+
+
+def test_extract_txt_paragraphs():
+    from super_rag_spark.extraction import extract_elements_txt, extract_text_any
+
+    payload = b"first line\ncontinued\n\nsecond para\n\n\n  \n"
+    els = extract_elements_txt(payload)
+    assert [e["text"] for e in els] == ["first line continued", "second para"]
+    assert extract_text_any(payload, "TXT") == "first line continued\nsecond para"
+
+
+def test_extract_markdown_elements():
+    from super_rag_spark.extraction import extract_elements_markdown
+
+    md = (b"# Head\n\npara one\nstill one\n\n"
+          b"| a | b |\n|---|---|\n| 1 | 2 |\n\n"
+          b"```\ncode here\n```\n\ntail para")
+    els = extract_elements_markdown(md)
+    assert [(e["type"], e["text"]) for e in els] == [
+        ("Title", "Head"),
+        ("NarrativeText", "para one still one"),
+        ("Table", "a\tb\n1\t2"),
+        ("NarrativeText", "code here"),
+        ("NarrativeText", "tail para"),
+    ]
+
+
+def test_extract_any_dispatch_and_unknown():
+    import pytest
+
+    from super_rag_spark.extraction import extract_text_any
+
+    assert extract_text_any(b"<p>x</p>", "HTML") == "x"
+    assert extract_text_any(b"x", "TXT") == "x"
+    with pytest.raises(NotImplementedError):
+        extract_text_any(b"%PDF-1.4", "PDF")
+
+
+def test_extract_any_spark_dispatch(spark):
+    """extension dispatch + multi-format extraction through Arrow."""
+    from super_rag_spark.index.build import extract_any
+
+    rows = [
+        ("https://x/a.html", b"<p>html body</p>"),
+        ("https://x/b.txt", b"plain body\n\nmore"),
+        ("https://x/c.md", b"# T\n\nmd body"),
+        ("https://x/d", b"<p>no ext defaults to html</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r["text"] for r in extract_any(df).collect()}
+    assert got["https://x/a.html"] == "html body"
+    assert got["https://x/b.txt"] == "plain body\nmore"
+    assert got["https://x/c.md"] == "T\nmd body"
+    assert got["https://x/d"] == "no ext defaults to html"
