@@ -532,10 +532,17 @@ def ann_cosine(spark, sf_dir):
 
 
 @_q("dedup_embedding_cosine", f"""
-WITH flat AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         unnest(embedding)::DOUBLE AS v
+WITH aug_emb AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
   FROM embeddings WHERE vec_id < 150
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE + 0.1)
+  FROM embeddings WHERE vec_id < 20
+),
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS v
+  FROM aug_emb
 ),
 dots AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -552,10 +559,21 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the dense analog of MinHash
     dedup): exact pairwise cosine above threshold on a bounded slice —
     at scale the LSH bucketing in ann.py generates the candidate pairs
-    first and this exact check verifies them."""
-    emb = (_read(spark, sf_dir, "embeddings")
-           .where(F.col("vec_id") < 150)
-           .select("vec_id", "embedding"))
+    first and this exact check verifies them. Planted shifted copies
+    (+0.1 per dim, cosine ~0.98 on this data) keep the entry
+    non-vacuous: random embeddings alone have no pairs above 0.5."""
+    base = (_read(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") < 150)
+            .select("vec_id",
+                    F.transform("embedding",
+                                lambda x: x.cast("double")).alias("embedding")))
+    planted = (_read(spark, sf_dir, "embeddings")
+               .where(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x.cast("double") + F.lit(0.1))
+                       .alias("embedding")))
+    emb = base.unionByName(planted)
     a, b = emb.alias("a"), emb.alias("b")
     pair = (a.crossJoin(b)
             .where(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -935,7 +953,7 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
     eng = BM25Engine(spark, idx_dir)
     manifest_ok = False
     if os.path.exists(os.path.join(idx_dir, "manifest.json")):
-        manifest_ok = eng.store.read_manifest().get("version") == 2
+        manifest_ok = eng.store.read_manifest().get("version") == 3
         if not manifest_ok:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)

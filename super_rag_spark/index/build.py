@@ -94,22 +94,25 @@ def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text"
 
 # ---------------------------------------------------------------- block build
 
-def _build_blocks_np(pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float,
-                     b: float, block_size: int, n_buckets: int) -> pd.DataFrame:
+def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int) -> pd.DataFrame:
     """Vectorized block build over a batch of CONTIGUOUS, doc_id-sorted
     (term, salt) groups. Group/pandas overhead is amortized across the
     whole Arrow batch — essential when the corpus has millions of tail
-    terms (one pandas DataFrame per term would dominate the build)."""
+    terms (one pandas DataFrame per term would dominate the build).
+
+    v3: blocks are STATS-FREE — they carry (block_max_tf, block_min_dl)
+    instead of a corpus-dependent block_max_score, and no df. A block
+    therefore depends ONLY on its own group's postings, which is what
+    makes O(delta) merges possible: appends never invalidate untouched
+    groups just because N/avgdl/df moved. The WAND bound
+    idf(df)*(k1+1)*tf_max/(tf_max + k1*(1-b+b*dl_min/avgdl)) is computed
+    at query time (score is increasing in tf, decreasing in dl, so the
+    (tf_max, dl_min) corner is a valid upper bound)."""
     terms = pdf["term_id"].to_numpy()
     salts = pdf["salt"].to_numpy()
     doc_ids = pdf["doc_id"].to_numpy()
     tfs = pdf["tf"].to_numpy().astype(np.int64)
     dls = pdf["dl"].to_numpy().astype(np.int64)
-    dfs = pdf["df"].to_numpy().astype(np.int64)
-
-    # per-posting exact score (vectorized over the whole batch)
-    idf = np.log((n_docs - dfs + 0.5) / (dfs + 0.5) + 1.0)
-    scores = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
 
     starts = np.concatenate((
         [0],
@@ -118,8 +121,8 @@ def _build_blocks_np(pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float,
     ))
     cols: dict[str, list] = {c: [] for c in (
         "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
-        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_max_score",
-        "df", "bucket")}
+        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
+        "bucket")}
     for gi in range(len(starts) - 1):
         lo, hi = int(starts[gi]), int(starts[gi + 1])
         term = int(terms[lo])
@@ -137,14 +140,12 @@ def _build_blocks_np(pdf: pd.DataFrame, n_docs: int, avgdl: float, k1: float,
             cols["tfs_enc"].append(t_enc)
             cols["dls_enc"].append(l_enc)
             cols["block_max_tf"].append(int(tfs[s:e].max()))
-            cols["block_max_score"].append(float(scores[s:e].max()))
-            cols["df"].append(int(dfs[lo]))
+            cols["block_min_dl"].append(int(dls[s:e].min()))
             cols["bucket"].append(bucket)
     return pd.DataFrame(cols)
 
 
-def _make_partition_builder(n_docs: int, avgdl: float, k1: float, b: float,
-                            block_size: int, n_buckets: int):
+def _make_partition_builder(block_size: int, n_buckets: int):
     """mapInPandas body over a partition hash-clustered by (term, salt)
     and sorted by (term, salt, doc_id). Arrow batches may split a group,
     so an incomplete trailing group is carried into the next batch."""
@@ -166,26 +167,26 @@ def _make_partition_builder(n_docs: int, avgdl: float, k1: float, b: float,
                 continue
             cut = int(bounds[-1])
             carry = pdf.iloc[cut:]
-            yield _build_blocks_np(pdf.iloc[:cut], n_docs, avgdl, k1, b,
-                                   block_size, n_buckets)
+            yield _build_blocks_np(pdf.iloc[:cut], block_size, n_buckets)
         if carry is not None and len(carry):
-            yield _build_blocks_np(carry, n_docs, avgdl, k1, b,
-                                   block_size, n_buckets)
+            yield _build_blocks_np(carry, block_size, n_buckets)
 
     return gen
 
 
-def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
-                   k1: float = analysis.K1, b: float = analysis.B,
+def build_postings(tf_df: DataFrame, *,
                    block_size: int = analysis.BLOCK_SIZE,
                    n_buckets: int = analysis.N_BUCKETS,
                    salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
-                   salt_count: int = analysis.SALT_COUNT) -> DataFrame:
+                   salt_count: int = analysis.SALT_COUNT,
+                   k1: float = None, b: float = None) -> DataFrame:
     """tf rows (term, doc_id, tf, dl) -> posting-block rows.
 
-    df(term) is computed globally, joined back (Catalyst reuses the
-    term-hash exchange), then head terms are salted by contiguous
-    doc_id range before the per-group block build.
+    df(term) is computed globally (for the SALTING decision only — v3
+    blocks don't store it), joined back (Catalyst reuses the term-hash
+    exchange), then head terms are salted by contiguous doc_id range
+    before the per-group block build. ``k1``/``b`` are accepted and
+    ignored so manifest-config dicts can be splatted through.
     """
     df_t = tf_df.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
     shift = analysis.DOC_ID_BITS - (salt_count.bit_length() - 1)
@@ -196,7 +197,7 @@ def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
                F.shiftright(F.col("doc_id"), shift).cast("int"))
          .otherwise(F.lit(0)),
     )
-    builder = _make_partition_builder(n_docs, avgdl, k1, b, block_size, n_buckets)
+    builder = _make_partition_builder(block_size, n_buckets)
     # ONE shuffle: cluster by the OUTPUT partitioning (bucket =
     # term_id % B), sort within partitions by (term_id, salt, doc_id),
     # and stream whole partitions through the NumPy builder — each task
@@ -209,7 +210,7 @@ def build_postings(tf_df: DataFrame, n_docs: int, avgdl: float, *,
         .withColumn("bucket_p", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
         .repartition(n_buckets, "bucket_p")
         .sortWithinPartitions("term_id", "salt", "doc_id")
-        .select("term_id", "salt", "doc_id", "tf", "dl", "df")
+        .select("term_id", "salt", "doc_id", "tf", "dl")
         .mapInPandas(builder, schema=POSTINGS_SCHEMA)
     )
 
@@ -260,11 +261,11 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
 
     toks.select("doc_id", "url", "dl").write.mode("overwrite").parquet(
-        store.doc_stats_dir)
+        store.doc_stats_dir_for(0))
     spark.createDataFrame(
         [(n_docs, avgdl, int(st["total_tokens"] or 0))],
         "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(store.corpus_stats_dir)
+    ).write.mode("overwrite").parquet(store.corpus_stats_dir_for(0))
 
     # tf via explode + hash agg (map-side partial combine). An in-row
     # run-length alternative (sort_array + higher-order fns) was measured
@@ -282,9 +283,8 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     blocks = build_postings(
-        tf, n_docs, avgdl, k1=k1, b=b, block_size=block_size,
-        n_buckets=n_buckets, salt_df_threshold=salt_df_threshold,
-        salt_count=salt_count,
+        tf, block_size=block_size, n_buckets=n_buckets,
+        salt_df_threshold=salt_df_threshold, salt_count=salt_count,
     )
     postings_dir = store.postings_dir_for(0)
     # blocks arrive pre-clustered by bucket and pre-sorted by term_id
@@ -295,27 +295,54 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     toks.unpersist()
     tf.unpersist()
 
-    # per-bucket lineage/metrics (north_rule: per-partition lineage records)
-    lineage_rows = (
-        spark.read.parquet(postings_dir)
-        .groupBy("bucket")
-        .agg(F.countDistinct("term_id").alias("n_terms"),
-             F.count(F.lit(1)).alias("n_blocks"),
-             F.sum("n").alias("n_postings"))
-        .collect()
-    )
-    store.append_lineage(spark, [
-        {"bucket": int(r["bucket"]), "phase": "build", "epoch": 0,
-         "n_terms": int(r["n_terms"]), "n_blocks": int(r["n_blocks"]),
-         "n_postings": int(r["n_postings"]), "status": "committed"}
-        for r in lineage_rows
-    ])
+    write_term_stats_and_lineage(spark, store, phase="build", epoch=0)
 
     store.write_manifest({
-        "engine": "super_rag_spark", "version": 2,  # 2 = term_id posting keys
+        "engine": "super_rag_spark", "version": 3,  # 3 = stats-free blocks
         "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
         "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
         "n_docs": n_docs, "avgdl": avgdl, "epoch": 0,
         "tokenizer": "[a-z0-9]+ lowercase",
     })
     return store
+
+
+def write_term_stats_and_lineage(spark: SparkSession, store: IndexStorage, *,
+                                 phase: str, epoch: int,
+                                 buckets: list[int] | None = None) -> None:
+    """Derive term_stats (term_id -> df) + per-bucket lineage records
+    from posting-block METADATA alone: df(term) = sum of block n over
+    the term's blocks (each live doc appears exactly once per term), so
+    no decode pass is needed. ``buckets``: restrict to these buckets
+    (merge touches a subset; untouched buckets hardlink their stats)."""
+    pdir = store.postings_dir_for(epoch)
+    meta = spark.read.schema(POSTINGS_SCHEMA).parquet(pdir).select(
+        "bucket", "term_id", "n")
+    if buckets is not None:
+        if not buckets:
+            return
+        meta = meta.where(F.col("bucket").isin(list(buckets)))
+    meta = meta.persist()
+    try:
+        # dynamic partition overwrite -> idempotent on merge resume
+        # (re-running replaces exactly the touched bucket partitions)
+        (meta.groupBy("bucket", "term_id").agg(F.sum("n").alias("df"))
+         .repartition("bucket").sortWithinPartitions("term_id")
+         .select("term_id", "df", "bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(store.term_stats_dir_for(epoch)))
+        lineage_rows = (
+            meta.groupBy("bucket")
+            .agg(F.countDistinct("term_id").alias("n_terms"),
+                 F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("n").alias("n_postings"))
+            .collect())
+        store.append_lineage(spark, [
+            {"bucket": int(r["bucket"]), "phase": phase, "epoch": epoch,
+             "n_terms": int(r["n_terms"]), "n_blocks": int(r["n_blocks"]),
+             "n_postings": int(r["n_postings"]), "status": "committed"}
+            for r in lineage_rows
+        ])
+    finally:
+        meta.unpersist()

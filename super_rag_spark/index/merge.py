@@ -1,4 +1,4 @@
-"""External merge of partial indexes with per-bucket resumable commits.
+"""O(delta) external merge with per-bucket resumable commits + upserts.
 
 The reference has NO retry/resume story — a failed ingest restarts from
 zero (SURVEY.md §4.1 "Retry/resume" row); BASELINE.json north_rule makes
@@ -7,25 +7,37 @@ per-partition lineage + metrics".
 
 Protocol (incremental batch, SURVEY.md §2.10):
 1. the delta corpus is built into a STAGING index (a normal build_index
-   run — its per-bucket stats are only partial);
-2. merged corpus stats (N, avgdl) are computed from the union of
-   doc_stats minus tombstones;
-3. per term-hash bucket, old-epoch + staging blocks are decoded,
-   tombstones dropped, df recomputed from the merged postings (exact),
-   and blocks re-encoded with the NEW global stats — so the merged
-   index is bit-identical to a from-scratch build over the union
-   (FIXTURES.md invariant 3), including block-max scores;
+   run, content-addressed by the target epoch so a resume reuses it);
+2. removed = pending tombstones + upserted doc_ids (docs present in
+   BOTH the old index and the staging delta — re-ingesting a url
+   replaces its old postings, never double-counts them);
+3. per term-hash bucket, ONLY the (term) groups that actually changed
+   are decoded and rebuilt: terms with delta postings, plus terms whose
+   blocks may contain a removed doc (block [first,last] range test —
+   a conservative superset). Because v3 blocks are stats-free (no df,
+   no corpus-dependent block_max_score — build.py), every untouched
+   group's rows are byte-identical to what a from-scratch build over
+   the merged corpus would emit, so they are carried over verbatim:
+   buckets with no change at all are HARDLINKED (O(1) per file), and
+   rebuilt buckets re-encode only the changed groups. Merge CPU is
+   O(delta + removed-doc postings), not O(index).
 4. each bucket commit appends a lineage record; a re-run (after a
    crash) skips committed buckets — bucket jobs are deterministic, so
-   resume produces the identical index (invariant 5);
-5. finalize: write merged doc_stats/corpus_stats, clear tombstones
-   (the merge is the lazy-delete compaction), atomically replace the
-   manifest -> readers switch to the new epoch.
+   resume produces the identical index (FIXTURES.md invariant 5);
+5. finalize: write epoch-scoped doc_stats / corpus_stats / term_stats,
+   then atomically replace the manifest — the ONE switch point. Old
+   epoch dirs (including consumed tombstones) are GC'd only AFTER the
+   manifest write succeeds; a crash anywhere earlier leaves the old
+   epoch fully live (ADVICE round 1: crash-atomic finalize).
+
+Exactly-once streaming: ``stream_batch_id`` is recorded in the manifest
+at finalize; a replayed micro-batch (same or older id) is a no-op, so
+the Spark streaming checkpoint and the index can never double-apply a
+batch (streaming.py).
 
 Scale: one bucket = one bounded Spark job over two partition
 directories; buckets are independent, so a cluster runs them as one
-job over the bucket dimension or as parallel driver submissions. The
-decode -> regroup -> re-encode path shuffles only the touched bucket.
+job over the bucket dimension or as parallel driver submissions.
 """
 
 from __future__ import annotations
@@ -37,8 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..query.scoring import DECODED_SCHEMA, decode_postings_map_in_pandas
-from .build import build_index, build_postings
-from .storage import IndexStorage
+from .build import build_index, build_postings, write_term_stats_and_lineage
+from .storage import POSTINGS_SCHEMA, IndexStorage
 
 
 class SimulatedMergeFailure(RuntimeError):
@@ -49,12 +61,29 @@ def _staging_dir(store: IndexStorage, epoch: int) -> str:
     return os.path.join(store.root, f"staging_e{epoch}")
 
 
+def _hardlink_tree(src: str, dst: str) -> None:
+    """Mirror a directory via hardlinks (fall back to copy across
+    filesystems). Idempotent: an existing dst is kept as-is."""
+    if os.path.exists(dst):
+        return
+    tmp = dst + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        shutil.copytree(src, tmp, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+    os.replace(tmp, dst)
+
+
 def merge_append(spark: SparkSession, index_dir: str,
                  new_docs_df: DataFrame | None = None, *,
                  text_is_extracted: bool = True,
                  fail_after_bucket: int | None = None,
-                 parallelism: int = 4) -> IndexStorage:
-    """Append ``new_docs_df`` (url, text|html) to an existing index.
+                 parallelism: int = 4,
+                 stream_batch_id: int | None = None) -> IndexStorage:
+    """Append/upsert ``new_docs_df`` (url, text|html) into an existing
+    index, consuming pending tombstones.
 
     Call again with ``new_docs_df=None`` (or the same frame) after a
     crash to resume: the staging build is reused if present and
@@ -65,9 +94,18 @@ def merge_append(spark: SparkSession, index_dir: str,
     concurrently, which matters when each bucket job is overhead-bound.
     Fault-injection runs (``fail_after_bucket``) force sequential order
     so resume tests are deterministic.
+
+    ``stream_batch_id``: exactly-once marker for streaming ingest — ids
+    at or below the manifest's recorded value are already folded and
+    return immediately.
     """
     store = IndexStorage(index_dir)
     manifest = store.read_manifest()
+    if (stream_batch_id is not None
+            and manifest.get("stream_batch_id") is not None
+            and stream_batch_id <= int(manifest["stream_batch_id"])):
+        return store  # replayed micro-batch: already applied
+    store.gc_stale_epochs()  # heal a crash between manifest switch and GC
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
     n_buckets = int(manifest["n_buckets"])
     cfg = {k: manifest[k] for k in
@@ -82,53 +120,121 @@ def merge_append(spark: SparkSession, index_dir: str,
         build_index(spark, new_docs_df, staging,
                     text_is_extracted=text_is_extracted, **cfg)
 
-    # 2. merged doc stats (minus tombstones) -> new global N / avgdl
-    ds = store.doc_stats(spark).unionByName(sstore.doc_stats(spark))
-    tomb = store.tombstones(spark)
-    if tomb is not None:
-        ds = ds.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
-    st = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
-                F.sum("dl").alias("tot")).collect()[0]
-    n_docs, avgdl, total_tokens = int(st["n"]), float(st["avgdl"]), int(st["tot"])
+    # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
+    #    Applied to OLD-epoch rows only: the staging (newest) version of
+    #    an upserted doc always survives, and a delete+re-add in one
+    #    cycle resurrects the doc with its new content.
+    old_ds = store.doc_stats(spark, old_epoch)
+    stg_ds = sstore.doc_stats(spark, 0)
+    tomb = store.tombstones(spark, old_epoch)
+    upserts = old_ds.select("doc_id").join(
+        stg_ds.select("doc_id"), "doc_id", "left_semi")
+    removed = upserts if tomb is None else upserts.unionByName(
+        tomb.select("doc_id")).distinct()
+    removed_pdf = removed.toPandas()  # tombstones + upserts: delta-sized
+    removed_small = (
+        spark.createDataFrame(removed_pdf) if len(removed_pdf)
+        else None)
 
-    # 3-4. per-bucket decode + rebuild with bucket-level lineage commits
+    # merged doc stats -> new global N / avgdl (manifest + corpus_stats)
+    ds_merged = old_ds
+    if removed_small is not None:
+        ds_merged = ds_merged.join(F.broadcast(removed_small), "doc_id", "left_anti")
+    ds_merged = ds_merged.unionByName(stg_ds)
+    st = ds_merged.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+                       F.sum("dl").alias("tot")).collect()[0]
+    n_docs = int(st["n"])
+    avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+    total_tokens = int(st["tot"] or 0)
+
+    # 3. upfront, DETERMINISTIC change detection (identical on resume):
+    #    a bucket changes iff the staging delta wrote into it, or an old
+    #    block's [first,last] window may contain a removed doc (metadata
+    #    range probe, broadcast join, no decode; false positives only
+    #    cost a no-op re-encode of identical postings).
+    removal_hits: dict[int, list[int]] = {}  # bucket -> removal-hit term_ids
+    if removed_small is not None and os.path.isdir(store.postings_dir_for(old_epoch)):
+        meta = (store.postings(spark, old_epoch)
+                .select("bucket", "term_id", "first_doc_id", "last_doc_id"))
+        hits = (meta.join(F.broadcast(removed_small),
+                          (meta["first_doc_id"] <= F.col("doc_id"))
+                          & (meta["last_doc_id"] >= F.col("doc_id")))
+                .select("bucket", "term_id").distinct().collect())
+        for r in hits:
+            removal_hits.setdefault(int(r["bucket"]), []).append(int(r["term_id"]))
+    staging_buckets = {
+        int(name.split("=")[1])
+        for name in os.listdir(sstore.postings_dir_for(0))
+        if name.startswith("bucket=")
+    } if os.path.isdir(sstore.postings_dir_for(0)) else set()
+    changed_buckets = staging_buckets | set(removal_hits)
+
+    # 4. per-bucket merge with bucket-level lineage commits
     new_dir = store.postings_dir_for(epoch)
+    os.makedirs(new_dir, exist_ok=True)
     committed = store.committed_buckets("merge", epoch)
-    tomb_small = tomb.select("doc_id") if tomb is not None else None
+    block_schema = POSTINGS_SCHEMA.replace(", bucket int", "")
 
     def merge_bucket(bucket: int) -> None:
-        parts = []
-        for base in (store.postings_dir_for(old_epoch), sstore.postings_dir_for(0)):
-            p = os.path.join(base, f"bucket={bucket}")
-            if os.path.isdir(p):
-                parts.append(spark.read.parquet(p))
+        old_p = os.path.join(store.postings_dir_for(old_epoch), f"bucket={bucket}")
         bucket_out = os.path.join(new_dir, f"bucket={bucket}")
-        if not parts:
-            os.makedirs(bucket_out, exist_ok=True)
+        has_old = os.path.isdir(old_p)
+
+        if bucket not in changed_buckets:
+            # untouched: hardlink into the new epoch (O(1) per file —
+            # THE O(delta) fast path; stats-free v3 blocks make the old
+            # rows bit-identical to a from-scratch rebuild's)
+            if has_old:
+                _hardlink_tree(old_p, bucket_out)
+            else:
+                os.makedirs(bucket_out, exist_ok=True)
         else:
-            blocks = parts[0]
+            stg_p = os.path.join(sstore.postings_dir_for(0), f"bucket={bucket}")
+            has_stg = os.path.isdir(stg_p)
+            old_blocks = (spark.read.schema(block_schema).parquet(old_p)
+                          if has_old else None)
+            stg_blocks = (spark.read.schema(block_schema).parquet(stg_p)
+                          if has_stg else None)
+            rebuild_terms = None
+            if has_stg:
+                rebuild_terms = stg_blocks.select("term_id").distinct()
+            if bucket in removal_hits:
+                hit = spark.createDataFrame(
+                    [(t,) for t in removal_hits[bucket]], "term_id long")
+                rebuild_terms = hit if rebuild_terms is None else (
+                    rebuild_terms.unionByName(hit).distinct())
+            parts = []
+            keep = None
+            if has_old:
+                keep = old_blocks.join(F.broadcast(rebuild_terms),
+                                       "term_id", "left_anti")
+                dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
+                                           "term_id", "left_semi")
+                           .mapInPandas(decode_postings_map_in_pandas,
+                                        schema=DECODED_SCHEMA))
+                if removed_small is not None:
+                    dec_old = dec_old.join(F.broadcast(removed_small),
+                                           "doc_id", "left_anti")
+                parts.append(dec_old)
+            if has_stg:
+                parts.append(stg_blocks.mapInPandas(
+                    decode_postings_map_in_pandas, schema=DECODED_SCHEMA))
+            decoded = parts[0]
             for extra in parts[1:]:
-                blocks = blocks.unionByName(extra)
-            decoded = blocks.mapInPandas(decode_postings_map_in_pandas,
-                                         schema=DECODED_SCHEMA).drop("df")
-            if tomb_small is not None:
-                decoded = decoded.join(F.broadcast(tomb_small), "doc_id", "left_anti")
-            rebuilt = build_postings(decoded, n_docs, avgdl, **cfg).drop("bucket")
+                decoded = decoded.unionByName(extra)
+            rebuilt = build_postings(decoded, **cfg).drop("bucket")
+            out = rebuilt if keep is None else keep.unionByName(rebuilt)
             tmp_out = bucket_out + ".tmp"
             shutil.rmtree(tmp_out, ignore_errors=True)
-            (rebuilt.repartition(1)
+            (out.repartition(1)
              .sortWithinPartitions("term_id", "salt", "block_id")
              .write.mode("overwrite").parquet(tmp_out))
             shutil.rmtree(bucket_out, ignore_errors=True)
             os.replace(tmp_out, bucket_out)
-        stats_row = (spark.read.parquet(bucket_out).agg(
-            F.countDistinct("term_id").alias("t"), F.count(F.lit(1)).alias("b"),
-            F.sum("n").alias("p")).collect()[0]) if parts else None
+
         store.append_lineage(spark, [{
             "bucket": bucket, "phase": "merge", "epoch": epoch,
-            "n_terms": int(stats_row["t"] or 0) if stats_row else 0,
-            "n_blocks": int(stats_row["b"] or 0) if stats_row else 0,
-            "n_postings": int(stats_row["p"] or 0) if stats_row else 0,
+            "n_terms": -1, "n_blocks": -1, "n_postings": -1,
             "status": "committed",
         }])
 
@@ -144,18 +250,33 @@ def merge_append(spark: SparkSession, index_dir: str,
         with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
             list(pool.map(merge_bucket, todo))
 
-    # 5. finalize: stats tables, tombstone GC, atomic manifest switch
-    ds.write.mode("overwrite").parquet(store.doc_stats_dir + ".tmp")
-    shutil.rmtree(store.doc_stats_dir, ignore_errors=True)
-    os.replace(store.doc_stats_dir + ".tmp", store.doc_stats_dir)
+    # 5. finalize: epoch-scoped stats tables, then the atomic manifest
+    #    switch; GC strictly after. Everything below is idempotent, so a
+    #    crash + resume rewrites it safely.
+    ds_merged.write.mode("overwrite").parquet(store.doc_stats_dir_for(epoch))
     spark.createDataFrame(
         [(n_docs, float(avgdl), total_tokens)],
         "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(store.corpus_stats_dir)
-    shutil.rmtree(store.tombstones_dir, ignore_errors=True)
+    ).write.mode("overwrite").parquet(store.corpus_stats_dir_for(epoch))
+
+    # term_stats: hardlink untouched buckets' partitions, recompute the
+    # changed ones from the new block metadata (no decode)
+    ts_new = store.term_stats_dir_for(epoch)
+    os.makedirs(ts_new, exist_ok=True)
+    ts_old = store.term_stats_dir_for(old_epoch)
+    for b in range(n_buckets):
+        src = os.path.join(ts_old, f"bucket={b}")
+        if b not in changed_buckets and os.path.isdir(src):
+            _hardlink_tree(src, os.path.join(ts_new, f"bucket={b}"))
+    write_term_stats_and_lineage(spark, store, phase="merge_stats",
+                                 epoch=epoch, buckets=sorted(changed_buckets))
 
     manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
-    store.write_manifest(manifest)
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(store.postings_dir_for(old_epoch), ignore_errors=True)
+    if stream_batch_id is not None:
+        manifest["stream_batch_id"] = int(stream_batch_id)
+    store.write_manifest(manifest)  # <- the switch
+
+    # GC after the switch (crash here is healed by the next merge's
+    # gc_stale_epochs call)
+    store.gc_stale_epochs()
     return store

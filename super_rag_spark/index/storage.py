@@ -2,18 +2,34 @@
 
 The reference's "index/collection create-if-absent" (SURVEY.md §2.1 S6,
 e.g. /root/reference/vectordbs/qdrant.py:30-41) maps here to a directory
-convention. Written against plain Parquet paths; on a cluster with the
+convention behind the Catalog seam in catalog.py; on a cluster with the
 Iceberg runtime the same layout maps 1:1 onto Iceberg tables
-(`postings` PARTITIONED BY (bucket), `doc_stats`, `corpus_stats`,
-`lineage`, `tombstones`) — see SURVEY.md §7 note on the Parquet fallback.
+(`postings` PARTITIONED BY (bucket), `term_stats`, `doc_stats`,
+`corpus_stats`, `lineage`, `tombstones`) — see SURVEY.md §7.
+
+EVERYTHING mutable is epoch-scoped and the manifest is the single
+switch: postings_e<N>, term_stats_e<N>, doc_stats_e<N>,
+corpus_stats_e<N>, tombstones_e<N>. A merge builds epoch N+1 side by
+side and readers move with ONE atomic manifest replace; directories of
+dead epochs are GC'd only after that replace succeeds, so a crash at
+any point leaves the old epoch fully intact (including its pending
+tombstones).
+
+Postings blocks (v3) are STATS-FREE: they depend only on the (term,
+salt) group's own postings — no df, no corpus-dependent block_max_score
+— so an append rewrites only groups whose postings actually changed
+(O(delta) merge) while staying bit-identical to a from-scratch build.
+The WAND upper bound is computed at query time from (block_max_tf,
+block_min_dl) + manifest stats + the term_stats df.
 
 Layout:
-  <root>/manifest.json          analyzer + index config (k1, b, block_size, ...)
-  <root>/postings/bucket=<b>/   posting blocks, partitioned by term-hash bucket
-  <root>/doc_stats/             (doc_id, url, dl)
-  <root>/corpus_stats/          single row (n_docs, avgdl, total_tokens)
-  <root>/lineage/               per-bucket build/merge commit records
-  <root>/tombstones/            deleted doc_ids (anti-joined at query time)
+  <root>/manifest.json          analyzer + index config + epoch + stats
+  <root>/postings_e<N>/bucket=<b>/   posting blocks by term-hash bucket
+  <root>/term_stats_e<N>/bucket=<b>/ (term_id, df) per bucket
+  <root>/doc_stats_e<N>/             (doc_id, url, dl)
+  <root>/corpus_stats_e<N>/          single row (n_docs, avgdl, total_tokens)
+  <root>/lineage/                    per-bucket build/merge commit records
+  <root>/tombstones_e<N>/            deleted doc_ids targeting epoch N
 """
 
 from __future__ import annotations
@@ -27,8 +43,10 @@ POSTINGS_SCHEMA = (
     "term_id long, salt int, block_id int, n int, "
     "first_doc_id long, last_doc_id long, "
     "docs_enc binary, tfs_enc binary, dls_enc binary, "
-    "block_max_tf int, block_max_score double, df long, bucket int"
+    "block_max_tf int, block_min_dl int, bucket int"
 )
+
+TERM_STATS_SCHEMA = "term_id long, df long, bucket int"
 
 LINEAGE_SCHEMA = (
     "bucket int, phase string, n_terms long, n_blocks long, n_postings long, "
@@ -52,10 +70,7 @@ def bucket_of_term(term: str, n_buckets: int) -> int:
 class IndexStorage:
     def __init__(self, root: str):
         self.root = root
-        self.doc_stats_dir = os.path.join(root, "doc_stats")
-        self.corpus_stats_dir = os.path.join(root, "corpus_stats")
         self.lineage_dir = os.path.join(root, "lineage")
-        self.tombstones_dir = os.path.join(root, "tombstones")
         self.manifest_path = os.path.join(root, "manifest.json")
 
     # ---- manifest -------------------------------------------------------
@@ -70,43 +85,77 @@ class IndexStorage:
         with open(self.manifest_path) as f:
             return json.load(f)
 
-    # ---- tables ---------------------------------------------------------
-    # postings live in per-epoch directories (postings_e<N>); the manifest
-    # names the current epoch, so a merge builds the next epoch fully and
-    # then switches readers with one atomic manifest replace.
+    def epoch(self) -> int:
+        return int(self.read_manifest()["epoch"])
+
+    # ---- per-epoch directories ------------------------------------------
     def postings_dir_for(self, epoch: int) -> str:
         return os.path.join(self.root, f"postings_e{epoch}")
 
+    def term_stats_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"term_stats_e{epoch}")
+
+    def doc_stats_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"doc_stats_e{epoch}")
+
+    def corpus_stats_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"corpus_stats_e{epoch}")
+
+    def tombstones_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"tombstones_e{epoch}")
+
     @property
     def postings_dir(self) -> str:
-        return self.postings_dir_for(int(self.read_manifest()["epoch"]))
+        return self.postings_dir_for(self.epoch())
 
+    @property
+    def doc_stats_dir(self) -> str:
+        return self.doc_stats_dir_for(self.epoch())
+
+    @property
+    def corpus_stats_dir(self) -> str:
+        return self.corpus_stats_dir_for(self.epoch())
+
+    @property
+    def tombstones_dir(self) -> str:
+        return self.tombstones_dir_for(self.epoch())
+
+    # ---- tables ---------------------------------------------------------
     def postings(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
-        d = self.postings_dir if epoch is None else self.postings_dir_for(epoch)
+        d = self.postings_dir_for(self.epoch() if epoch is None else epoch)
         return spark.read.schema(POSTINGS_SCHEMA).parquet(d)
 
-    def doc_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.doc_stats_dir)
+    def term_stats(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
+        d = self.term_stats_dir_for(self.epoch() if epoch is None else epoch)
+        return spark.read.schema(TERM_STATS_SCHEMA).parquet(d)
 
-    def corpus_stats(self, spark: SparkSession) -> dict:
-        row = spark.read.parquet(self.corpus_stats_dir).collect()[0]
+    def doc_stats(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
+        d = self.doc_stats_dir_for(self.epoch() if epoch is None else epoch)
+        return spark.read.parquet(d)
+
+    def corpus_stats(self, spark: SparkSession, epoch: int | None = None) -> dict:
+        d = self.corpus_stats_dir_for(self.epoch() if epoch is None else epoch)
+        row = spark.read.parquet(d).collect()[0]
         return row.asDict()
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).json(self.lineage_dir)
 
-    def tombstones(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.tombstones_dir):
+    def tombstones(self, spark: SparkSession, epoch: int | None = None) -> DataFrame | None:
+        d = self.tombstones_dir_for(self.epoch() if epoch is None else epoch)
+        if not os.path.isdir(d):
             return None
         try:
-            df = spark.read.parquet(self.tombstones_dir)
+            df = spark.read.parquet(d)
             return df if len(df.columns) else None
         except Exception:
             return None
 
     def append_tombstones(self, doc_ids_df: DataFrame) -> None:
-        doc_ids_df.select("doc_id").write.mode("append").parquet(self.tombstones_dir)
+        doc_ids_df.select("doc_id").write.mode("append").parquet(
+            self.tombstones_dir_for(self.epoch()))
 
+    # ---- lineage ----------------------------------------------------------
     def append_lineage(self, spark: SparkSession, records: list[dict]) -> None:
         """Lineage records are tiny per-bucket commit markers; written as
         JSON lines so appends are atomic per file (north_rule: resumable
@@ -131,3 +180,31 @@ class IndexStorage:
                 if rec.get("status") == "committed":
                     out.add(int(rec["bucket"]))
         return out
+
+    # ---- GC ---------------------------------------------------------------
+    def gc_stale_epochs(self) -> list[str]:
+        """Remove directories of epochs other than the manifest's (safe
+        any time AFTER a manifest switch; a crash between switch and GC
+        is healed by calling this at the start of the next merge)."""
+        import re
+        import shutil
+
+        live = self.epoch()
+        removed = []
+        pat = re.compile(
+            r"^(postings|term_stats|doc_stats|corpus_stats|tombstones|staging)_e(\d+)$")
+        for name in os.listdir(self.root):
+            m = pat.match(name)
+            if not m:
+                continue
+            kind, ep = m.group(1), int(m.group(2))
+            # ONLY strictly-older epochs: dirs of epoch > live belong to
+            # an in-flight (possibly crashed, resumable) merge and must
+            # survive. staging dirs are keyed by their TARGET epoch, so
+            # staging_e<live> (already consumed) is also stale.
+            stale = (ep <= live) if kind == "staging" else (ep < live)
+            if stale:
+                p = os.path.join(self.root, name)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        return removed

@@ -36,8 +36,7 @@ _TOPK_METHODS = {
 }
 
 _BLOCK_COLS = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
-               "docs_enc", "tfs_enc", "dls_enc", "block_max_tf",
-               "block_max_score", "df"]
+               "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl"]
 
 
 def _keep_only(blocks: list[dict], allowed) -> list[dict]:
@@ -172,12 +171,17 @@ class BM25Engine:
             tbl = dataset.to_table(filter=ds.field("term_id").isin(list(ids)),
                                    columns=_BLOCK_COLS)
             rows.extend(tbl.to_pylist())
-        loaded: dict[str, tuple[int, list[dict]]] = {}
+        grouped: dict[str, list[dict]] = {}
         for row in rows:
-            df_t = int(row["df"])
-            loaded.setdefault(ids[row["term_id"]], (df_t, []))[1].append(row)
-        for term, (df_t, blocks) in loaded.items():
+            grouped.setdefault(ids[row["term_id"]], []).append(row)
+        # v3 blocks are stats-free; on this path df needs no extra read:
+        # df(term) == sum of block n over the term's (fully loaded)
+        # blocks. (The distributed path uses the term_stats table
+        # instead, where a head term is one row, not 10^6 block rows.)
+        loaded: dict[str, tuple[int, list[dict]]] = {}
+        for term, blocks in grouped.items():
             blocks.sort(key=lambda r: r["first_doc_id"])
+            loaded[term] = (sum(blk["n"] for blk in blocks), blocks)
         for term in missing:  # cache misses too (empty = OOV term)
             if len(self._term_cache) >= self._term_cache_max:
                 self._term_cache.pop(next(iter(self._term_cache)))
@@ -195,26 +199,28 @@ class BM25Engine:
         return out
 
     def warm(self) -> int:
-        """Touch every postings file sequentially so the index sits in
-        the OS page cache (production BM25 serving keeps the index
-        memory-resident; cold random reads on this box run ~100x slower
-        than warm). Returns bytes touched."""
+        """Touch every postings + term_stats file sequentially so the
+        index sits in the OS page cache (production BM25 serving keeps
+        the index memory-resident; cold random reads on this box run
+        ~100x slower than warm). Returns bytes touched."""
         total = 0
-        base = self.store.postings_dir_for(int(self.manifest["epoch"]))
-        for root, _, files in os.walk(base):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    p = os.path.join(root, fn)
-                    with open(p, "rb") as f:
-                        while chunk := f.read(1 << 22):
-                            total += len(chunk)
+        epoch = int(self.manifest["epoch"])
+        for base in (self.store.postings_dir_for(epoch),
+                     self.store.term_stats_dir_for(epoch)):
+            for root, _, files in os.walk(base):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(root, fn)
+                        with open(p, "rb") as f:
+                            while chunk := f.read(1 << 22):
+                                total += len(chunk)
         return total
 
     def _tombstone_set(self):
         """Pending tombstones as a sorted int64 array (np.isin-ready)."""
         import numpy as np
 
-        d = self.store.tombstones_dir
+        d = self.store.tombstones_dir_for(int(self.manifest["epoch"]))
         if not os.path.isdir(d):
             return np.empty(0, dtype=np.int64)
         dataset = ds.dataset(d, format="parquet")

@@ -30,23 +30,22 @@ from ..analysis import term_id_for, tokenize
 from ..codec import decode_blocks_batch
 from ..index.storage import IndexStorage, bucket_of_term_id
 
-DECODED_SCHEMA = "term_id long, df long, doc_id long, tf int, dl int"
+DECODED_SCHEMA = "term_id long, doc_id long, tf int, dl int"
 
 
 def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Block rows -> exploded (term, df, doc_id, tf, dl) posting rows."""
+    """Block rows -> exploded (term, doc_id, tf, dl) posting rows."""
     import numpy as np
 
     for pdf in batches:
         if not len(pdf):
             yield pd.DataFrame({c: np.array([], dtype="int64")
-                                for c in ["term_id", "df", "doc_id", "tf", "dl"]})
+                                for c in ["term_id", "doc_id", "tf", "dl"]})
             continue
         blocks = pdf[["docs_enc", "tfs_enc", "dls_enc", "n"]].to_dict("records")
         docs, tfs, dls, ns = decode_blocks_batch(blocks)
         yield pd.DataFrame({
             "term_id": np.repeat(pdf["term_id"].to_numpy(), ns),
-            "df": np.repeat(pdf["df"].to_numpy(), ns),
             "doc_id": docs,
             "tf": tfs.astype("int32"),
             "dl": dls.astype("int32"),
@@ -64,6 +63,31 @@ def analyze_queries(queries: list[dict]) -> pd.DataFrame:
             rows.append({"query_id": q["query_id"], "term": term,
                          "term_id": term_id_for(term)})
     return pd.DataFrame(rows, columns=["query_id", "term", "term_id"])
+
+
+def lookup_term_dfs(store: IndexStorage, term_ids: list[int],
+                    n_buckets: int, epoch: int) -> dict[int, int]:
+    """Driver-side df lookup from the term_stats table (v3 blocks are
+    stats-free). One pyarrow read per touched bucket partition, filtered
+    by term_id against sorted row groups — O(query terms), never a Spark
+    job. This is why term_stats exists as its own table: a head term at
+    10^12 docs has millions of block rows; its df is ONE row here."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    by_bucket: dict[int, list[int]] = {}
+    for t in term_ids:
+        by_bucket.setdefault(bucket_of_term_id(t, n_buckets), []).append(t)
+    out: dict[int, int] = {}
+    for b, ts in by_bucket.items():
+        p = os.path.join(store.term_stats_dir_for(epoch), f"bucket={b}")
+        if not os.path.isdir(p):
+            continue
+        tbl = pads.dataset(p, format="parquet").to_table(
+            filter=pads.field("term_id").isin(ts), columns=["term_id", "df"])
+        out.update(zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist()))
+    return out
 
 
 def contribution_expr(n_docs: int, avgdl: float, k1: float, b: float):
@@ -108,6 +132,12 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
     qterms_pdf = analyze_queries(queries)
     if qterms_pdf.empty:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
+    dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
+    qterms_pdf = qterms_pdf[qterms_pdf["term_id"].isin(dfs)].copy()
+    if qterms_pdf.empty:  # every term OOV
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    qterms_pdf["df"] = qterms_pdf["term_id"].map(dfs).astype("int64")
     qterms = spark.createDataFrame(qterms_pdf)
     term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
 
@@ -169,7 +199,12 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
     out_schema = "query_id int, rank int, doc_id long, score double"
     if qterms_pdf.empty:
         return spark.createDataFrame([], out_schema)
-    qterms = spark.createDataFrame(qterms_pdf)
+    term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
+    dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
+    qterms_pdf = qterms_pdf[qterms_pdf["term_id"].isin(dfs)].copy()
+    if qterms_pdf.empty:
+        return spark.createDataFrame([], out_schema)
+    qterms_pdf["df"] = qterms_pdf["term_id"].map(dfs).astype("int64")
     term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
 
     if store.tombstones(spark) is not None:
@@ -177,13 +212,42 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
         # threshold; use the exhaustive plan until the next merge GCs them
         return score_query_batch(spark, store, queries, k=k)
 
+    # Distribution axis: (query_id, salt range). Salt ranges partition
+    # the doc-id space into SALT_COUNT contiguous, non-overlapping
+    # stripes (index/build.py salting), so per-range WAND top-k + a
+    # global merge is rank-exact AND no single task ever owns a whole
+    # head-term query (the round-1 bottleneck: groupBy(query_id) put
+    # df/128 block rows of "the" on one executor). Blocks of unsalted
+    # terms span multiple ranges and are replicated to each (bounded:
+    # tail terms have few blocks); queries with NO salted term keep one
+    # task (range_id=-1, no mask) — no decode-amplification for the
+    # common case.
+    shift = _salt_shift(manifest)
+    salted_queries = set(
+        qterms_pdf.loc[qterms_pdf["df"] > int(manifest["salt_df_threshold"]),
+                       "query_id"].tolist())
+    qterms_pdf["q_salted"] = qterms_pdf["query_id"].isin(salted_queries)
+    qterms = spark.createDataFrame(qterms_pdf)
+
     blocks = pruned_postings(spark, store, term_ids, n_buckets)
     per_query = blocks.join(F.broadcast(qterms), "term_id")  # 1 block row per (query, term)
+    ranged = per_query.withColumn(
+        "range_id",
+        F.explode(F.when(
+            F.col("q_salted"),
+            F.sequence(F.shiftright("first_doc_id", shift).cast("int"),
+                       F.shiftright("last_doc_id", shift).cast("int")),
+        ).otherwise(F.array(F.lit(-1)))),
+    )
 
     def run_wand(pdf: pd.DataFrame) -> pd.DataFrame:
         from .wand import wand_topk
 
         qid = int(pdf["query_id"].iloc[0])
+        range_id = int(pdf["range_id"].iloc[0])
+        doc_range = None
+        if range_id >= 0:
+            doc_range = (range_id << shift, (range_id + 1) << shift)
         term_blocks: dict[str, tuple[int, list[dict]]] = {}
         for row in pdf.itertuples(index=False):
             term_blocks.setdefault(row.term, (int(row.df), []))[1].append({
@@ -191,11 +255,13 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
                 "dls_enc": row.dls_enc, "n": int(row.n),
                 "first_doc_id": int(row.first_doc_id),
                 "last_doc_id": int(row.last_doc_id),
-                "block_max_score": float(row.block_max_score),
+                "block_max_tf": int(row.block_max_tf),
+                "block_min_dl": int(row.block_min_dl),
             })
         for _, (_, bl) in term_blocks.items():
             bl.sort(key=lambda r: r["first_doc_id"])
-        hits = wand_topk(term_blocks, n_docs, avgdl, k, k1=k1, b=b)
+        hits = wand_topk(term_blocks, n_docs, avgdl, k, k1=k1, b=b,
+                         doc_range=doc_range)
         return pd.DataFrame({
             "query_id": qid,
             "rank": np.arange(1, len(hits) + 1, dtype="int32"),
@@ -203,4 +269,19 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
             "score": [s for _, s in hits],
         })
 
-    return per_query.groupBy("query_id").applyInPandas(run_wand, schema=out_schema)
+    per_range = ranged.groupBy("query_id", "range_id").applyInPandas(
+        run_wand, schema=out_schema)
+    # global merge: per-range winners are disjoint docs; re-rank is tiny
+    # (<= SALT_COUNT * k rows per query)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    return (per_range.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def _salt_shift(manifest: dict) -> int:
+    from ..analysis import DOC_ID_BITS
+
+    salt_count = int(manifest["salt_count"])
+    return DOC_ID_BITS - (salt_count.bit_length() - 1)

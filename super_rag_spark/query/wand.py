@@ -33,30 +33,69 @@ _EPS = 1e-9
 _INF = np.iinfo(np.int64).max
 
 
+def block_upper_bound(block_max_tf: int, block_min_dl: int, idf_val: float,
+                      avgdl: float, k1: float, b: float) -> float:
+    """Query-time WAND bound from the stats-free block metadata (v3).
+
+    BM25's tf-part is increasing in tf and decreasing in dl, so the
+    (block_max_tf, block_min_dl) corner dominates every posting in the
+    block. Marginally looser than the exact stored max of round 1, but
+    it makes blocks independent of (N, avgdl, df) — the enabler for
+    O(delta) index appends (index/merge.py)."""
+    tf = float(block_max_tf)
+    return idf_val * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * block_min_dl / avgdl))
+
+
 class TermCursor:
     """Forward iterator over one term's posting blocks with block skipping.
 
     ``blocks`` must be sorted by first_doc_id with non-overlapping doc
     ranges (guaranteed by the contiguous-range salting in index/build.py).
+    ``doc_range``: optional [lo, hi) doc-id window — postings outside it
+    are invisible (the distributed per-salt-range WAND uses this so each
+    range task scores exactly its own stripe of the doc space).
     """
 
-    __slots__ = ("term", "df", "blocks", "bi", "pos", "docs", "tfs", "dls", "term_max")
+    __slots__ = ("term", "df", "blocks", "bi", "pos", "docs", "tfs", "dls",
+                 "term_max", "_ubs", "_lo", "_hi")
 
-    def __init__(self, term: str, df: int, blocks: list[dict]):
+    def __init__(self, term: str, df: int, blocks: list[dict], n_docs: int,
+                 avgdl: float, k1: float, b: float,
+                 doc_range: tuple[int, int] | None = None):
         self.term = term
         self.df = df
+        self._lo, self._hi = doc_range if doc_range else (None, None)
+        if doc_range:
+            blocks = [blk for blk in blocks
+                      if blk["last_doc_id"] >= self._lo and blk["first_doc_id"] < self._hi]
         self.blocks = blocks
+        idf_val = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        self._ubs = [block_upper_bound(blk["block_max_tf"], blk["block_min_dl"],
+                                       idf_val, avgdl, k1, b)
+                     for blk in blocks]
         self.bi = 0
         self.pos = 0
         self.docs = self.tfs = self.dls = None
-        self.term_max = max(b["block_max_score"] for b in blocks)
+        self.term_max = max(self._ubs, default=0.0)
         self._ensure_decoded()
 
     def _ensure_decoded(self):
-        if self.bi < len(self.blocks) and self.docs is None:
+        """Decode the current block (applying the doc-range mask) and
+        advance past blocks the mask empties entirely."""
+        while self.bi < len(self.blocks) and self.docs is None:
             blk = self.blocks[self.bi]
-            self.docs, self.tfs, self.dls = decode_block(
+            docs, tfs, dls = decode_block(
                 blk["docs_enc"], blk["tfs_enc"], blk["dls_enc"], blk["n"])
+            if self._lo is not None:
+                keep = (docs >= self._lo) & (docs < self._hi)
+                if not keep.all():
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if len(docs) == 0:
+                self.bi += 1
+                continue
+            self.docs, self.tfs, self.dls = docs, tfs, dls
+            if self.pos >= len(docs):
+                self.pos = 0
 
     @property
     def doc(self) -> int:
@@ -65,7 +104,7 @@ class TermCursor:
         return int(self.docs[self.pos])
 
     def block_max(self) -> float:
-        return self.blocks[self.bi]["block_max_score"]
+        return self._ubs[self.bi]
 
     def block_last(self) -> int:
         return self.blocks[self.bi]["last_doc_id"]
@@ -92,25 +131,30 @@ class TermCursor:
         if self.bi >= len(self.blocks):
             return
         self._ensure_decoded()
-        self.pos = int(np.searchsorted(self.docs, target, side="left"))
-        if self.pos >= len(self.docs):  # target falls in a gap between blocks
-            self.bi += 1
+        while self.docs is not None:
+            self.pos = int(np.searchsorted(self.docs, target, side="left"))
+            if self.pos < len(self.docs):
+                return
+            self.bi += 1  # target falls in a gap between blocks
             self.pos = 0
             self.docs = None
             self._ensure_decoded()
 
 
 def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
-              avgdl: float, k: int, k1: float = K1, b: float = B) -> list[tuple[int, float]]:
+              avgdl: float, k: int, k1: float = K1, b: float = B,
+              doc_range: tuple[int, int] | None = None) -> list[tuple[int, float]]:
     """Exact block-max WAND.
 
     term_blocks: {term: (df, [block rows sorted by first_doc_id])}.
     Returns [(doc_id, score)] ranked by (round(score,9) desc, doc_id asc).
     Full evaluation sums contributions in term-ascending order — the
     same float addition order as the oracle and the Spark scorer.
+    ``doc_range``: optional [lo, hi) window (per-salt-range distribution).
     """
-    cursors = [TermCursor(t, df, blks)
+    cursors = [TermCursor(t, df, blks, n_docs, avgdl, k1, b, doc_range)
                for t, (df, blks) in sorted(term_blocks.items()) if blks]
+    cursors = [c for c in cursors if c.blocks]
     if not cursors:
         return []
 

@@ -46,7 +46,13 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_append(spark, index_dir, batch_df.select("url", "text"))
+        # stream_batch_id makes the fold exactly-once even across the
+        # checkpoint/manifest gap: if the process dies after the merge
+        # finalized but before the streaming checkpoint committed the
+        # offsets, the replayed batch carries the same batch_id and
+        # merge_append returns without touching the index.
+        merge_append(spark, index_dir, batch_df.select("url", "text"),
+                     stream_batch_id=batch_id)
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir)

@@ -15,7 +15,8 @@ CFG = dict(n_buckets=8, salt_df_threshold=150)  # force salting on head terms
 def _rows(eng, spark):
     df = eng.store.postings(spark).select(
         "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
-        "docs_enc", "tfs_enc", "dls_enc", "block_max_score", "df", "bucket")
+        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
+        "bucket")
     return sorted(tuple(r) for r in df.collect())
 
 

@@ -1,0 +1,136 @@
+"""v3 merge semantics: upserts, delete+re-add, exactly-once stream
+batches, and O(delta) evidence (untouched buckets are hardlinked, not
+rewritten)."""
+
+import os
+
+import pytest
+
+from super_rag_spark.index.merge import merge_append
+from super_rag_spark.query.engine import BM25Engine
+
+CFG = dict(n_buckets=8, salt_df_threshold=150)
+
+
+def _rows(eng, spark):
+    df = eng.store.postings(spark).select(
+        "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
+        "bucket")
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def base_rows(spark, webtext_sf0001_path):
+    return (spark.read.parquet(webtext_sf0001_path)
+            .select("url", "text").limit(120).collect())
+
+
+def test_upsert_replaces_old_postings(spark, base_rows, tmp_path):
+    """Re-ingesting an existing url must replace its postings (reference
+    upsert-by-id semantics), never double-count df/n_docs."""
+    mk = lambda rs: spark.createDataFrame(rs, "url string, text string")
+    old = base_rows[:100]
+    changed = [(old[5]["url"], "totally new replacement body text")]
+    added = base_rows[100:110]
+    updated_corpus = old[:5] + old[6:] + [
+        type(old[5])(url=changed[0][0], text=changed[0][1])] + added
+
+    want = BM25Engine(spark, str(tmp_path / "w")).build(mk(updated_corpus), **CFG)
+    got = BM25Engine(spark, str(tmp_path / "g")).build(mk(old), **CFG)
+    merge_append(spark, got.store.root, mk(list(changed) + [(r["url"], r["text"]) for r in added]))
+    got = BM25Engine(spark, got.store.root)
+
+    assert got.manifest["n_docs"] == want.manifest["n_docs"] == 110
+    assert got.manifest["avgdl"] == pytest.approx(want.manifest["avgdl"], rel=1e-12)
+    assert _rows(want, spark) == _rows(got, spark)
+    ts_w = sorted(tuple(r) for r in want.store.term_stats(spark).collect())
+    ts_g = sorted(tuple(r) for r in got.store.term_stats(spark).collect())
+    assert ts_w == ts_g
+
+
+def test_delete_then_readd_same_cycle(spark, base_rows, tmp_path):
+    """delete(url) + re-ingest(url) in ONE merge cycle: the new version
+    must survive (tombstones apply to old-epoch rows only)."""
+    mk = lambda rs: spark.createDataFrame(rs, "url string, text string")
+    old = base_rows[:80]
+    victim = old[3]["url"]
+    new_body = "resurrected body with fresh words"
+
+    eng = BM25Engine(spark, str(tmp_path / "e")).build(mk(old), **CFG)
+    eng.delete_urls([victim])
+    merge_append(spark, eng.store.root, mk([(victim, new_body)]))
+    eng = BM25Engine(spark, eng.store.root)
+
+    want_corpus = old[:3] + old[4:] + [type(old[3])(url=victim, text=new_body)]
+    want = BM25Engine(spark, str(tmp_path / "w2")).build(mk(want_corpus), **CFG)
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"] == 80
+    assert _rows(want, spark) == _rows(eng, spark)
+    assert eng.topk("resurrected fresh", 5) == want.topk("resurrected fresh", 5)
+
+
+def test_stream_batch_id_exactly_once(spark, base_rows, tmp_path):
+    """A replayed stream_batch_id must be a no-op: same epoch, same
+    rows, no double-counted docs."""
+    mk = lambda rs: spark.createDataFrame(rs, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "s")).build(mk(base_rows[:60]), **CFG)
+    delta = mk([(r["url"], r["text"]) for r in base_rows[60:80]])
+
+    merge_append(spark, eng.store.root, delta, stream_batch_id=7)
+    m1 = BM25Engine(spark, eng.store.root).manifest
+    rows1 = _rows(BM25Engine(spark, eng.store.root), spark)
+
+    merge_append(spark, eng.store.root, delta, stream_batch_id=7)  # replay
+    m2 = BM25Engine(spark, eng.store.root).manifest
+    assert m2["epoch"] == m1["epoch"]
+    assert m2["n_docs"] == m1["n_docs"] == 80
+    assert _rows(BM25Engine(spark, eng.store.root), spark) == rows1
+
+    # a NEWER batch id still applies
+    merge_append(spark, eng.store.root,
+                 mk([(r["url"], r["text"]) for r in base_rows[80:90]]),
+                 stream_batch_id=8)
+    m3 = BM25Engine(spark, eng.store.root).manifest
+    assert m3["n_docs"] == 90 and m3["stream_batch_id"] == 8
+
+
+def test_merge_hardlinks_untouched_buckets(spark, tmp_path):
+    """O(delta): a one-term delta must rewrite only that term's bucket;
+    every other bucket's files carry over as HARDLINKS of the old
+    epoch's files (same inode), i.e. append cost is proportional to the
+    delta, not the index."""
+    from super_rag_spark.analysis import term_id_for
+
+    n_buckets = 8
+    docs = [(f"https://x/{i}", " ".join(f"w{i}k{j}" for j in range(30)))
+            for i in range(200)]
+    eng = BM25Engine(spark, str(tmp_path / "h")).build(
+        spark.createDataFrame(docs, "url string, text string"),
+        n_buckets=n_buckets)
+
+    old_inodes = {}  # bucket -> {filename: inode}
+    pdir = eng.store.postings_dir_for(0)
+    for b in os.listdir(pdir):
+        if b.startswith("bucket="):
+            d = os.path.join(pdir, b)
+            old_inodes[b] = {f: os.stat(os.path.join(d, f)).st_ino
+                             for f in os.listdir(d) if f.endswith(".parquet")}
+
+    delta_term = "zzzuniqueterm"
+    delta_bucket = f"bucket={term_id_for(delta_term) % n_buckets}"
+    merge_append(spark, eng.store.root, spark.createDataFrame(
+        [("https://x/new", delta_term)], "url string, text string"))
+
+    new_pdir = BM25Engine(spark, eng.store.root).store.postings_dir_for(1)
+    linked = rewritten = 0
+    for b, files in old_inodes.items():
+        d = os.path.join(new_pdir, b)
+        new_inodes = {f: os.stat(os.path.join(d, f)).st_ino
+                      for f in os.listdir(d) if f.endswith(".parquet")}
+        if b == delta_bucket:
+            assert new_inodes != files  # rewritten
+            rewritten += 1
+        elif new_inodes == files:
+            linked += 1
+    assert rewritten == 1
+    assert linked == len(old_inodes) - 1  # every other bucket hardlinked

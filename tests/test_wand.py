@@ -11,15 +11,13 @@ from super_rag_spark.query.wand import bruteforce_topk, vectorized_topk, wand_to
 
 
 def _blocks_for(doc_ids, tfs, dls, n_docs, avgdl, block_size=BLOCK_SIZE):
-    """Build in-memory block dicts the way index/build.py does."""
+    """Build in-memory block dicts the way index/build.py does (v3:
+    stats-free — block_max_tf/block_min_dl, bound computed at query)."""
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids)[order]
     tfs = np.asarray(tfs)[order]
     dls = np.asarray(dls)[order]
-    import math
     df = len(doc_ids)
-    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    scores = idf * (tfs * 2.2) / (tfs + 1.2 * (0.25 + 0.75 * dls / avgdl))
     out = []
     for blk, s in enumerate(range(0, len(doc_ids), block_size)):
         e = min(s + block_size, len(doc_ids))
@@ -28,7 +26,8 @@ def _blocks_for(doc_ids, tfs, dls, n_docs, avgdl, block_size=BLOCK_SIZE):
             "docs_enc": d_enc, "tfs_enc": t_enc, "dls_enc": l_enc,
             "n": e - s, "first_doc_id": int(doc_ids[s]),
             "last_doc_id": int(doc_ids[e - 1]),
-            "block_max_score": float(scores[s:e].max()),
+            "block_max_tf": int(tfs[s:e].max()),
+            "block_min_dl": int(dls[s:e].min()),
         })
     return df, out
 
