@@ -1,0 +1,148 @@
+"""Catalog seam: the minimal table API the index storage routes through.
+
+BASELINE.json's input_hint names Iceberg tables as the production
+substrate; in this sandbox there is no Iceberg runtime jar, so the
+default implementation is plain Parquet directories with the SAME five
+operations. The seam is what matters (SURVEY.md §7): every generic
+table touch (doc_stats, corpus_stats, term_stats, tombstones) goes
+through a Catalog, so pointing the engine at an Iceberg catalog is a
+constructor argument, not a rewrite. The reference's analog is the
+vector-DB registry dispatch (/root/reference/vectordbs/__init__.py:18-44,
+models/vector_database.py:7-17): one config object selects the backend.
+
+Posting blocks deliberately BYPASS the catalog: their layout
+(bucket=<b> partition dirs, one sorted file per bucket, hardlink
+carry-over between epochs) is the O(delta) merge optimization, which a
+table format would re-implement via rewrite_files/MERGE. An Iceberg
+deployment would store postings as an Iceberg table partitioned by
+bucket and swap hardlinks for snapshot reuse; the epoch/manifest logic
+in storage.py is unchanged either way.
+
+Operations: exists / read / overwrite / append / delete_where.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Abstract minimal table API (identifier semantics are
+    implementation-defined: a directory path for Parquet, a catalog
+    table name for Iceberg)."""
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, table: str, schema: str | None = None) -> DataFrame:
+        raise NotImplementedError
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        raise NotImplementedError
+
+    def append(self, df: DataFrame, table: str) -> None:
+        raise NotImplementedError
+
+    def delete_where(self, spark: SparkSession, table: str, predicate) -> None:
+        """Delete rows matching ``predicate`` (a Column)."""
+        raise NotImplementedError
+
+    def drop(self, spark: SparkSession, table: str) -> None:
+        raise NotImplementedError
+
+
+class ParquetCatalog(Catalog):
+    """Directory-of-parquet implementation (the in-sandbox default).
+    ``table`` is an absolute directory path. delete_where is
+    copy-on-write: rewrite to a sibling dir, atomic os.replace — the
+    same pattern the epoch switch uses."""
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return os.path.isdir(table)
+
+    def read(self, spark: SparkSession, table: str, schema: str | None = None) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(table)
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(table)
+
+    def delete_where(self, spark: SparkSession, table: str, predicate) -> None:
+        kept = spark.read.parquet(table).where(~predicate)
+        tmp = table + ".cow"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        old = table + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(table, old)
+        os.replace(tmp, table)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def drop(self, spark: SparkSession, table: str) -> None:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+class IcebergCatalog(Catalog):
+    """Iceberg-table implementation; ``table`` is a catalog identifier
+    (e.g. ``prod.search.doc_stats``). Activated only when the Iceberg
+    Spark runtime is on the classpath (spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-...); constructing it
+    without the runtime raises immediately rather than failing later.
+    MERGE/DELETE become real table transactions here."""
+
+    def __init__(self, spark: SparkSession):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; launch with "
+                "--packages org.apache.iceberg:iceberg-spark-runtime "
+                "and spark.sql.extensions=org.apache.iceberg.spark."
+                "extensions.IcebergSparkSessionExtensions")
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(table)
+
+    def read(self, spark: SparkSession, table: str, schema: str | None = None) -> DataFrame:
+        return spark.read.table(table)
+
+    def overwrite(self, df: DataFrame, table: str,
+                  partition_by: list[str] | None = None) -> None:
+        w = df.writeTo(table).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+
+    def append(self, df: DataFrame, table: str) -> None:
+        df.writeTo(table).append()
+
+    def delete_where(self, spark: SparkSession, table: str, predicate) -> None:
+        # Column -> SQL text via the JVM expression (Iceberg DELETE is a
+        # real metadata+data transaction, no copy-on-write dance needed)
+        pred_sql = predicate._jc.toString()
+        spark.sql(f"DELETE FROM {table} WHERE {pred_sql}")
+
+    def drop(self, spark: SparkSession, table: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime classes are loadable."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False

@@ -260,12 +260,13 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     n_docs = int(st["n_docs"])
     avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
 
-    toks.select("doc_id", "url", "dl").write.mode("overwrite").parquet(
-        store.doc_stats_dir_for(0))
-    spark.createDataFrame(
-        [(n_docs, avgdl, int(st["total_tokens"] or 0))],
-        "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(store.corpus_stats_dir_for(0))
+    store.catalog.overwrite(toks.select("doc_id", "url", "dl"),
+                            store.doc_stats_dir_for(0))
+    store.catalog.overwrite(
+        spark.createDataFrame(
+            [(n_docs, avgdl, int(st["total_tokens"] or 0))],
+            "n_docs long, avgdl double, total_tokens long"),
+        store.corpus_stats_dir_for(0))
 
     # tf via explode + hash agg (map-side partial combine). An in-row
     # run-length alternative (sort_array + higher-order fns) was measured

@@ -253,11 +253,12 @@ def merge_append(spark: SparkSession, index_dir: str,
     # 5. finalize: epoch-scoped stats tables, then the atomic manifest
     #    switch; GC strictly after. Everything below is idempotent, so a
     #    crash + resume rewrites it safely.
-    ds_merged.write.mode("overwrite").parquet(store.doc_stats_dir_for(epoch))
-    spark.createDataFrame(
-        [(n_docs, float(avgdl), total_tokens)],
-        "n_docs long, avgdl double, total_tokens long",
-    ).write.mode("overwrite").parquet(store.corpus_stats_dir_for(epoch))
+    store.catalog.overwrite(ds_merged, store.doc_stats_dir_for(epoch))
+    store.catalog.overwrite(
+        spark.createDataFrame(
+            [(n_docs, float(avgdl), total_tokens)],
+            "n_docs long, avgdl double, total_tokens long"),
+        store.corpus_stats_dir_for(epoch))
 
     # term_stats: hardlink untouched buckets' partitions, recompute the
     # changed ones from the new block metadata (no decode)

@@ -68,8 +68,14 @@ def bucket_of_term(term: str, n_buckets: int) -> int:
 
 
 class IndexStorage:
-    def __init__(self, root: str):
+    def __init__(self, root: str, catalog=None):
+        from ..catalog import ParquetCatalog
+
         self.root = root
+        # generic tables (doc/corpus/term stats, tombstones) go through
+        # the Catalog seam; postings keep their specialized bucket-dir
+        # layout (see catalog.py module docstring)
+        self.catalog = catalog if catalog is not None else ParquetCatalog()
         self.lineage_dir = os.path.join(root, "lineage")
         self.manifest_path = os.path.join(root, "manifest.json")
 
@@ -127,15 +133,15 @@ class IndexStorage:
 
     def term_stats(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         d = self.term_stats_dir_for(self.epoch() if epoch is None else epoch)
-        return spark.read.schema(TERM_STATS_SCHEMA).parquet(d)
+        return self.catalog.read(spark, d, schema=TERM_STATS_SCHEMA)
 
     def doc_stats(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         d = self.doc_stats_dir_for(self.epoch() if epoch is None else epoch)
-        return spark.read.parquet(d)
+        return self.catalog.read(spark, d)
 
     def corpus_stats(self, spark: SparkSession, epoch: int | None = None) -> dict:
         d = self.corpus_stats_dir_for(self.epoch() if epoch is None else epoch)
-        row = spark.read.parquet(d).collect()[0]
+        row = self.catalog.read(spark, d).collect()[0]
         return row.asDict()
 
     def lineage(self, spark: SparkSession) -> DataFrame:
@@ -143,17 +149,17 @@ class IndexStorage:
 
     def tombstones(self, spark: SparkSession, epoch: int | None = None) -> DataFrame | None:
         d = self.tombstones_dir_for(self.epoch() if epoch is None else epoch)
-        if not os.path.isdir(d):
+        if not self.catalog.exists(spark, d):
             return None
         try:
-            df = spark.read.parquet(d)
+            df = self.catalog.read(spark, d)
             return df if len(df.columns) else None
         except Exception:
             return None
 
     def append_tombstones(self, doc_ids_df: DataFrame) -> None:
-        doc_ids_df.select("doc_id").write.mode("append").parquet(
-            self.tombstones_dir_for(self.epoch()))
+        self.catalog.append(doc_ids_df.select("doc_id"),
+                            self.tombstones_dir_for(self.epoch()))
 
     # ---- lineage ----------------------------------------------------------
     def append_lineage(self, spark: SparkSession, records: list[dict]) -> None:

@@ -1,0 +1,85 @@
+"""Catalog seam: the five table ops against the Parquet implementation,
+storage routed through an injected catalog, and the Iceberg guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark.catalog import Catalog, IcebergCatalog, ParquetCatalog, iceberg_available
+
+
+def test_parquet_catalog_roundtrip(spark, tmp_path):
+    cat = ParquetCatalog()
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert not cat.exists(spark, t)
+    cat.overwrite(df, t)
+    assert cat.exists(spark, t)
+    assert sorted(tuple(r) for r in cat.read(spark, t).collect()) == [(1, "a"), (2, "b")]
+
+    cat.append(spark.createDataFrame([(3, "c")], "id long, v string"), t)
+    assert cat.read(spark, t).count() == 3
+
+    cat.delete_where(spark, t, F.col("id") == 2)
+    assert sorted(r["id"] for r in cat.read(spark, t).collect()) == [1, 3]
+
+    cat.drop(spark, t)
+    assert not cat.exists(spark, t)
+
+
+def test_parquet_catalog_partitioned_overwrite(spark, tmp_path):
+    cat = ParquetCatalog()
+    t = str(tmp_path / "p")
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id long, bucket int")
+    cat.overwrite(df, t, partition_by=["bucket"])
+    import os
+
+    assert os.path.isdir(os.path.join(t, "bucket=0"))
+    assert cat.read(spark, t).count() == 2
+
+
+def test_storage_routes_through_injected_catalog(spark, tmp_path, webtext_sf0001_path):
+    """A counting catalog proves the generic tables actually go through
+    the seam (doc_stats/corpus_stats/term_stats reads + tombstone append)."""
+    from super_rag_spark.index.storage import IndexStorage
+    from super_rag_spark.query.engine import BM25Engine
+
+    calls = []
+
+    class SpyCatalog(ParquetCatalog):
+        def read(self, spark, table, schema=None):
+            calls.append(("read", table))
+            return super().read(spark, table, schema)
+
+        def append(self, df, table):
+            calls.append(("append", table))
+            return super().append(df, table)
+
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(webtext_sf0001_path).select("url", "text").limit(50)
+    BM25Engine(spark, idx).build(docs, n_buckets=4)
+
+    store = IndexStorage(idx, catalog=SpyCatalog())
+    store.doc_stats(spark).count()
+    store.corpus_stats(spark)
+    store.term_stats(spark).count()
+    store.append_tombstones(spark.createDataFrame([(1,)], "doc_id long"))
+    kinds = [k for k, _ in calls]
+    assert kinds.count("read") == 3 and kinds.count("append") == 1
+
+
+def test_iceberg_guard_without_runtime(spark):
+    """No Iceberg jar in this sandbox: availability probe is False and
+    the catalog refuses construction with an actionable message."""
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present; guard not applicable")
+    with pytest.raises(RuntimeError, match="--packages"):
+        IcebergCatalog(spark)
+
+
+def test_catalog_abstract_interface():
+    c = Catalog()
+    for call in (lambda: c.exists(None, "t"), lambda: c.read(None, "t"),
+                 lambda: c.overwrite(None, "t"), lambda: c.append(None, "t"),
+                 lambda: c.delete_where(None, "t", None), lambda: c.drop(None, "t")):
+        with pytest.raises(NotImplementedError):
+            call()
