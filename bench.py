@@ -167,6 +167,24 @@ def main() -> int:
             t0 = time.time()
             fn(spark, SF_DIR).count()
             comp[name] = round(time.time() - t0, 3)
+
+        # --- O(delta) append cost (v3 stats-free blocks): fold a 1%-ish
+        # delta of FRESH urls into the just-built index; the cost must
+        # track the delta (staging build + changed term groups), not the
+        # index size (untouched groups copy through / hardlink)
+        from pyspark.sql import functions as F
+
+        from super_rag_spark.index.merge import merge_append
+
+        delta = (spark.read.parquet(warm_path).limit(1000)
+                 .select(F.concat(F.lit("delta://"), F.col("url")).alias("url"),
+                         "text"))
+        n_delta = delta.count()
+        t0 = time.time()
+        merge_append(spark, idx_dir, delta)
+        comp["append_delta"] = round(time.time() - t0, 3)
+        extra["append_n_docs"] = n_delta
+        extra["append_frac_of_build"] = round(comp["append_delta"] / comp["build_sf"], 3)
     finally:
         spark.stop()
 

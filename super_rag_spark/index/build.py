@@ -94,7 +94,8 @@ def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text"
 
 # ---------------------------------------------------------------- block build
 
-def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int) -> pd.DataFrame:
+def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int,
+                     seg: int = 0) -> pd.DataFrame:
     """Vectorized block build over a batch of CONTIGUOUS, doc_id-sorted
     (term, salt) groups. Group/pandas overhead is amortized across the
     whole Arrow batch — essential when the corpus has millions of tail
@@ -120,7 +121,7 @@ def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int) -> pd.D
         [len(pdf)],
     ))
     cols: dict[str, list] = {c: [] for c in (
-        "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+        "term_id", "salt", "seg", "block_id", "n", "first_doc_id", "last_doc_id",
         "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
         "bucket")}
     for gi in range(len(starts) - 1):
@@ -132,6 +133,7 @@ def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int) -> pd.D
             d_enc, t_enc, l_enc = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
             cols["term_id"].append(term)
             cols["salt"].append(int(salts[lo]))
+            cols["seg"].append(seg)
             cols["block_id"].append(blk)
             cols["n"].append(e - s)
             cols["first_doc_id"].append(int(doc_ids[s]))
@@ -145,7 +147,7 @@ def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int) -> pd.D
     return pd.DataFrame(cols)
 
 
-def _make_partition_builder(block_size: int, n_buckets: int):
+def _make_partition_builder(block_size: int, n_buckets: int, seg: int = 0):
     """mapInPandas body over a partition hash-clustered by (term, salt)
     and sorted by (term, salt, doc_id). Arrow batches may split a group,
     so an incomplete trailing group is carried into the next batch."""
@@ -167,9 +169,9 @@ def _make_partition_builder(block_size: int, n_buckets: int):
                 continue
             cut = int(bounds[-1])
             carry = pdf.iloc[cut:]
-            yield _build_blocks_np(pdf.iloc[:cut], block_size, n_buckets)
+            yield _build_blocks_np(pdf.iloc[:cut], block_size, n_buckets, seg)
         if carry is not None and len(carry):
-            yield _build_blocks_np(carry, block_size, n_buckets)
+            yield _build_blocks_np(carry, block_size, n_buckets, seg)
 
     return gen
 
@@ -179,6 +181,7 @@ def build_postings(tf_df: DataFrame, *,
                    n_buckets: int = analysis.N_BUCKETS,
                    salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
                    salt_count: int = analysis.SALT_COUNT,
+                   seg: int = 0,
                    k1: float = None, b: float = None) -> DataFrame:
     """tf rows (term, doc_id, tf, dl) -> posting-block rows.
 
@@ -197,7 +200,7 @@ def build_postings(tf_df: DataFrame, *,
                F.shiftright(F.col("doc_id"), shift).cast("int"))
          .otherwise(F.lit(0)),
     )
-    builder = _make_partition_builder(block_size, n_buckets)
+    builder = _make_partition_builder(block_size, n_buckets, seg)
     # ONE shuffle: cluster by the OUTPUT partitioning (bucket =
     # term_id % B), sort within partitions by (term_id, salt, doc_id),
     # and stream whole partitions through the NumPy builder — each task
@@ -221,9 +224,13 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 block_size: int = analysis.BLOCK_SIZE,
                 n_buckets: int = analysis.N_BUCKETS,
                 salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
-                salt_count: int = analysis.SALT_COUNT) -> IndexStorage:
+                salt_count: int = analysis.SALT_COUNT,
+                staging: bool = False) -> IndexStorage:
     """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
-    with ``text_is_extracted=False`` to run the extraction UDF first."""
+    with ``text_is_extracted=False`` to run the extraction UDF first.
+    ``staging=True`` skips term_stats + lineage (a merge delta's stats
+    are recomputed from the MERGED blocks anyway; saves two jobs on the
+    micro-batch append path)."""
     store = IndexStorage(index_dir)
 
     if not text_is_extracted:
@@ -296,7 +303,8 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     toks.unpersist()
     tf.unpersist()
 
-    write_term_stats_and_lineage(spark, store, phase="build", epoch=0)
+    if not staging:
+        write_term_stats_and_lineage(spark, store, phase="build", epoch=0)
 
     store.write_manifest({
         "engine": "super_rag_spark", "version": 3,  # 3 = stats-free blocks

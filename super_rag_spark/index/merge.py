@@ -80,7 +80,6 @@ def merge_append(spark: SparkSession, index_dir: str,
                  new_docs_df: DataFrame | None = None, *,
                  text_is_extracted: bool = True,
                  fail_after_bucket: int | None = None,
-                 parallelism: int = 4,
                  stream_batch_id: int | None = None) -> IndexStorage:
     """Append/upsert ``new_docs_df`` (url, text|html) into an existing
     index, consuming pending tombstones.
@@ -89,11 +88,10 @@ def merge_append(spark: SparkSession, index_dir: str,
     crash to resume: the staging build is reused if present and
     committed buckets are skipped via lineage.
 
-    ``parallelism``: buckets are independent, so their (small) Spark
-    jobs are submitted from a thread pool — Spark's scheduler runs them
-    concurrently, which matters when each bucket job is overhead-bound.
-    Fault-injection runs (``fail_after_bucket``) force sequential order
-    so resume tests are deterministic.
+    Changed buckets are rebuilt in WAVES (one Spark job per ~n/16
+    buckets) so a small delta pays a handful of job schedules, not one
+    per bucket. Fault-injection runs (``fail_after_bucket``) force
+    sequential single-bucket order so resume tests are deterministic.
 
     ``stream_batch_id``: exactly-once marker for streaming ingest — ids
     at or below the manifest's recorded value are already folded and
@@ -118,7 +116,7 @@ def merge_append(spark: SparkSession, index_dir: str,
         if new_docs_df is None:
             raise ValueError("no staging index found and no new_docs_df given")
         build_index(spark, new_docs_df, staging,
-                    text_is_extracted=text_is_extracted, **cfg)
+                    text_is_extracted=text_is_extracted, staging=True, **cfg)
 
     # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
     #    Applied to OLD-epoch rows only: the staging (newest) version of
@@ -169,86 +167,124 @@ def merge_append(spark: SparkSession, index_dir: str,
     } if os.path.isdir(sstore.postings_dir_for(0)) else set()
     changed_buckets = staging_buckets | set(removal_hits)
 
-    # 4. per-bucket merge with bucket-level lineage commits
+    # 4. merge in WAVES of changed buckets. One Spark job per wave (the
+    #    round-1 per-bucket jobs drowned small deltas in fixed job
+    #    overhead: 32 buckets x ~1.3 s of scheduling beat the actual
+    #    work 4:1). Untouched buckets hardlink outside any job; lineage
+    #    still commits PER BUCKET after its wave lands, so a driver
+    #    crash loses at most one wave of work, keeping the north-rule
+    #    mid-merge resume with bounded job count at any bucket count
+    #    (4096 buckets / 256-bucket waves = 16 jobs, not 4096).
     new_dir = store.postings_dir_for(epoch)
     os.makedirs(new_dir, exist_ok=True)
     committed = store.committed_buckets("merge", epoch)
     block_schema = POSTINGS_SCHEMA.replace(", bucket int", "")
+    old_root = store.postings_dir_for(old_epoch)
+    stg_root = sstore.postings_dir_for(0)
 
-    def merge_bucket(bucket: int) -> None:
-        old_p = os.path.join(store.postings_dir_for(old_epoch), f"bucket={bucket}")
-        bucket_out = os.path.join(new_dir, f"bucket={bucket}")
-        has_old = os.path.isdir(old_p)
-
-        if bucket not in changed_buckets:
-            # untouched: hardlink into the new epoch (O(1) per file —
-            # THE O(delta) fast path; stats-free v3 blocks make the old
-            # rows bit-identical to a from-scratch rebuild's)
-            if has_old:
-                _hardlink_tree(old_p, bucket_out)
-            else:
-                os.makedirs(bucket_out, exist_ok=True)
-        else:
-            stg_p = os.path.join(sstore.postings_dir_for(0), f"bucket={bucket}")
-            has_stg = os.path.isdir(stg_p)
-            old_blocks = (spark.read.schema(block_schema).parquet(old_p)
-                          if has_old else None)
-            stg_blocks = (spark.read.schema(block_schema).parquet(stg_p)
-                          if has_stg else None)
-            rebuild_terms = None
-            if has_stg:
-                rebuild_terms = stg_blocks.select("term_id").distinct()
-            if bucket in removal_hits:
-                hit = spark.createDataFrame(
-                    [(t,) for t in removal_hits[bucket]], "term_id long")
-                rebuild_terms = hit if rebuild_terms is None else (
-                    rebuild_terms.unionByName(hit).distinct())
-            parts = []
-            keep = None
-            if has_old:
-                keep = old_blocks.join(F.broadcast(rebuild_terms),
-                                       "term_id", "left_anti")
-                dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
-                                           "term_id", "left_semi")
-                           .mapInPandas(decode_postings_map_in_pandas,
-                                        schema=DECODED_SCHEMA))
-                if removed_small is not None:
-                    dec_old = dec_old.join(F.broadcast(removed_small),
-                                           "doc_id", "left_anti")
-                parts.append(dec_old)
-            if has_stg:
-                parts.append(stg_blocks.mapInPandas(
-                    decode_postings_map_in_pandas, schema=DECODED_SCHEMA))
-            decoded = parts[0]
-            for extra in parts[1:]:
-                decoded = decoded.unionByName(extra)
-            rebuilt = build_postings(decoded, **cfg).drop("bucket")
-            out = rebuilt if keep is None else keep.unionByName(rebuilt)
-            tmp_out = bucket_out + ".tmp"
-            shutil.rmtree(tmp_out, ignore_errors=True)
-            (out.repartition(1)
-             .sortWithinPartitions("term_id", "salt", "block_id")
-             .write.mode("overwrite").parquet(tmp_out))
-            shutil.rmtree(bucket_out, ignore_errors=True)
-            os.replace(tmp_out, bucket_out)
-
+    def commit_buckets(buckets: list[int]) -> None:
         store.append_lineage(spark, [{
-            "bucket": bucket, "phase": "merge", "epoch": epoch,
+            "bucket": b, "phase": "merge", "epoch": epoch,
             "n_terms": -1, "n_blocks": -1, "n_postings": -1,
-            "status": "committed",
-        }])
+            "status": "committed"} for b in buckets])
+
+    def merge_wave(wave: list[int]) -> None:
+        """Rebuild the changed term groups of these buckets in ONE job."""
+        old_parts = [os.path.join(old_root, f"bucket={b}") for b in wave]
+        old_parts = [p for p in old_parts if os.path.isdir(p)]
+        stg_parts = [os.path.join(stg_root, f"bucket={b}") for b in wave]
+        stg_parts = [p for p in stg_parts if os.path.isdir(p)]
+
+        def read_buckets(root: str, paths: list[str]):
+            # ONE scan over exactly these bucket dirs; basePath recovers
+            # the bucket partition column without a union-per-dir plan
+            return (spark.read.option("basePath", root)
+                    .schema(POSTINGS_SCHEMA).parquet(*paths))
+
+        rebuild_terms = None
+        if stg_parts:
+            rebuild_terms = (read_buckets(stg_root, stg_parts)
+                             .select("term_id").distinct())
+        wave_hits = [t for b in wave for t in removal_hits.get(b, [])]
+        if wave_hits:
+            hit = spark.createDataFrame([(t,) for t in wave_hits], "term_id long")
+            rebuild_terms = hit if rebuild_terms is None else (
+                rebuild_terms.unionByName(hit).distinct())
+
+        parts = []
+        keep = None
+        if old_parts:
+            old_blocks = read_buckets(old_root, old_parts)
+            keep = old_blocks.join(F.broadcast(rebuild_terms),
+                                   "term_id", "left_anti")
+            dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
+                                       "term_id", "left_semi")
+                       .drop("bucket")
+                       .mapInPandas(decode_postings_map_in_pandas,
+                                    schema=DECODED_SCHEMA))
+            if removed_small is not None:
+                dec_old = dec_old.join(F.broadcast(removed_small),
+                                       "doc_id", "left_anti")
+            parts.append(dec_old)
+        if stg_parts:
+            parts.append(read_buckets(stg_root, stg_parts).drop("bucket").mapInPandas(
+                decode_postings_map_in_pandas, schema=DECODED_SCHEMA))
+        decoded = parts[0]
+        for extra in parts[1:]:
+            decoded = decoded.unionByName(extra)
+        rebuilt = build_postings(decoded, **cfg)
+        out = rebuilt if keep is None else keep.unionByName(rebuilt)
+        # dynamic partition overwrite: replaces exactly this wave's
+        # bucket dirs, leaves hardlinked/committed buckets alone;
+        # idempotent on resume re-runs
+        (out.repartition("bucket")
+         .sortWithinPartitions("term_id", "salt", "block_id")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket").parquet(new_dir))
+        # buckets whose every group was rebuilt away (fully emptied) get
+        # no partition dir from the writer; materialize them empty
+        for b in wave:
+            os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
 
     todo = [b for b in range(n_buckets) if b not in committed]
-    if fail_after_bucket is not None:
-        for bucket in todo:  # deterministic order for resume tests
-            merge_bucket(bucket)
-            if bucket >= fail_after_bucket:
-                raise SimulatedMergeFailure(f"injected failure after bucket {bucket}")
-    elif todo:
-        from concurrent.futures import ThreadPoolExecutor
+    unchanged_todo = [b for b in todo if b not in changed_buckets]
+    changed_todo = [b for b in todo if b in changed_buckets]
 
-        with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
-            list(pool.map(merge_bucket, todo))
+    # hardlink the untouched buckets (O(1) per file — THE O(delta) fast
+    # path; stats-free v3 blocks make old rows bit-identical to a
+    # from-scratch rebuild's)
+    for b in unchanged_todo:
+        old_p = os.path.join(old_root, f"bucket={b}")
+        dst = os.path.join(new_dir, f"bucket={b}")
+        if os.path.isdir(old_p):
+            _hardlink_tree(old_p, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+    if fail_after_bucket is None:
+        commit_buckets(unchanged_todo)
+
+    if fail_after_bucket is not None:
+        # deterministic per-bucket order for fault-injection tests
+        for b in unchanged_todo:
+            commit_buckets([b])
+            if b >= fail_after_bucket:
+                raise SimulatedMergeFailure(f"injected failure after bucket {b}")
+        for b in changed_todo:
+            merge_wave([b])
+            commit_buckets([b])
+            if b >= fail_after_bucket:
+                raise SimulatedMergeFailure(f"injected failure after bucket {b}")
+    elif changed_todo:
+        # wave size: big enough that job-scheduling overhead amortizes
+        # (a wave is ONE job regardless of bucket count), small enough
+        # that a driver crash loses bounded work at huge bucket counts
+        wave_size = max(64, n_buckets // 16)
+        waves = [changed_todo[i:i + wave_size]
+                 for i in range(0, len(changed_todo), wave_size)]
+        for wave in waves:
+            merge_wave(wave)
+            commit_buckets(wave)
 
     # 5. finalize: epoch-scoped stats tables, then the atomic manifest
     #    switch; GC strictly after. Everything below is idempotent, so a

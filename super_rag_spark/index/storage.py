@@ -39,8 +39,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# seg: Lucene-style segment id. A (term, salt, seg) run is doc-sorted
+# and non-overlapping; different segs of the same term MAY overlap in
+# doc range (WAND opens one cursor per run). seg=0 is the compacted
+# base; merge_append(mode="segment") appends delta blocks as seg=<epoch>
+# WITHOUT decoding old groups, and compact_index() folds everything
+# back to seg=0 (bit-identical to a from-scratch build).
 POSTINGS_SCHEMA = (
-    "term_id long, salt int, block_id int, n int, "
+    "term_id long, salt int, seg int, block_id int, n int, "
     "first_doc_id long, last_doc_id long, "
     "docs_enc binary, tfs_enc binary, dls_enc binary, "
     "block_max_tf int, block_min_dl int, bucket int"

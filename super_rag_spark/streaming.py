@@ -4,11 +4,15 @@ The reference is request-driven (SURVEY.md §2.10 — no streaming
 operators), so this is the Spark-native extension of its incremental
 behavior: a file-source stream of webtext parquet drops, each
 micro-batch folded into the live index through the SAME resumable
-merge operator used for batch appends (index/merge.py). Exactly-once
-per micro-batch comes from the pairing of Spark's streaming checkpoint
-(offsets) with the merge's per-bucket lineage commits: a replayed batch
-re-runs the merge idempotently (staging build is content-addressed by
-epoch, committed buckets skip).
+merge operator used for batch appends (index/merge.py).
+
+Exactly-once per micro-batch holds across BOTH failure windows:
+- crash mid-merge: Spark's checkpoint replays the batch, the merge
+  resumes idempotently (staging reused, committed buckets skip);
+- crash AFTER the merge finalized but BEFORE the streaming checkpoint
+  committed offsets: the replayed batch carries the same batch_id,
+  which the manifest already records — merge_append returns without
+  touching the index (no duplicate postings, no double-counted stats).
 
 At scale this is `readStream` over an Iceberg CDC feed; locally it's
 the parquet file source with availableNow for deterministic tests.
