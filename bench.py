@@ -168,10 +168,12 @@ def main() -> int:
             fn(spark, SF_DIR).count()
             comp[name] = round(time.time() - t0, 3)
 
-        # --- O(delta) append cost (v3 stats-free blocks): fold a 1%-ish
-        # delta of FRESH urls into the just-built index; the cost must
-        # track the delta (staging build + changed term groups), not the
-        # index size (untouched groups copy through / hardlink)
+        # --- O(delta) append cost: fold a 1%-ish delta of FRESH urls
+        # into the just-built index as a SEGMENT (the streaming-ingest
+        # path): staging build of the delta + hardlinks; no old group is
+        # decoded. Cost must track the delta, not the index. Post-merge
+        # query latency is re-measured to price the segment overhead the
+        # read path carries until the next compaction.
         from pyspark.sql import functions as F
 
         from super_rag_spark.index.merge import merge_append
@@ -181,10 +183,19 @@ def main() -> int:
                          "text"))
         n_delta = delta.count()
         t0 = time.time()
-        merge_append(spark, idx_dir, delta)
+        merge_append(spark, idx_dir, delta, mode="segment")
         comp["append_delta"] = round(time.time() - t0, 3)
         extra["append_n_docs"] = n_delta
         extra["append_frac_of_build"] = round(comp["append_delta"] / comp["build_sf"], 3)
+
+        eng = BM25Engine(spark, idx_dir)  # fresh caches at the new epoch
+        eng.warm()
+        lat = []
+        for q in queries:
+            s = time.time()
+            eng.topk(q["text"], q["k"], method="vectorized")
+            lat.append(time.time() - s)
+        extra["query_p50_ms_post_append"] = round(statistics.median(lat) * 1e3, 2)
     finally:
         spark.stop()
 

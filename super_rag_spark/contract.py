@@ -1005,6 +1005,50 @@ def bm25_topk_filtered(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+@_q("index_segment_topk", _bm25_sql([BM25_QUERIES[3]]))
+def index_segment_topk(spark, sf_dir):
+    """Top-k over an index assembled as base-build (90% of docs) plus a
+    SEGMENT-MODE append of the remaining 10% (index/merge.py
+    mode=\"segment\": the delta lands as Lucene-style seg files, no old
+    group decoded). Scores must equal plain-SQL BM25 over the WHOLE
+    corpus — segment appends are score-exact, not approximate."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .index.merge import merge_append
+    from .query.engine import BM25Engine
+
+    key = os.path.abspath(sf_dir)
+    ckey = "seg:" + key
+    if ckey in _INDEX_CACHE:
+        eng = _INDEX_CACHE[ckey]
+    else:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "srs_contract_segidx_" + hashlib.sha1(key.encode()).hexdigest()[:10])
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text", F.col("doc_id").alias("tid"))
+        eng = BM25Engine(spark, idx_dir)
+        eng.build(docs.where(F.col("tid") % 10 < 9).drop("tid"),
+                  n_buckets=8, salt_df_threshold=200)
+        merge_append(spark, idx_dir, docs.where(F.col("tid") % 10 == 9).drop("tid"),
+                     mode="segment")
+        eng = BM25Engine(spark, idx_dir)
+        _INDEX_CACHE[ckey] = eng
+    qid, qtext = BM25_QUERIES[3]
+    hits = eng.topk(qtext, k=10, method="wand")
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (qid, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -225,12 +225,14 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 n_buckets: int = analysis.N_BUCKETS,
                 salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
                 salt_count: int = analysis.SALT_COUNT,
-                staging: bool = False) -> IndexStorage:
+                staging: bool = False, seg: int = 0) -> IndexStorage:
     """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
     with ``text_is_extracted=False`` to run the extraction UDF first.
     ``staging=True`` skips term_stats + lineage (a merge delta's stats
     are recomputed from the MERGED blocks anyway; saves two jobs on the
-    micro-batch append path)."""
+    micro-batch append path). ``seg``: segment id stamped on every block
+    (segment-mode merges build the delta directly as its target segment,
+    index/merge.py)."""
     store = IndexStorage(index_dir)
 
     if not text_is_extracted:
@@ -292,7 +294,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     )
     blocks = build_postings(
         tf, block_size=block_size, n_buckets=n_buckets,
-        salt_df_threshold=salt_df_threshold, salt_count=salt_count,
+        salt_df_threshold=salt_df_threshold, salt_count=salt_count, seg=seg,
     )
     postings_dir = store.postings_dir_for(0)
     # blocks arrive pre-clustered by bucket and pre-sorted by term_id

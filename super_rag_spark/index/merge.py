@@ -80,13 +80,31 @@ def merge_append(spark: SparkSession, index_dir: str,
                  new_docs_df: DataFrame | None = None, *,
                  text_is_extracted: bool = True,
                  fail_after_bucket: int | None = None,
-                 stream_batch_id: int | None = None) -> IndexStorage:
+                 stream_batch_id: int | None = None,
+                 mode: str = "rebuild") -> IndexStorage:
     """Append/upsert ``new_docs_df`` (url, text|html) into an existing
     index, consuming pending tombstones.
 
     Call again with ``new_docs_df=None`` (or the same frame) after a
     crash to resume: the staging build is reused if present and
-    committed buckets are skipped via lineage.
+    committed buckets are skipped via lineage (resume with the SAME
+    ``mode`` as the crashed run).
+
+    ``mode``:
+    - ``"rebuild"``: every term group touched by the delta is decoded
+      and re-encoded. Bit-identical to a from-scratch build over the
+      merged corpus — but Zipf means every realistic text delta contains
+      the head vocabulary, so head-term groups (the bulk of the index)
+      re-encode on EVERY append: cost is O(head terms), not O(delta).
+    - ``"segment"``: Lucene-style. The staging blocks are stamped
+      seg=<new epoch> and hardlinked into the bucket dirs NEXT TO the
+      old blocks — no old group is decoded for a pure append. Only
+      groups that lose postings (deletes/upserts, found by the doc-range
+      probe) are rebuilt (collapsing that term's segments — a
+      micro-compaction). Scores are IDENTICAL to a full rebuild (stats
+      are exact; a doc lives in exactly one segment per term); the
+      physical layout differs until compact_index() folds segments back
+      to seg=0. This is the O(delta) path streaming ingest uses.
 
     Changed buckets are rebuilt in WAVES (one Spark job per ~n/16
     buckets) so a small delta pays a handful of job schedules, not one
@@ -97,6 +115,9 @@ def merge_append(spark: SparkSession, index_dir: str,
     at or below the manifest's recorded value are already folded and
     return immediately.
     """
+    if mode not in ("rebuild", "segment"):
+        raise ValueError(f"unknown merge mode: {mode!r}")
+    segment = mode == "segment"
     store = IndexStorage(index_dir)
     manifest = store.read_manifest()
     if (stream_batch_id is not None
@@ -116,7 +137,8 @@ def merge_append(spark: SparkSession, index_dir: str,
         if new_docs_df is None:
             raise ValueError("no staging index found and no new_docs_df given")
         build_index(spark, new_docs_df, staging,
-                    text_is_extracted=text_is_extracted, staging=True, **cfg)
+                    text_is_extracted=text_is_extracted, staging=True,
+                    seg=epoch if segment else 0, **cfg)
 
     # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
     #    Applied to OLD-epoch rows only: the staging (newest) version of
@@ -165,7 +187,14 @@ def merge_append(spark: SparkSession, index_dir: str,
         for name in os.listdir(sstore.postings_dir_for(0))
         if name.startswith("bucket=")
     } if os.path.isdir(sstore.postings_dir_for(0)) else set()
-    changed_buckets = staging_buckets | set(removal_hits)
+    # rebuild_buckets: whose groups get decoded + re-encoded.
+    #   segment mode: ONLY buckets losing postings — pure appends decode
+    #   nothing at all (staging blocks land as a new segment).
+    # stats_buckets: whose term_stats partitions need a recompute (df
+    #   changes wherever postings were added OR removed).
+    rebuild_buckets = set(removal_hits) if segment else (
+        staging_buckets | set(removal_hits))
+    stats_buckets = staging_buckets | set(removal_hits)
 
     # 4. merge in WAVES of changed buckets. One Spark job per wave (the
     #    round-1 per-bucket jobs drowned small deltas in fixed job
@@ -178,7 +207,6 @@ def merge_append(spark: SparkSession, index_dir: str,
     new_dir = store.postings_dir_for(epoch)
     os.makedirs(new_dir, exist_ok=True)
     committed = store.committed_buckets("merge", epoch)
-    block_schema = POSTINGS_SCHEMA.replace(", bucket int", "")
     old_root = store.postings_dir_for(old_epoch)
     stg_root = sstore.postings_dir_for(0)
 
@@ -188,11 +216,38 @@ def merge_append(spark: SparkSession, index_dir: str,
             "n_terms": -1, "n_blocks": -1, "n_postings": -1,
             "status": "committed"} for b in buckets])
 
+    def link_staging_blocks(bucket: int) -> None:
+        """Segment mode: the staging bucket's parquet files (already
+        stamped seg=<epoch> at build time) become part of the new
+        epoch's bucket dir via hardlinks — zero decode, zero rewrite.
+        Idempotent (resume re-runs skip existing links)."""
+        src = os.path.join(stg_root, f"bucket={bucket}")
+        if not os.path.isdir(src):
+            return
+        dst = os.path.join(new_dir, f"bucket={bucket}")
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            if not fn.endswith(".parquet"):
+                continue
+            target = os.path.join(dst, f"seg{epoch}-{fn}")
+            try:
+                os.link(os.path.join(src, fn), target)
+            except FileExistsError:
+                pass
+            except OSError:
+                shutil.copy2(os.path.join(src, fn), target)
+
     def merge_wave(wave: list[int]) -> None:
-        """Rebuild the changed term groups of these buckets in ONE job."""
+        """Rebuild the changed term groups of these buckets in ONE job.
+        Segment mode never decodes staging blocks — they join the index
+        as their own segment (link_staging_blocks); here only the
+        removal-hit groups of the OLD epoch are rebuilt (all old
+        segments of a hit term collapse into one fresh seg=0 run,
+        disjoint from the incoming seg=<epoch> run)."""
         old_parts = [os.path.join(old_root, f"bucket={b}") for b in wave]
         old_parts = [p for p in old_parts if os.path.isdir(p)]
-        stg_parts = [os.path.join(stg_root, f"bucket={b}") for b in wave]
+        stg_parts = [] if segment else [
+            os.path.join(stg_root, f"bucket={b}") for b in wave]
         stg_parts = [p for p in stg_parts if os.path.isdir(p)]
 
         def read_buckets(root: str, paths: list[str]):
@@ -248,12 +303,13 @@ def merge_append(spark: SparkSession, index_dir: str,
             os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
 
     todo = [b for b in range(n_buckets) if b not in committed]
-    unchanged_todo = [b for b in todo if b not in changed_buckets]
-    changed_todo = [b for b in todo if b in changed_buckets]
+    unchanged_todo = [b for b in todo if b not in rebuild_buckets]
+    changed_todo = [b for b in todo if b in rebuild_buckets]
 
     # hardlink the untouched buckets (O(1) per file — THE O(delta) fast
     # path; stats-free v3 blocks make old rows bit-identical to a
-    # from-scratch rebuild's)
+    # from-scratch rebuild's), then (segment mode) link the staging
+    # blocks in as the new segment
     for b in unchanged_todo:
         old_p = os.path.join(old_root, f"bucket={b}")
         dst = os.path.join(new_dir, f"bucket={b}")
@@ -261,6 +317,8 @@ def merge_append(spark: SparkSession, index_dir: str,
             _hardlink_tree(old_p, dst)
         else:
             os.makedirs(dst, exist_ok=True)
+        if segment:
+            link_staging_blocks(b)
     if fail_after_bucket is None:
         commit_buckets(unchanged_todo)
 
@@ -272,6 +330,8 @@ def merge_append(spark: SparkSession, index_dir: str,
                 raise SimulatedMergeFailure(f"injected failure after bucket {b}")
         for b in changed_todo:
             merge_wave([b])
+            if segment:
+                link_staging_blocks(b)
             commit_buckets([b])
             if b >= fail_after_bucket:
                 raise SimulatedMergeFailure(f"injected failure after bucket {b}")
@@ -284,6 +344,11 @@ def merge_append(spark: SparkSession, index_dir: str,
                  for i in range(0, len(changed_todo), wave_size)]
         for wave in waves:
             merge_wave(wave)
+            if segment:
+                # the wave's partition overwrite wiped any links a
+                # crashed earlier attempt left; re-link before commit
+                for b in wave:
+                    link_staging_blocks(b)
             commit_buckets(wave)
 
     # 5. finalize: epoch-scoped stats tables, then the atomic manifest
@@ -303,10 +368,10 @@ def merge_append(spark: SparkSession, index_dir: str,
     ts_old = store.term_stats_dir_for(old_epoch)
     for b in range(n_buckets):
         src = os.path.join(ts_old, f"bucket={b}")
-        if b not in changed_buckets and os.path.isdir(src):
+        if b not in stats_buckets and os.path.isdir(src):
             _hardlink_tree(src, os.path.join(ts_new, f"bucket={b}"))
     write_term_stats_and_lineage(spark, store, phase="merge_stats",
-                                 epoch=epoch, buckets=sorted(changed_buckets))
+                                 epoch=epoch, buckets=sorted(stats_buckets))
 
     manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
     if stream_batch_id is not None:
@@ -315,5 +380,63 @@ def merge_append(spark: SparkSession, index_dir: str,
 
     # GC after the switch (crash here is healed by the next merge's
     # gc_stale_epochs call)
+    store.gc_stale_epochs()
+    return store
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
+    """Fold every segment back into seg=0 and consume pending tombstones:
+    decode ALL postings, rebuild blocks from scratch into the next epoch.
+
+    After any sequence of segment-mode appends, compact(index) is
+    BIT-IDENTICAL to a from-scratch build over the live corpus (v3
+    blocks depend only on their group's postings; tests assert it).
+    Cost is O(index) by design — this is the Lucene compaction cadence:
+    micro-batches pay O(delta) via mode="segment", and a periodic
+    compaction restores the tight block layout + WAND skip efficiency.
+    Crash-safe the same way merges are: everything lands in epoch N+1
+    dirs and the manifest replace is the single switch point.
+    """
+    store = IndexStorage(index_dir)
+    manifest = store.read_manifest()
+    store.gc_stale_epochs()
+    old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
+    cfg = {k: manifest[k] for k in
+           ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
+
+    tomb = store.tombstones(spark, old_epoch)
+    tomb_small = None
+    if tomb is not None:
+        tomb_pdf = tomb.select("doc_id").distinct().toPandas()
+        if len(tomb_pdf):
+            tomb_small = spark.createDataFrame(tomb_pdf)
+
+    decoded = (store.postings(spark, old_epoch).drop("bucket")
+               .mapInPandas(decode_postings_map_in_pandas, schema=DECODED_SCHEMA))
+    ds = store.doc_stats(spark, old_epoch)
+    if tomb_small is not None:
+        decoded = decoded.join(F.broadcast(tomb_small), "doc_id", "left_anti")
+        ds = ds.join(F.broadcast(tomb_small), "doc_id", "left_anti")
+
+    blocks = build_postings(decoded, **cfg)
+    new_dir = store.postings_dir_for(epoch)
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+    # empty buckets get no partition dir from the writer; materialize
+    for b in range(int(manifest["n_buckets"])):
+        os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
+
+    st = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("tot")).collect()[0]
+    store.catalog.overwrite(ds, store.doc_stats_dir_for(epoch))
+    store.catalog.overwrite(
+        spark.createDataFrame(
+            [(int(st["n"]), float(st["avgdl"] or 0.0), int(st["tot"] or 0))],
+            "n_docs long, avgdl double, total_tokens long"),
+        store.corpus_stats_dir_for(epoch))
+    write_term_stats_and_lineage(spark, store, phase="compact", epoch=epoch)
+
+    manifest.update(epoch=epoch, n_docs=int(st["n"]),
+                    avgdl=float(st["avgdl"] or 0.0))
+    store.write_manifest(manifest)  # <- the switch
     store.gc_stale_epochs()
     return store

@@ -35,8 +35,9 @@ _TOPK_METHODS = {
     "bruteforce": bruteforce_topk,  # per-posting reference
 }
 
-_BLOCK_COLS = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
-               "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl"]
+_BLOCK_COLS = ["term_id", "salt", "seg", "block_id", "n", "first_doc_id",
+               "last_doc_id", "docs_enc", "tfs_enc", "dls_enc",
+               "block_max_tf", "block_min_dl"]
 
 
 def _keep_only(blocks: list[dict], allowed) -> list[dict]:

@@ -253,13 +253,13 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
             term_blocks.setdefault(row.term, (int(row.df), []))[1].append({
                 "docs_enc": row.docs_enc, "tfs_enc": row.tfs_enc,
                 "dls_enc": row.dls_enc, "n": int(row.n),
+                "seg": int(row.seg),
                 "first_doc_id": int(row.first_doc_id),
                 "last_doc_id": int(row.last_doc_id),
                 "block_max_tf": int(row.block_max_tf),
                 "block_min_dl": int(row.block_min_dl),
             })
-        for _, (_, bl) in term_blocks.items():
-            bl.sort(key=lambda r: r["first_doc_id"])
+        # wand_topk splits blocks into (term, seg) runs and sorts them
         hits = wand_topk(term_blocks, n_docs, avgdl, k, k1=k1, b=b,
                          doc_range=doc_range)
         return pd.DataFrame({

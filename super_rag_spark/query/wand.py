@@ -146,14 +146,28 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
               doc_range: tuple[int, int] | None = None) -> list[tuple[int, float]]:
     """Exact block-max WAND.
 
-    term_blocks: {term: (df, [block rows sorted by first_doc_id])}.
+    term_blocks: {term: (df, [block rows])}. Blocks may span several
+    SEGMENTS (seg column, Lucene-style append segments — index/merge.py
+    mode="segment"): each (term, seg) run is doc-sorted and
+    non-overlapping, but runs of different segs may overlap in doc
+    range, so ONE CURSOR PER (term, seg) RUN is opened. A doc lives in
+    exactly one segment per term (upserts physically remove the old
+    copy at merge time), so at most one cursor of a term ever sits on a
+    given doc — the pivot bound and the term-ascending sum order are
+    unaffected.
     Returns [(doc_id, score)] ranked by (round(score,9) desc, doc_id asc).
     Full evaluation sums contributions in term-ascending order — the
     same float addition order as the oracle and the Spark scorer.
     ``doc_range``: optional [lo, hi) window (per-salt-range distribution).
     """
-    cursors = [TermCursor(t, df, blks, n_docs, avgdl, k1, b, doc_range)
-               for t, (df, blks) in sorted(term_blocks.items()) if blks]
+    cursors = []
+    for t, (df, blks) in sorted(term_blocks.items()):
+        runs: dict[int, list[dict]] = {}
+        for blk in blks:
+            runs.setdefault(int(blk.get("seg", 0)), []).append(blk)
+        for seg in sorted(runs):
+            run = sorted(runs[seg], key=lambda r: r["first_doc_id"])
+            cursors.append(TermCursor(t, df, run, n_docs, avgdl, k1, b, doc_range))
     cursors = [c for c in cursors if c.blocks]
     if not cursors:
         return []

@@ -32,8 +32,16 @@ WEBTEXT_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
 
 def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   checkpoint_dir: str | None = None,
-                  available_now: bool = True):
+                  available_now: bool = True,
+                  mode: str = "segment",
+                  compact_every: int | None = None):
     """Fold every new parquet file in ``input_dir`` into the index.
+
+    ``mode="segment"`` (default): each micro-batch lands as a new
+    Lucene-style segment — O(delta) per batch, no old group re-encoded
+    (index/merge.py). ``compact_every=N`` folds segments back to seg=0
+    after every N batches (the compaction cadence); leave None to let
+    the operator schedule compact_index() out-of-band.
 
     Returns the StreamingQuery; with ``available_now`` the query drains
     the currently-visible files and stops (deterministic for tests and
@@ -46,6 +54,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
+    folded = {"n": 0}
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -56,7 +65,12 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         # offsets, the replayed batch carries the same batch_id and
         # merge_append returns without touching the index.
         merge_append(spark, index_dir, batch_df.select("url", "text"),
-                     stream_batch_id=batch_id)
+                     stream_batch_id=batch_id, mode=mode)
+        folded["n"] += 1
+        if compact_every and folded["n"] % compact_every == 0:
+            from .index.merge import compact_index
+
+            compact_index(spark, index_dir)
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir)

@@ -1,0 +1,171 @@
+"""Segment-mode (Lucene-style) appends:
+- a pure append decodes and rewrites NOTHING (every old bucket file
+  hardlinks through; the delta arrives as seg=<epoch> files);
+- scores after any mix of segment appends / upserts / deletes are
+  identical to a from-scratch build over the live corpus;
+- compact_index() folds segments back to seg=0, bit-identical to a
+  from-scratch build (FIXTURES.md invariant 5 extended).
+"""
+
+import os
+
+import pytest
+
+from super_rag_spark.index.merge import (SimulatedMergeFailure, compact_index,
+                                         merge_append)
+from super_rag_spark.query.engine import BM25Engine
+
+CFG = dict(n_buckets=8, salt_df_threshold=150)
+QUERIES = ["semudo muro", "fuboname", "zibapevi gaku", "semudo fuboname muro"]
+
+
+def _rows(eng, spark):
+    df = eng.store.postings(spark).select(
+        "term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+        "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
+        "bucket")
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _term_stats(eng, spark):
+    return sorted(tuple(r) for r in eng.store.term_stats(spark).collect())
+
+
+def _r9(hits):
+    """Engine rank contract: ties broken at round(score, 9). The merged
+    avgdl can differ from a fresh build's in the last ulp (different
+    float summation order over the same doc set), so exact-float
+    comparisons across indexes are not meaningful below 9 dp."""
+    return [(d, round(s, 9)) for d, s in hits]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, webtext_sf0001_path):
+    df = spark.read.parquet(webtext_sf0001_path).select("url", "text").limit(300)
+    rows = df.collect()
+    mk = lambda rs: spark.createDataFrame(rs, "url string, text string")
+    return rows, mk
+
+
+def test_pure_segment_append_rewrites_nothing(spark, corpus, tmp_path):
+    """THE O(delta) invariant: appending fresh docs must hardlink every
+    old posting file (same inode) and only ADD seg files."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "s")).build(mk(rows[:200]), **CFG)
+
+    pdir = eng.store.postings_dir_for(0)
+    old_inodes = {}
+    for b in os.listdir(pdir):
+        if b.startswith("bucket="):
+            d = os.path.join(pdir, b)
+            old_inodes[b] = {f: os.stat(os.path.join(d, f)).st_ino
+                             for f in os.listdir(d) if f.endswith(".parquet")}
+
+    merge_append(spark, eng.store.root, mk(rows[200:300]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 1
+
+    new_pdir = eng.store.postings_dir_for(1)
+    for b, files in old_inodes.items():
+        d = os.path.join(new_pdir, b)
+        new_inodes = {f: os.stat(os.path.join(d, f)).st_ino
+                      for f in os.listdir(d) if f.endswith(".parquet")}
+        # every old file carried over as a hardlink...
+        for f, ino in files.items():
+            assert new_inodes.get(f) == ino, f"{b}/{f} was rewritten"
+        # ...and the delta arrived as seg files (head buckets certainly)
+        seg_files = [f for f in new_inodes if f.startswith("seg1-")]
+        assert set(new_inodes) == set(files) | set(seg_files)
+
+    # scores identical to a from-scratch build over all 300
+    want = BM25Engine(spark, str(tmp_path / "w")).build(mk(rows[:300]), **CFG)
+    for q in QUERIES:
+        assert _r9(eng.topk(q, 10, method="wand")) == _r9(want.topk(q, 10, method="wand"))
+        assert _r9(eng.topk(q, 10, method="vectorized")) == _r9(want.topk(q, 10))
+    assert _term_stats(eng, spark) == _term_stats(want, spark)
+
+
+def test_segment_upsert_delete_scores_exact(spark, corpus, tmp_path):
+    """Upsert + delete via segment mode: only hit groups rebuild, and
+    scores match a fresh build over the logical corpus exactly."""
+    rows, mk = corpus
+    old = rows[:150]
+    victim = old[7]["url"]
+    changed = (old[3]["url"], "totally new replacement body semudo")
+    added = [(r["url"], r["text"]) for r in rows[150:200]]
+
+    eng = BM25Engine(spark, str(tmp_path / "u")).build(mk(old), **CFG)
+    eng.delete_urls([victim])
+    merge_append(spark, eng.store.root, mk([changed] + added), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+
+    want_corpus = ([r for r in old if r["url"] not in (victim, changed[0])]
+                   + [type(old[0])(url=changed[0], text=changed[1])]
+                   + [type(old[0])(url=u, text=t) for u, t in added])
+    want = BM25Engine(spark, str(tmp_path / "uw")).build(mk(want_corpus), **CFG)
+
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"]
+    assert eng.manifest["avgdl"] == pytest.approx(want.manifest["avgdl"], rel=1e-12)
+    assert _term_stats(eng, spark) == _term_stats(want, spark)
+    for q in QUERIES + ["replacement body"]:
+        assert _r9(eng.topk(q, 10, method="wand")) == _r9(want.topk(q, 10, method="wand"))
+        assert _r9(eng.topk(q, 10, method="bruteforce")) == _r9(want.topk(q, 10))
+
+
+def test_distributed_paths_see_segments(spark, corpus, tmp_path):
+    """query_batch and query_batch_wand over a segmented index match the
+    driver path and a fresh build."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "d")).build(mk(rows[:200]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[200:260]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+
+    batch = [{"query_id": i, "text": q} for i, q in enumerate(QUERIES)]
+    exhaustive = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+                  for r in eng.query_batch(batch, k=10).collect()}
+    wand = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+            for r in eng.query_batch_wand(batch, k=10).collect()}
+    assert exhaustive == wand
+    for i, q in enumerate(QUERIES):
+        driver = eng.topk(q, 10)
+        dist = [(exhaustive[(i, r)][0], exhaustive[(i, r)][1])
+                for r in range(1, len(driver) + 1)]
+        assert [(d, round(s, 9)) for d, s in driver] == dist
+
+
+def test_compact_restores_bit_identity(spark, corpus, tmp_path):
+    """build ⊕ segment-append ⊕ segment-append ⊕ compact == fresh build,
+    block for block."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "c")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:220]), mode="segment")
+    merge_append(spark, eng.store.root, mk(rows[220:300]), mode="segment")
+    compact_index(spark, eng.store.root)
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 3
+
+    want = BM25Engine(spark, str(tmp_path / "cw")).build(mk(rows[:300]), **CFG)
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"]
+    assert _rows(eng, spark) == _rows(want, spark)
+    assert _term_stats(eng, spark) == _term_stats(want, spark)
+
+
+def test_segment_resume_after_crash(spark, corpus, tmp_path):
+    """Crash mid-segment-merge, resume without re-supplying the delta;
+    result identical to an uninterrupted segment merge."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "r")).build(mk(rows[:150]), **CFG)
+    eng.delete_urls([rows[2]["url"]])  # force a rebuild bucket too
+    with pytest.raises(SimulatedMergeFailure):
+        merge_append(spark, eng.store.root, mk(rows[150:200]),
+                     mode="segment", fail_after_bucket=2)
+    assert BM25Engine(spark, eng.store.root).manifest["epoch"] == 0
+    merge_append(spark, eng.store.root, None, mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 1
+
+    want_corpus = [r for r in rows[:200] if r["url"] != rows[2]["url"]]
+    want = BM25Engine(spark, str(tmp_path / "rw")).build(mk(want_corpus), **CFG)
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"]
+    for q in QUERIES:
+        assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
