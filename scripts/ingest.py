@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""spark-submit entry point: incremental index maintenance.
+
+The reference exposes ingest / delete as HTTP endpoints
+(/root/reference/api/ingest.py:15-62, /root/reference/api/delete.py:11-31);
+this CLI is the batch-job analog over the same index:
+
+  # append / upsert a delta (Lucene-style segment: O(delta), default)
+  spark-submit scripts/ingest.py append --index IDX --input delta.parquet
+  # same, rebuilding every touched term group (bit-identical layout)
+  spark-submit scripts/ingest.py append --index IDX --input delta.parquet --mode rebuild
+  # tombstone documents by url (postings cleaned at the next merge/compact)
+  spark-submit scripts/ingest.py delete --index IDX --url https://a --url https://b
+  # fold all segments back to seg=0 + GC tombstones (compaction cadence)
+  spark-submit scripts/ingest.py compact --index IDX
+
+Also runnable directly with plain `python` for local use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _session(master: str | None):
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("super-rag-spark-ingest")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn16g")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.adaptive.enabled", "true")
+    )
+    if master:
+        builder = builder.master(master)
+        cores = master.split("[")[-1].rstrip("]")
+        if cores.isdigit():
+            builder = builder.config("spark.sql.shuffle.partitions", cores)
+    return builder.config("spark.sql.session.timeZone", "UTC").getOrCreate()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_app = sub.add_parser("append", help="append/upsert a delta corpus")
+    p_app.add_argument("--index", required=True)
+    p_app.add_argument("--input", required=True, help="delta parquet (url, text|html)")
+    p_app.add_argument("--from-html", action="store_true")
+    p_app.add_argument("--mode", choices=["segment", "rebuild"], default="segment")
+    p_app.add_argument("--master", default=None)
+
+    p_del = sub.add_parser("delete", help="tombstone documents by url")
+    p_del.add_argument("--index", required=True)
+    p_del.add_argument("--url", action="append", required=True)
+    p_del.add_argument("--master", default=None)
+
+    p_cmp = sub.add_parser("compact", help="fold segments to seg=0, GC tombstones")
+    p_cmp.add_argument("--index", required=True)
+    p_cmp.add_argument("--master", default=None)
+
+    args = ap.parse_args()
+    spark = _session(args.master)
+    t0 = time.time()
+    try:
+        if args.cmd == "append":
+            from super_rag_spark.index.merge import merge_append
+
+            delta = spark.read.parquet(args.input)
+            store = merge_append(
+                spark, args.index,
+                delta.select("url", "html" if args.from_html else "text"),
+                text_is_extracted=not args.from_html, mode=args.mode)
+            m = store.read_manifest()
+            print(json.dumps({"event": "appended", "mode": args.mode,
+                              "epoch": m["epoch"], "n_docs": m["n_docs"],
+                              "elapsed_sec": round(time.time() - t0, 3)}))
+        elif args.cmd == "delete":
+            from super_rag_spark.query.engine import BM25Engine
+
+            n = BM25Engine(spark, args.index).delete_urls(args.url)
+            print(json.dumps({"event": "deleted", "n_tombstoned": n,
+                              "elapsed_sec": round(time.time() - t0, 3)}))
+        else:
+            from super_rag_spark.index.merge import compact_index
+
+            store = compact_index(spark, args.index)
+            m = store.read_manifest()
+            print(json.dumps({"event": "compacted", "epoch": m["epoch"],
+                              "n_docs": m["n_docs"],
+                              "elapsed_sec": round(time.time() - t0, 3)}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

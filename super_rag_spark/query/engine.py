@@ -218,16 +218,25 @@ class BM25Engine:
         return total
 
     def _tombstone_set(self):
-        """Pending tombstones as a sorted int64 array (np.isin-ready)."""
+        """Pending tombstones as a sorted int64 array (np.isin-ready).
+        Cached per (epoch, dir listing): delete_urls appends a new file,
+        so the listing signature is a cheap staleness check — queries
+        between deletes never re-read the parquet."""
         import numpy as np
 
         d = self.store.tombstones_dir_for(int(self.manifest["epoch"]))
         if not os.path.isdir(d):
             return np.empty(0, dtype=np.int64)
+        sig = (d, tuple(sorted(os.listdir(d))))
+        cached = getattr(self, "_tomb_cache", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1]
         dataset = ds.dataset(d, format="parquet")
         arr = dataset.to_table(columns=["doc_id"])["doc_id"].to_numpy(
             zero_copy_only=False).astype(np.int64)
-        return np.unique(arr)
+        arr = np.unique(arr)
+        self._tomb_cache = (sig, arr)
+        return arr
 
     def topk(self, query: str, k: int = 10, use_wand: bool | None = None,
              method: str = "vectorized") -> list[tuple[int, float]]:
