@@ -361,8 +361,14 @@ def merge_append(spark: SparkSession, index_dir: str,
             "n_docs long, avgdl double, total_tokens long"),
         store.corpus_stats_dir_for(epoch))
 
-    # term_stats: hardlink untouched buckets' partitions, recompute the
-    # changed ones from the new block metadata (no decode)
+    # term_stats: hardlink untouched buckets' partitions; buckets that
+    # LOST postings (removal hits) recompute from the new block metadata
+    # (no decode); buckets that only GAINED postings (pure segment
+    # appends — every bucket of a streaming micro-batch) fold the
+    # STAGING delta into the old term_stats table instead: df_new =
+    # df_old + df_staging. That scan is O(delta metadata + old
+    # term_stats), never O(merged block metadata) — at 10^12 docs the
+    # block-metadata table is ~block_size x larger than term_stats.
     ts_new = store.term_stats_dir_for(epoch)
     os.makedirs(ts_new, exist_ok=True)
     ts_old = store.term_stats_dir_for(old_epoch)
@@ -370,8 +376,13 @@ def merge_append(spark: SparkSession, index_dir: str,
         src = os.path.join(ts_old, f"bucket={b}")
         if b not in stats_buckets and os.path.isdir(src):
             _hardlink_tree(src, os.path.join(ts_new, f"bucket={b}"))
-    write_term_stats_and_lineage(spark, store, phase="merge_stats",
-                                 epoch=epoch, buckets=sorted(stats_buckets))
+    hit_buckets = sorted(set(removal_hits) & stats_buckets)
+    gain_only = sorted(stats_buckets - set(removal_hits)) if segment else []
+    write_term_stats_and_lineage(
+        spark, store, phase="merge_stats", epoch=epoch,
+        buckets=hit_buckets if segment else sorted(stats_buckets))
+    if gain_only:
+        _fold_term_stats_delta(spark, store, sstore, epoch, old_epoch, gain_only)
 
     manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
     if stream_batch_id is not None:
@@ -382,6 +393,32 @@ def merge_append(spark: SparkSession, index_dir: str,
     # gc_stale_epochs call)
     store.gc_stale_epochs()
     return store
+
+
+def _fold_term_stats_delta(spark: SparkSession, store: IndexStorage,
+                           sstore: IndexStorage, epoch: int, old_epoch: int,
+                           buckets: list[int]) -> None:
+    """term_stats for buckets that only GAINED postings in a segment
+    merge: df_new = df_old (+) df_staging, an outer sum of the old
+    term_stats table with the STAGING block metadata — the merged
+    index's (much larger) block-metadata table is never scanned."""
+    delta = (sstore.postings(spark, 0)
+             .where(F.col("bucket").isin(buckets))
+             .groupBy("bucket", "term_id").agg(F.sum("n").alias("df")))
+    old_ts = (store.term_stats(spark, old_epoch)
+              .where(F.col("bucket").isin(buckets))
+              .select("bucket", "term_id", "df"))
+    merged = (old_ts.unionByName(delta)
+              .groupBy("bucket", "term_id").agg(F.sum("df").alias("df")))
+    (merged.repartition("bucket").sortWithinPartitions("term_id")
+     .select("term_id", "df", "bucket")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(store.term_stats_dir_for(epoch)))
+    store.append_lineage(spark, [
+        {"bucket": b, "phase": "merge_stats", "epoch": epoch,
+         "n_terms": -1, "n_blocks": -1, "n_postings": -1,
+         "status": "committed"} for b in buckets])
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
