@@ -11,6 +11,13 @@ vector DBs; here it's native DataFrame compute:
   signature -> bucket equi-join -> exact re-rank inside buckets only.
   Planes are derived deterministically from md5, so signatures are
   reproducible across runs and engines.
+- IVF-Flat variant (coarse quantizer): centroids are a deterministic
+  md5-ranked sample of the corpus; every vector is assigned to its
+  nearest centroid (one pass, broadcast-literal argmax — NO shuffle),
+  queries probe the nprobe nearest cells and re-rank exactly inside
+  them. At 10^12 rows the probed cells hold ~nprobe/n_centroids of the
+  corpus, and the cell assignment doubles as a partition key for
+  locality. nprobe = n_centroids degrades gracefully to the exact scan.
 """
 
 from __future__ import annotations
@@ -50,6 +57,81 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Deterministic coarse quantizer: the ``n_centroids`` vectors whose
+    md5(id-as-string) sorts lowest — a uniform, engine-independent
+    sample (k-means seeds without the iteration, so the oracle can
+    reproduce them in SQL). Returns [(cid, [float, ...])]."""
+    rows = (embeddings
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect())
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def _centroid_cos(vec_col, cvec: list):
+    """round(cosine(vec, literal centroid), 6): rounding makes the
+    argmax comparable across engines (float sum order differs between
+    Spark's ordered aggregate and DuckDB's group sum)."""
+    return F.round(
+        cosine_expr(vec_col, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+
+
+def ivf_assign_col(vec_col, centroids: list):
+    """Nearest-centroid cell id as a pure column expression (broadcast
+    literals, no join, no shuffle): argmax over (rounded cosine, -cid)
+    structs — ties go to the lowest centroid id."""
+    structs = [
+        F.struct(_centroid_cos(vec_col, cvec).alias("c"),
+                 F.lit(-cid).alias("n"))
+        for cid, cvec in centroids
+    ]
+    return -F.greatest(*structs).getField("n")
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat approximate cosine top-k.
+
+    Plan: one corpus pass stamps each vector's cell (literal argmax,
+    shuffle-free) -> the query side ranks centroids and keeps its
+    ``nprobe`` nearest cells (tiny: |queries| x n_centroids rows) ->
+    broadcast equi-join on cell restricts the exact re-rank to the
+    probed cells. Returns (query_id, rank, vec_id, cosine)."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = embeddings.select(
+        id_col, vec_col, ivf_assign_col(F.col(vec_col), cents).alias("cell"))
+
+    probes = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                F.explode(F.array(*[
+                    F.struct(F.lit(cid).alias("cell"),
+                             _centroid_cos(F.col(vec_col), cvec).alias("ccos"))
+                    for cid, cvec in cents])).alias("p"))
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"),
+                F.col("p.ccos").alias("ccos"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (probes.withColumn("pr", F.row_number().over(wp))
+              .where(F.col("pr") <= nprobe)
+              .select("query_id", "qvec", "cell"))
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("vec_id"),
+                F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "cosine"))
 

@@ -642,6 +642,70 @@ def ann_lsh(spark, sf_dir):
                     "rank", "vec_id", "cosine"))
 
 
+@_q("ann_ivf_topk", f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+),
+cflat AS (SELECT c.cid, f.i, f.v FROM cents c JOIN flat f ON f.vec_id = c.cid),
+ccos AS (
+  SELECT f.vec_id, c.cid,
+         round(sum(f.v * c.v)
+               / (sqrt(sum(f.v * f.v)) * sqrt(sum(c.v * c.v))), 6) AS c
+  FROM flat f JOIN cflat c USING (i)
+  GROUP BY f.vec_id, c.cid
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+    FROM ccos) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid) AS rn
+    FROM ccos WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)}))
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probe p USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+pairdot AS (
+  SELECT c.query_id, c.vec_id,
+         sum(e.v * q.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(q.v * q.v)) AS nq
+  FROM cand c
+  JOIN flat e ON e.vec_id = c.vec_id
+  JOIN flat q ON q.vec_id = c.query_id AND q.i = e.i
+  GROUP BY c.query_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(dot / (ne * nq), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (ne * nq), 6) DESC, vec_id) AS rank
+  FROM pairdot
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 5
+""")
+def ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (ann.ivf_topk): deterministic md5-sampled centroids,
+    shuffle-free nearest-cell assignment (broadcast-literal argmax over
+    ROUNDED cosines so Spark's ordered fold and DuckDB's group sum agree),
+    nprobe=4 of 16 cells probed, exact re-rank inside them."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (ann.ivf_topk(emb, ANN_QUERY_IDS, k=5, n_centroids=16, nprobe=4)
+            .select(F.col("query_id").cast("long").alias("query_id"),
+                    "rank", "vec_id", "cosine"))
+
+
 # ---- generic relational operators over the TPC-H-ish tables ---------------
 # (SURVEY.md §2 mappings: A2 ordered concat, §2.5 windows, J2 broadcast
 # join, A6 order-preserving dedup, P filters/projections, F8 json)

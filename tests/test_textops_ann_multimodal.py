@@ -118,6 +118,28 @@ def test_ann_exact_vs_lsh_recall(spark, tmp_path):
     assert hits >= 1  # at least some overlap on 500 vectors
 
 
+def test_ann_ivf_exact_when_probing_all_cells(spark):
+    """nprobe = n_centroids probes every cell -> IVF degrades to the
+    exact scan; recall at nprobe=4/16 must stay useful on real vectors."""
+    from super_rag_spark.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in cosine_topk(emb, [0, 1, 2], k=5).collect()}
+    full_probe = {(r["query_id"], r["rank"]): r["vec_id"]
+                  for r in ivf_topk(emb, [0, 1, 2], k=5, n_centroids=16,
+                                    nprobe=16).collect()}
+    assert full_probe == exact
+
+    exact_sets = {}
+    for (qid, _), vid in exact.items():
+        exact_sets.setdefault(qid, set()).add(vid)
+    approx = ivf_topk(emb, [0, 1, 2], k=5, n_centroids=16, nprobe=4).collect()
+    hits = sum(1 for r in approx
+               if r["vec_id"] in exact_sets.get(r["query_id"], set()))
+    assert hits >= 5  # >= 1/3 recall@5 over 3 queries on random vectors
+
+
 def test_multimodal_plumbing(spark):
     from super_rag_spark.multimodal import (image_metadata, sample_frames,
                                             synth_assets)
