@@ -224,6 +224,20 @@ def dedup_exact(spark, sf_dir):
     return textops.exact_dup_groups(_docs(spark, sf_dir))
 
 
+@_q("token_counts", r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::INT AS bpe_tokens,
+       round(length(text) / greatest(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')), 1), 6) AS chars_per_bpe_token
+FROM documents
+""")
+def token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting (textops.token_counts):
+    the same ERE pattern evaluated by Spark's Java regex and DuckDB's
+    RE2, so counts must match token for token."""
+    return textops.token_counts(_docs(spark, sf_dir))
+
+
 # Planted near-duplicates: the raw documents table is random text with
 # no near-dup pairs, which made similarity entries pass vacuously
 # (0 rows == 0 rows). Both engines augment the SAME bounded slice with
@@ -1017,7 +1031,7 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
     eng = BM25Engine(spark, idx_dir)
     manifest_ok = False
     if os.path.exists(os.path.join(idx_dir, "manifest.json")):
-        manifest_ok = eng.store.read_manifest().get("version") == 3
+        manifest_ok = eng.store.read_manifest().get("version") == 4
         if not manifest_ok:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)

@@ -270,6 +270,25 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token accounting for a training pipeline, dependency-free:
+    whitespace tokens + a BPE-ish pretokenizer regex (letter runs,
+    SINGLE digits, single punctuation — the GPT-2-style split shape)
+    + chars-per-token. The regex is plain ERE so the exact same pattern
+    runs in Spark (Java regex) and the DuckDB oracle (RE2)."""
+    bpe_pat = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(bpe_pat), F.lit(0)))
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != F.lit("")))
+    return df.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length(text_col) / F.greatest(bpe, F.lit(1)), 6)
+        .alias("chars_per_bpe_token"),
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 over the token stream (robust
     to whitespace/case variation, unlike raw-text md5)."""
