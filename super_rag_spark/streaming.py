@@ -29,6 +29,39 @@ from .index.merge import merge_append
 WEBTEXT_SCHEMA_DDL = ("url string, warc_ts timestamp, html binary, "
                       "text string, lang string")
 
+EVENTS_SCHEMA_DDL = ("event_id long, ts timestamp, user_id long, "
+                     "event_type string, value double, props string")
+
+
+def stream_event_windows(spark: SparkSession, input_dir: str,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours"):
+    """Watermarked tumbling-window aggregation over an event stream —
+    the late-data streaming analog of the batch `events_by_hour`
+    operator (contract.py): events later than ``watermark`` behind the
+    max seen ts are dropped, closed windows emit finalized counts.
+
+    Returns the unsunk streaming DataFrame
+    (window_start, window_end, event_type, n_events, total_value);
+    callers attach writeStream (tests use a memory sink with
+    availableNow; production appends to an Iceberg table). State is
+    bounded by the watermark horizon — this is the shape that runs
+    indefinitely at cluster scale, not a collect-and-regroup loop."""
+    s = (spark.readStream.schema(EVENTS_SCHEMA_DDL)
+         .option("maxFilesPerTrigger", 8)
+         .parquet(input_dir))
+    from pyspark.sql import functions as F
+
+    return (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
 
 def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   checkpoint_dir: str | None = None,

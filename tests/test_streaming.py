@@ -34,3 +34,41 @@ def test_stream_ingest_matches_batch_build(spark, webtext_sf0001_path, tmp_path)
     want = BM25Engine(spark, str(tmp_path / "want")).build(want_df, n_buckets=8)
     for query in ["semudo muro", "fuboname", "zibapevi"]:
         assert eng.topk(query, 10) == want.topk(query, 10)
+
+
+def test_stream_event_windows_matches_batch(spark, tmp_path):
+    """Watermarked windowed aggregation over an event stream equals the
+    batch groupBy(window) over the same events once the stream drains
+    (complete mode; append-mode finalization depends on watermark
+    advancement across micro-batches, which a finite fixture can't pin
+    deterministically)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.streaming import stream_event_windows
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    in_dir = tmp_path / "events_in"
+    in_dir.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(in_dir / "drop0.parquet"))
+    pq.write_table(tbl.slice(half), str(in_dir / "drop1.parquet"))
+
+    agg = stream_event_windows(spark, str(in_dir))
+    q = (agg.writeStream.format("memory").queryName("evw")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.table("evw").collect()}
+    want = {tuple(r) for r in (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+        .collect())}
+    assert got == want and len(got) > 0
