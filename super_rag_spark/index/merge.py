@@ -81,7 +81,8 @@ def merge_append(spark: SparkSession, index_dir: str,
                  text_is_extracted: bool = True,
                  fail_after_bucket: int | None = None,
                  stream_batch_id: int | None = None,
-                 mode: str = "rebuild") -> IndexStorage:
+                 mode: str = "rebuild",
+                 removed_driver_max: int = 2_000_000) -> IndexStorage:
     """Append/upsert ``new_docs_df`` (url, text|html) into an existing
     index, consuming pending tombstones.
 
@@ -151,15 +152,23 @@ def merge_append(spark: SparkSession, index_dir: str,
         stg_ds.select("doc_id"), "doc_id", "left_semi")
     removed = upserts if tomb is None else upserts.unionByName(
         tomb.select("doc_id")).distinct()
-    removed_pdf = removed.toPandas()  # tombstones + upserts: delta-sized
-    removed_small = (
-        spark.createDataFrame(removed_pdf) if len(removed_pdf)
-        else None)
+    # tombstones + upserts are normally delta-sized -> a driver-local
+    # frame broadcasts cleanly; a BULK delete (say, half the corpus)
+    # must never be collected, so above the threshold the removed set
+    # stays a distributed frame (joins below fall back to shuffle joins
+    # and the per-bucket hit probe keeps only its broadcast of term hits)
+    n_removed = removed.count()
+    removed_small = None
+    if 0 < n_removed <= removed_driver_max:  # default ~16 MB of int64 ids
+        removed_small = F.broadcast(
+            spark.createDataFrame(removed.toPandas()))
+    elif n_removed:
+        removed_small = removed  # distributed; Catalyst picks the join
 
     # merged doc stats -> new global N / avgdl (manifest + corpus_stats)
     ds_merged = old_ds
     if removed_small is not None:
-        ds_merged = ds_merged.join(F.broadcast(removed_small), "doc_id", "left_anti")
+        ds_merged = ds_merged.join(removed_small, "doc_id", "left_anti")
     ds_merged = ds_merged.unionByName(stg_ds)
     st = ds_merged.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
                        F.sum("dl").alias("tot")).collect()[0]
@@ -173,10 +182,17 @@ def merge_append(spark: SparkSession, index_dir: str,
     #    range probe, broadcast join, no decode; false positives only
     #    cost a no-op re-encode of identical postings).
     removal_hits: dict[int, list[int]] = {}  # bucket -> removal-hit term_ids
-    if removed_small is not None and os.path.isdir(store.postings_dir_for(old_epoch)):
+    bulk_removal = n_removed > removed_driver_max
+    if bulk_removal:
+        # a bulk delete touches essentially every group: skip the probe
+        # (its non-equi join only works broadcast) and rebuild every
+        # bucket outright — this IS a compaction, and it costs O(index)
+        # because the logical change is O(index)
+        removal_hits = {b: [] for b in range(n_buckets)}
+    elif removed_small is not None and os.path.isdir(store.postings_dir_for(old_epoch)):
         meta = (store.postings(spark, old_epoch)
                 .select("bucket", "term_id", "first_doc_id", "last_doc_id"))
-        hits = (meta.join(F.broadcast(removed_small),
+        hits = (meta.join(removed_small,
                           (meta["first_doc_id"] <= F.col("doc_id"))
                           & (meta["last_doc_id"] >= F.col("doc_id")))
                 .select("bucket", "term_id").distinct().collect())
@@ -270,16 +286,22 @@ def merge_append(spark: SparkSession, index_dir: str,
         keep = None
         if old_parts:
             old_blocks = read_buckets(old_root, old_parts)
-            keep = old_blocks.join(F.broadcast(rebuild_terms),
-                                   "term_id", "left_anti")
-            dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
-                                       "term_id", "left_semi")
-                       .drop("bucket")
-                       .mapInPandas(decode_postings_map_in_pandas,
-                                    schema=DECODED_SCHEMA))
+            if bulk_removal:
+                # every group may lose postings: decode them all, no
+                # carry-over (compaction-style rebuild of this wave)
+                dec_old = (old_blocks.drop("bucket")
+                           .mapInPandas(decode_postings_map_in_pandas,
+                                        schema=DECODED_SCHEMA))
+            else:
+                keep = old_blocks.join(F.broadcast(rebuild_terms),
+                                       "term_id", "left_anti")
+                dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
+                                           "term_id", "left_semi")
+                           .drop("bucket")
+                           .mapInPandas(decode_postings_map_in_pandas,
+                                        schema=DECODED_SCHEMA))
             if removed_small is not None:
-                dec_old = dec_old.join(F.broadcast(removed_small),
-                                       "doc_id", "left_anti")
+                dec_old = dec_old.join(removed_small, "doc_id", "left_anti")
             parts.append(dec_old)
         if stg_parts:
             parts.append(read_buckets(stg_root, stg_parts).drop("bucket").mapInPandas(

@@ -94,6 +94,27 @@ def test_stream_batch_id_exactly_once(spark, base_rows, tmp_path):
     assert m3["n_docs"] == 90 and m3["stream_batch_id"] == 8
 
 
+def test_bulk_removal_path_bit_identical(spark, base_rows, tmp_path):
+    """removed_driver_max=0 forces the BULK-removal branch (removed set
+    stays distributed, no probe, every bucket rebuilds): the result must
+    still be bit-identical to a fresh build over the logical corpus."""
+    mk = lambda rs: spark.createDataFrame(rs, "url string, text string")
+    old = base_rows[:100]
+    victims = [old[2]["url"], old[9]["url"]]
+    added = [(r["url"], r["text"]) for r in base_rows[100:115]]
+
+    eng = BM25Engine(spark, str(tmp_path / "blk")).build(mk(old), **CFG)
+    eng.delete_urls(victims)
+    merge_append(spark, eng.store.root, mk(added), removed_driver_max=0)
+    eng = BM25Engine(spark, eng.store.root)
+
+    want_corpus = ([r for r in old if r["url"] not in victims]
+                   + [type(old[0])(url=u, text=t) for u, t in added])
+    want = BM25Engine(spark, str(tmp_path / "blkw")).build(mk(want_corpus), **CFG)
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"]
+    assert _rows(want, spark) == _rows(eng, spark)
+
+
 def test_merge_hardlinks_untouched_buckets(spark, tmp_path):
     """O(delta): a one-term delta must rewrite only that term's bucket;
     every other bucket's files carry over as HARDLINKS of the old
