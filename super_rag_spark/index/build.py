@@ -312,7 +312,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         "engine": "super_rag_spark", "version": 4,  # 3 = stats-free blocks; 4 = +seg column
         "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
         "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
-        "n_docs": n_docs, "avgdl": avgdl, "epoch": 0,
+        "n_docs": n_docs, "avgdl": avgdl, "epoch": 0, "seg": seg,
         "tokenizer": "[a-z0-9]+ lowercase",
     })
     return store

@@ -131,15 +131,35 @@ def merge_append(spark: SparkSession, index_dir: str,
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 
-    # 1. staging build (idempotent: skipped when its manifest exists)
+    # 1. staging build (idempotent: skipped when its manifest exists —
+    #    unless it was built by a crashed run of the OTHER mode, whose
+    #    blocks carry the wrong seg stamp)
     staging = _staging_dir(store, epoch)
     sstore = IndexStorage(staging)
+    want_seg = epoch if segment else 0
+    if os.path.exists(sstore.manifest_path):
+        if int(sstore.read_manifest().get("seg", 0)) != want_seg:
+            if new_docs_df is None:
+                raise ValueError(
+                    f"staging at {staging} was built for mode="
+                    f"{'rebuild' if segment else 'segment'}; resume with "
+                    "that mode or re-supply new_docs_df to rebuild staging")
+            # the crashed run may have committed buckets of the other
+            # mode into the target epoch: wipe its partial output and
+            # lineage so this run starts the epoch clean
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
+            if os.path.isdir(store.lineage_dir):
+                for name in os.listdir(store.lineage_dir):
+                    if name.startswith(f"merge-epoch{epoch}-") or \
+                            name.startswith(f"merge_stats-epoch{epoch}-"):
+                        os.remove(os.path.join(store.lineage_dir, name))
     if not os.path.exists(sstore.manifest_path):
         if new_docs_df is None:
             raise ValueError("no staging index found and no new_docs_df given")
         build_index(spark, new_docs_df, staging,
                     text_is_extracted=text_is_extracted, staging=True,
-                    seg=epoch if segment else 0, **cfg)
+                    seg=want_seg, **cfg)
 
     # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
     #    Applied to OLD-epoch rows only: the staging (newest) version of

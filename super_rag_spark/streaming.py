@@ -67,7 +67,8 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   checkpoint_dir: str | None = None,
                   available_now: bool = True,
                   mode: str = "segment",
-                  compact_every: int | None = None):
+                  compact_every: int | None = None,
+                  max_files_per_trigger: int = 8):
     """Fold every new parquet file in ``input_dir`` into the index.
 
     ``mode="segment"`` (default): each micro-batch lands as a new
@@ -84,7 +85,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
 
     stream = (
         spark.readStream.schema(WEBTEXT_SCHEMA_DDL)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     folded = {"n": 0}

@@ -169,3 +169,24 @@ def test_segment_resume_after_crash(spark, corpus, tmp_path):
     assert eng.manifest["n_docs"] == want.manifest["n_docs"]
     for q in QUERIES:
         assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
+
+
+def test_mode_mismatch_resume_restarts_epoch(spark, corpus, tmp_path):
+    """A merge crashed in one mode and resumed with new_docs_df in the
+    other must wipe the stale staging/partial epoch and still land
+    score-exact; resuming WITHOUT the delta raises instead."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "mm")).build(mk(rows[:150]), **CFG)
+    delta = mk(rows[150:200])
+    with pytest.raises(SimulatedMergeFailure):
+        merge_append(spark, eng.store.root, delta,
+                     mode="rebuild", fail_after_bucket=1)
+    with pytest.raises(ValueError):
+        merge_append(spark, eng.store.root, None, mode="segment")
+    merge_append(spark, eng.store.root, delta, mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 1 and eng.manifest["n_docs"] == 200
+
+    want = BM25Engine(spark, str(tmp_path / "mmw")).build(mk(rows[:200]), **CFG)
+    for q in QUERIES:
+        assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))

@@ -72,3 +72,45 @@ def test_stream_event_windows_matches_batch(spark, tmp_path):
                 "event_type", "n_events", "total_value")
         .collect())}
     assert got == want and len(got) > 0
+
+
+def test_stream_with_compaction_cadence_bit_identical(spark, webtext_sf0001_path, tmp_path):
+    """Segment-mode streaming with compact_every=2: after the stream
+    drains, the index has been folded back to seg=0 and is BIT-IDENTICAL
+    to a batch build over everything (not just score-equal)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.query.engine import BM25Engine
+    from super_rag_spark.streaming import stream_ingest
+
+    tbl = pq.read_table(webtext_sf0001_path).select(
+        ["url", "warc_ts", "html", "text", "lang"]).slice(0, 200)
+    seed = tbl.slice(0, 100)
+    in_dir = tmp_path / "inc"
+    in_dir.mkdir()
+    idx_dir = str(tmp_path / "idx")
+    eng = BM25Engine(spark, idx_dir).build(
+        spark.createDataFrame(seed.to_pandas()[["url", "text"]]), n_buckets=8)
+    for i in range(2):
+        pq.write_table(tbl.slice(100 + 50 * i, 50), str(in_dir / f"d{i}.parquet"))
+    # one file per micro-batch so two batches fold before the compaction
+    q = stream_ingest(spark, str(in_dir), idx_dir, available_now=True,
+                      mode="segment", compact_every=2,
+                      max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    eng = BM25Engine(spark, idx_dir)
+    assert eng.manifest["n_docs"] == 200
+    segs = {r["seg"] for r in
+            eng.store.postings(spark).select("seg").distinct().collect()}
+    assert segs == {0}
+
+    want = BM25Engine(spark, str(tmp_path / "want")).build(
+        spark.createDataFrame(tbl.to_pandas()[["url", "text"]]), n_buckets=8)
+    cols = ["term_id", "salt", "block_id", "n", "first_doc_id", "last_doc_id",
+            "docs_enc", "tfs_enc", "dls_enc", "block_max_tf", "block_min_dl",
+            "bucket"]
+    rows = lambda e: sorted(tuple(r) for r in
+                            e.store.postings(spark).select(*cols).collect())
+    assert rows(eng) == rows(want)
