@@ -188,6 +188,16 @@ def main() -> int:
         extra["append_n_docs"] = n_delta
         extra["append_frac_of_build"] = round(comp["append_delta"] / comp["build_sf"], 3)
 
+        # slope evidence: a 4x delta must cost << 4x (fixed job overhead
+        # dominates the small append) and nothing like an index rebuild
+        delta4 = (spark.read.parquet(warm_path).limit(4000)
+                  .select(F.concat(F.lit("delta4://"), F.col("url")).alias("url"),
+                          "text"))
+        delta4.count()
+        t0 = time.time()
+        merge_append(spark, idx_dir, delta4, mode="segment")
+        comp["append_delta_4x"] = round(time.time() - t0, 3)
+
         eng = BM25Engine(spark, idx_dir)  # fresh caches at the new epoch
         eng.warm()
         lat = []

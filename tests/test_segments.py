@@ -190,3 +190,35 @@ def test_mode_mismatch_resume_restarts_epoch(spark, corpus, tmp_path):
     want = BM25Engine(spark, str(tmp_path / "mmw")).build(mk(rows[:200]), **CFG)
     for q in QUERIES:
         assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
+
+
+def test_pending_tombstones_over_segments(spark, corpus, tmp_path):
+    """delete_urls AFTER a segment append (no merge yet): lazy tombstones
+    must hide docs living in the OLD segment and the NEW one alike, on
+    the driver path and both distributed paths."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "pt")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:220]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    victims = [rows[5]["url"], rows[160]["url"]]  # one per segment
+    eng.delete_urls(victims)
+
+    want_corpus = [r for r in rows[:220] if r["url"] not in victims]
+    want = BM25Engine(spark, str(tmp_path / "ptw")).build(mk(want_corpus), **CFG)
+
+    for q in QUERIES:
+        assert _r9(eng.topk(q, 10)) != []  # sanity: queries still hit
+        got_ids = [d for d, _ in eng.topk(q, 10)]
+        want_ids = [d for d, _ in want.topk(q, 10)]
+        # n_docs/avgdl still count tombstoned docs until the next merge
+        # (lazy delete semantics), so scores shift; the HIT SET must
+        # already exclude the victims on every path
+        from super_rag_spark.analysis import doc_id_for_url
+        dead = {doc_id_for_url(u) for u in victims}
+        assert not (set(got_ids) & dead)
+        batch = [{"query_id": 0, "text": q}]
+        for res in (eng.query_batch(batch, k=10),
+                    eng.query_batch_wand(batch, k=10)):
+            ids = {r["doc_id"] for r in res.collect()}
+            assert not (ids & dead)
+        assert set(got_ids) <= set(want_ids) | dead  # no resurrected docs
