@@ -31,6 +31,12 @@ def main() -> int:
     ap.add_argument("--distributed-wand", action="store_true",
                     help="distributed block-max WAND (one task per query)")
     ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--where", default=None,
+                    help="Qdrant-style dict filter as JSON (reference "
+                         "query-API parity); requires --meta")
+    ap.add_argument("--meta", default=None,
+                    help="parquet of doc metadata with a doc_id column "
+                         "(the filter's target table)")
     ap.add_argument("--master", default="local[4]")
     args = ap.parse_args()
 
@@ -46,7 +52,20 @@ def main() -> int:
              .getOrCreate())
     eng = BM25Engine(spark, args.index)
 
-    if args.query is not None:
+    if args.query is not None and args.where is not None:
+        if not args.meta:
+            ap.error("--where requires --meta")
+        t0 = time.time()
+        rows = eng.search(args.query, k=args.k,
+                          docs_meta=spark.read.parquet(args.meta),
+                          where=json.loads(args.where)).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "where": json.loads(args.where),
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
+                                    "score": round(r["score"], 6)}
+                                   for r in rows]}))
+    elif args.query is not None:
         t0 = time.time()
         hits = eng.topk(args.query, args.k, use_wand=not args.no_wand)
         ms = (time.time() - t0) * 1e3
