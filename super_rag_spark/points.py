@@ -34,6 +34,53 @@ def source_type_expr(url_col: str = "url"):
     return F.coalesce(mapping.getItem(ext), expr).alias("source_type")
 
 
+# the reference's STRUCTURED_DATA mimetypes (xlsx/csv/json,
+# /root/reference/service/router.py:15-19) expressed as source_types
+STRUCTURED_SOURCE_TYPES = ["XLSX", "CSV", "JSON"]
+
+CODE_BLOCK_PATTERN = r"(?s)```(?:python)?(.*?)```"
+
+
+def is_structured_expr(source_type_col="source_type"):
+    """P5: the structured-filetype predicate that gates interpreter mode
+    (/root/reference/service/router.py:51-53)."""
+    return F.col(source_type_col).isin(STRUCTURED_SOURCE_TYPES)
+
+
+def extract_code_block(text: str) -> str:
+    """F10: first fenced code block, python tag optional — mirror of
+    CodeInterpreterService.extract_code
+    (/root/reference/service/code_interpreter.py:132-137)."""
+    import re
+
+    matches = re.findall(r"```(?:python)?(.*?)```", text, re.DOTALL)
+    return matches[0].strip() if matches else ""
+
+
+def code_block_expr(text_col="content"):
+    """F10 as a column: (?s) replaces re.DOTALL in Java regex, and the
+    regex whitespace trim matches Python str.strip() (Spark's trim()
+    strips spaces only, not newlines)."""
+    block = F.regexp_extract(F.col(text_col), CODE_BLOCK_PATTERN, 1)
+    return F.regexp_replace(F.regexp_replace(block, r"^\s+", ""), r"\s+$", "")
+
+
+def route_interpreter(chunks_df: DataFrame, interpreter_mode: bool) -> DataFrame:
+    """The routing DECISION of the reference's interpreter branch
+    (/root/reference/service/router.py:55-69): marks rows where a
+    structured source + interpreter_mode would divert the query to the
+    code sandbox. The sandbox execution itself (LLM code-gen + e2b,
+    code_interpreter.py:139-167) is out of scope per the north rule —
+    this returns the flag so a caller can partition the batch, exactly
+    where the reference calls CodeInterpreterService."""
+    df = chunks_df
+    if "source_type" not in df.columns:
+        df = df.withColumn("source_type", source_type_expr("url"))
+    return df.withColumn(
+        "use_interpreter",
+        is_structured_expr() & F.lit(bool(interpreter_mode)))
+
+
 def chunks_to_points(chunks_df: DataFrame) -> DataFrame:
     """P10 forward: chunk row -> (id, payload map<string,string>).
     Everything stringified, like the reference's vector-DB metadata."""

@@ -33,3 +33,39 @@ def test_try_cast_coercion_guards(spark):
     assert row["doc_id"] is None  # isdigit-guard analog
     assert row["chunk_index"] == 7
     assert row["token_count"] is None
+
+
+def test_interpreter_gating_and_code_block(spark):
+    """P5 structured-filetype predicate + F10 code-block regex (Spark
+    expr == Python mirror == reference semantics)."""
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.points import (code_block_expr, extract_code_block,
+                                        route_interpreter)
+
+    rows = [
+        ("https://a/data.csv", "q1"),
+        ("https://a/book.xlsx", "q2"),
+        ("https://a/feed.json", "q3"),
+        ("https://a/page.html", "q4"),
+        ("https://a/doc.pdf", "q5"),
+    ]
+    df = spark.createDataFrame(rows, "url string, content string")
+    flags = {r["url"].rsplit(".", 1)[1]: r["use_interpreter"]
+             for r in route_interpreter(df, interpreter_mode=True).collect()}
+    assert flags == {"csv": True, "xlsx": True, "json": True,
+                     "html": False, "pdf": False}
+    off = route_interpreter(df, interpreter_mode=False).collect()
+    assert not any(r["use_interpreter"] for r in off)
+
+    texts = [
+        "x\n```python\nprint(1)\nprint(2)\n```\ntail",
+        "```\nplain fence\n```",
+        "no fence at all",
+    ]
+    want = [extract_code_block(t) for t in texts]
+    assert want[0] == "print(1)\nprint(2)" and want[1] == "plain fence" and want[2] == ""
+    got = [r["c"] for r in
+           spark.createDataFrame([(t,) for t in texts], "content string")
+           .select(code_block_expr("content").alias("c")).collect()]
+    assert got == want
