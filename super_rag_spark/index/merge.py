@@ -35,9 +35,14 @@ at finalize; a replayed micro-batch (same or older id) is a no-op, so
 the Spark streaming checkpoint and the index can never double-apply a
 batch (streaming.py).
 
-Scale: one bucket = one bounded Spark job over two partition
-directories; buckets are independent, so a cluster runs them as one
-job over the bucket dimension or as parallel driver submissions.
+Scale: changed buckets are rebuilt in WAVES (one Spark job per ~n/16
+buckets — per-bucket jobs drown small deltas in fixed scheduling cost),
+lineage still commits per bucket. mode="segment" (Lucene-style) skips
+group rebuilds entirely for pure appends: the delta's blocks land as a
+new segment next to the old files, and compact_index() folds segments
+back to seg=0 on the compaction cadence. Bulk removals (above the
+driver threshold) switch to a distributed removed-set and rebuild every
+bucket — the logical change is O(index), so the cost is too.
 """
 
 from __future__ import annotations
