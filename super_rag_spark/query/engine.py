@@ -98,6 +98,7 @@ class BM25Engine:
         self.spark = spark
         self.store = IndexStorage(index_dir)
         self._manifest: dict | None = None
+        self._manifest_mtime: int | None = None
         # (epoch, bucket) -> pyarrow dataset; epoch-keyed so a long-lived
         # engine spanning an out-of-band merge_append never reads a
         # GC'd postings_e<N> directory through a stale dataset handle
@@ -120,8 +121,20 @@ class BM25Engine:
 
     @property
     def manifest(self) -> dict:
-        if self._manifest is None:
+        """Manifest with staleness detection: an out-of-band
+        merge_append/compact_index replaces manifest.json atomically and
+        GC's the old epoch's directories, so a long-lived engine that
+        kept serving its cached epoch would read deleted files. A ~1 us
+        stat of the manifest's mtime per query keeps the engine pinned
+        to the LIVE epoch (caches are epoch-keyed, so they just miss
+        over to the new directories)."""
+        try:
+            mtime = os.stat(self.store.manifest_path).st_mtime_ns
+        except FileNotFoundError:
+            mtime = None
+        if self._manifest is None or mtime != self._manifest_mtime:
             self._manifest = self.store.read_manifest()
+            self._manifest_mtime = mtime
         return self._manifest
 
     # ------------------------------------------------------------- query

@@ -222,3 +222,21 @@ def test_pending_tombstones_over_segments(spark, corpus, tmp_path):
             ids = {r["doc_id"] for r in res.collect()}
             assert not (ids & dead)
         assert set(got_ids) <= set(want_ids) | dead  # no resurrected docs
+
+
+def test_long_lived_engine_follows_epoch_swap(spark, corpus, tmp_path):
+    """An engine created BEFORE an out-of-band segment merge must serve
+    the new epoch afterwards (the old epoch's dirs are GC'd by the
+    merge; a stale cached manifest would read deleted files)."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "ll")).build(mk(rows[:150]), **CFG)
+    before = eng.topk("semudo muro", 5)
+    assert before  # warm the caches on epoch 0
+
+    merge_append(spark, eng.store.root, mk(rows[150:250]), mode="segment")
+    # SAME engine object: must notice the manifest swap, serve epoch 1
+    assert int(eng.manifest["epoch"]) == 1
+    assert eng.manifest["n_docs"] == 250
+    want = BM25Engine(spark, eng.store.root)
+    assert _r9(eng.topk("semudo muro", 5)) == _r9(want.topk("semudo muro", 5))
+    assert _r9(eng.topk("fuboname", 5)) == _r9(want.topk("fuboname", 5))
