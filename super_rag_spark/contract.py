@@ -344,6 +344,73 @@ def ngram_jaccard_lsh_verified(spark, sf_dir):
     return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.3, candidates=cand)
 
 
+@_q("clean_corpus_pipeline", f"""
+WITH {_AUG_SQL},
+tokn AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM aug),
+ctok AS (SELECT doc_id, term FROM tokn WHERE term <> ''),
+per AS (SELECT doc_id, count(*)::INT AS n_tokens FROM ctok GROUP BY doc_id),
+hits AS (
+  SELECT a.doc_id,
+         coalesce(sum(CASE WHEN t.term IN ('the','and','of','to','is') THEN 1 ELSE 0 END), 0)::INT AS hits_en,
+         coalesce(sum(CASE WHEN t.term IN ('der','die','und','das','ist') THEN 1 ELSE 0 END), 0)::INT AS hits_de,
+         coalesce(sum(CASE WHEN t.term IN ('le','la','et','les','est') THEN 1 ELSE 0 END), 0)::INT AS hits_fr,
+         coalesce(sum(CASE WHEN t.term IN ('el','la','los','que','es') THEN 1 ELSE 0 END), 0)::INT AS hits_es
+  FROM aug a LEFT JOIN ctok t USING (doc_id) GROUP BY a.doc_id
+),
+langp AS (
+  SELECT doc_id,
+         CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) <= 0 THEN 'und'
+              WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+              WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+              WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM hits
+),
+gated AS (
+  SELECT a.doc_id, a.text, l.pred_lang, p.n_tokens
+  FROM aug a JOIN per p USING (doc_id) JOIN langp l USING (doc_id)
+  WHERE p.n_tokens >= 20 AND l.pred_lang <> 'und'
+),
+canon AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical FROM gated),
+uniq AS (SELECT doc_id, text, pred_lang, n_tokens FROM canon WHERE doc_id = canonical),
+tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM uniq),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> array_to_string(ts[i:i+2], ' '))) AS shingle
+  FROM tk
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+{_minhash_aug_sql_parts()},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+)
+SELECT u.doc_id, u.pred_lang, u.n_tokens
+FROM uniq u LEFT JOIN losers lo ON lo.doc_id = u.doc_id
+WHERE lo.doc_id IS NULL
+""")
+def clean_corpus_pipeline(spark, sf_dir):
+    """The COMPOSED training-data cleaning pipeline
+    (textops.clean_corpus): quality gate -> language gate -> exact
+    dedup -> LSH-verified near-dup drop, end to end against one SQL
+    oracle. Runs over the near-dup-augmented slice so every stage
+    provably fires (gates drop short/und docs, LSH drops the planted
+    variants)."""
+    out = textops.clean_corpus(_docs_aug(spark, sf_dir), min_tokens=20)
+    return out.select("doc_id", "pred_lang", "n_tokens")
+
+
 @_q("minhash_signatures", f"""
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 sh AS (

@@ -270,6 +270,46 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def clean_corpus(df: DataFrame, min_tokens: int = 20,
+                 keep_langs: tuple = ("en", "de", "fr", "es"),
+                 jaccard_threshold: float = 0.5,
+                 text_col: str = "text") -> DataFrame:
+    """The composed training-data cleaning pipeline, one DataFrame in ->
+    one clean DataFrame out (the shape a 100 TB pretraining-data job
+    actually runs):
+
+      1. quality gate    — drop docs under ``min_tokens``
+      2. language gate   — keep ``keep_langs`` (marker-word lang_id)
+      3. exact dedup     — md5(text) groups, lowest doc_id survives
+      4. near-dup dedup  — MinHash-LSH candidates (banded bucket join,
+                           never all-pairs) -> exact n-gram Jaccard
+                           verify -> the higher doc_id of each verified
+                           pair is dropped
+
+    Every stage is a pure DataFrame transform (gates are column
+    predicates; dedup is one window + the LSH join pipeline), so
+    Catalyst fuses the gates into the scan and the only shuffles are
+    the dedup ones. Returns (doc_id, text, pred_lang, n_tokens).
+    """
+    q = quality_metrics(df, text_col).select("doc_id", "n_tokens")
+    lg = lang_id(df, text_col).select("doc_id", "pred_lang")
+    gated = (df.select("doc_id", text_col)
+             .join(q, "doc_id").join(lg, "doc_id")
+             .where((F.col("n_tokens") >= min_tokens)
+                    & F.col("pred_lang").isin(list(keep_langs))))
+    canon = gated.withColumn(
+        "_canonical",
+        F.min("doc_id").over(Window.partitionBy(F.md5(F.col(text_col)))))
+    uniq = (canon.where(F.col("doc_id") == F.col("_canonical"))
+            .drop("_canonical"))
+    cand = minhash_lsh_candidates(uniq, text_col=text_col)
+    verified = ngram_jaccard_pairs(uniq, threshold=jaccard_threshold,
+                                   text_col=text_col, candidates=cand)
+    losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (uniq.join(losers, "doc_id", "left_anti")
+            .select("doc_id", text_col, "pred_lang", "n_tokens"))
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token accounting for a training pipeline, dependency-free:
     whitespace tokens + a BPE-ish pretokenizer regex (letter runs,

@@ -165,3 +165,26 @@ def test_decode_stub_raises_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
+
+
+def test_clean_corpus_pipeline_stages_fire(spark):
+    """clean_corpus end to end on the augmented slice: short/und docs
+    gated out, planted near-dup variants dropped, their bases kept."""
+    from super_rag_spark.contract import _docs_aug
+    from super_rag_spark.textops import clean_corpus
+
+    docs = _docs_aug(spark, "/root/testdata/sf0.001")
+    out = clean_corpus(docs, min_tokens=20).collect()
+    ids = {r["doc_id"] for r in out}
+    n_in = docs.count()
+    assert 0 < len(ids) < n_in  # gates + dedup actually dropped docs
+    # every surviving planted variant implies its base was gated out
+    for vid in ids:
+        if vid >= 1000000:
+            base = vid % 1000000
+            assert base not in ids, f"variant {vid} kept next to base"
+    # at least one base whose variant existed survived alone
+    dropped_variants = {r["doc_id"] for r in docs.collect()} - ids
+    assert any(v >= 1000000 for v in dropped_variants)
+    for r in out:
+        assert r["n_tokens"] >= 20 and r["pred_lang"] != "und"
