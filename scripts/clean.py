@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the training-data cleaning pipeline.
+
+Runs textops.clean_corpus (quality gate -> language gate -> exact dedup
+-> MinHash-LSH-verified near-dup drop) over a documents parquet and
+writes the clean corpus — the batch job a pretraining-data pipeline
+schedules in front of tokenization:
+
+  spark-submit scripts/clean.py --input docs.parquet --output clean.parquet \
+      [--min-tokens 20] [--langs en,de,fr,es] [--jaccard 0.5]
+
+Input needs (doc_id, text). Also runnable with plain `python`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--langs", default="en,de,fr,es")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from super_rag_spark.textops import clean_corpus
+
+    builder = (SparkSession.builder.appName("super-rag-spark-clean")
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.session.timeZone", "UTC"))
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    t0 = time.time()
+    try:
+        docs = spark.read.parquet(args.input)
+        n_in = docs.count()
+        out = clean_corpus(docs, min_tokens=args.min_tokens,
+                           keep_langs=tuple(args.langs.split(",")),
+                           jaccard_threshold=args.jaccard)
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({
+            "event": "cleaned", "n_in": n_in, "n_out": n_out,
+            "dropped": n_in - n_out,
+            "elapsed_sec": round(time.time() - t0, 3),
+        }))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -313,6 +313,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
         "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
         "n_docs": n_docs, "avgdl": avgdl, "epoch": 0, "seg": seg,
+        "n_segments": 1,  # segment-mode merges increment; compact resets
         "tokenizer": "[a-z0-9]+ lowercase",
     })
     return store

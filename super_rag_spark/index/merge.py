@@ -432,6 +432,10 @@ def merge_append(spark: SparkSession, index_dir: str,
         _fold_term_stats_delta(spark, store, sstore, epoch, old_epoch, gain_only)
 
     manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
+    if segment:
+        # read-side cursor count per term grows with live segments; the
+        # counter drives the auto-compaction policy (maybe_compact)
+        manifest["n_segments"] = int(manifest.get("n_segments", 1)) + 1
     if stream_batch_id is not None:
         manifest["stream_batch_id"] = int(stream_batch_id)
     store.write_manifest(manifest)  # <- the switch
@@ -520,7 +524,21 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
     write_term_stats_and_lineage(spark, store, phase="compact", epoch=epoch)
 
     manifest.update(epoch=epoch, n_docs=int(st["n"]),
-                    avgdl=float(st["avgdl"] or 0.0))
+                    avgdl=float(st["avgdl"] or 0.0), n_segments=1)
     store.write_manifest(manifest)  # <- the switch
     store.gc_stale_epochs()
     return store
+
+
+def maybe_compact(spark: SparkSession, index_dir: str, *,
+                  max_segments: int = 8) -> bool:
+    """Compaction policy: fold segments when the live count exceeds
+    ``max_segments`` (each live segment adds one WAND cursor per query
+    term and loosens block ranges, so read amplification grows with the
+    count — the Lucene tiered-merge tradeoff in its simplest form).
+    Returns True if a compaction ran."""
+    store = IndexStorage(index_dir)
+    if int(store.read_manifest().get("n_segments", 1)) <= max_segments:
+        return False
+    compact_index(spark, index_dir)
+    return True

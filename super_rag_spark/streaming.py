@@ -68,14 +68,18 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   available_now: bool = True,
                   mode: str = "segment",
                   compact_every: int | None = None,
+                  compact_max_segments: int | None = None,
                   max_files_per_trigger: int = 8):
     """Fold every new parquet file in ``input_dir`` into the index.
 
     ``mode="segment"`` (default): each micro-batch lands as a new
     Lucene-style segment — O(delta) per batch, no old group re-encoded
-    (index/merge.py). ``compact_every=N`` folds segments back to seg=0
-    after every N batches (the compaction cadence); leave None to let
-    the operator schedule compact_index() out-of-band.
+    (index/merge.py). Compaction cadence, pick one (or neither and
+    schedule compact_index() out-of-band):
+    - ``compact_every=N``: fold segments after every N batches;
+    - ``compact_max_segments=K``: fold when the live segment count
+      (manifest n_segments) exceeds K — bounds read amplification
+      directly instead of by batch count.
 
     Returns the StreamingQuery; with ``available_now`` the query drains
     the currently-visible files and stops (deterministic for tests and
@@ -105,6 +109,11 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
             from .index.merge import compact_index
 
             compact_index(spark, index_dir)
+        elif compact_max_segments:
+            from .index.merge import maybe_compact
+
+            maybe_compact(spark, index_dir,
+                          max_segments=compact_max_segments)
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir)

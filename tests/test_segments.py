@@ -240,3 +240,26 @@ def test_long_lived_engine_follows_epoch_swap(spark, corpus, tmp_path):
     want = BM25Engine(spark, eng.store.root)
     assert _r9(eng.topk("semudo muro", 5)) == _r9(want.topk("semudo muro", 5))
     assert _r9(eng.topk("fuboname", 5)) == _r9(want.topk("fuboname", 5))
+
+
+def test_segment_counter_and_maybe_compact(spark, corpus, tmp_path):
+    """manifest n_segments tracks live segments; maybe_compact folds
+    only past the threshold."""
+    from super_rag_spark.index.merge import maybe_compact
+
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "sc")).build(mk(rows[:100]), **CFG)
+    assert eng.manifest.get("n_segments") == 1
+    merge_append(spark, eng.store.root, mk(rows[100:140]), mode="segment")
+    merge_append(spark, eng.store.root, mk(rows[140:180]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["n_segments"] == 3
+
+    assert maybe_compact(spark, eng.store.root, max_segments=4) is False
+    assert BM25Engine(spark, eng.store.root).manifest["n_segments"] == 3
+    assert maybe_compact(spark, eng.store.root, max_segments=2) is True
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["n_segments"] == 1
+    segs = {r["seg"] for r in
+            eng.store.postings(spark).select("seg").distinct().collect()}
+    assert segs == {0}
