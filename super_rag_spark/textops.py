@@ -291,12 +291,17 @@ def clean_corpus(df: DataFrame, min_tokens: int = 20,
     Catalyst fuses the gates into the scan and the only shuffles are
     the dedup ones. Returns (doc_id, text, pred_lang, n_tokens).
     """
-    q = quality_metrics(df, text_col).select("doc_id", "n_tokens")
-    lg = lang_id(df, text_col).select("doc_id", "pred_lang")
-    gated = (df.select("doc_id", text_col)
-             .join(q, "doc_id").join(lg, "doc_id")
+    # both gates fuse into ONE projection over a single tokenize pass —
+    # no joins, no second scan; Catalyst pushes the whole thing into the
+    # parquet read stage (at 100 TB the gates are free riders on the
+    # scan, and only gate SURVIVORS reach the dedup shuffles)
+    gated = (with_tokens(df, text_col)
+             .select("doc_id", text_col, F.size("tokens").alias("n_tokens"),
+                     *_lang_hits_cols())
+             .withColumn("pred_lang", _pred_lang_expr())
              .where((F.col("n_tokens") >= min_tokens)
-                    & F.col("pred_lang").isin(list(keep_langs))))
+                    & F.col("pred_lang").isin(list(keep_langs)))
+             .select("doc_id", text_col, "pred_lang", "n_tokens"))
     canon = gated.withColumn(
         "_canonical",
         F.min("doc_id").over(Window.partitionBy(F.md5(F.col(text_col)))))
@@ -348,19 +353,28 @@ _LANG_MARKERS = {
 }
 
 
+def _lang_hits_cols():
+    return [
+        F.size(F.filter("tokens", lambda x: x.isin(ws))).alias(f"hits_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+
+
+def _pred_lang_expr():
+    """argmax of the hits_* columns, 'und' when none match; first-match
+    tie-break in fixed language order (en, de, fr, es)."""
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return pred
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts, 'und'
     (undetermined) when nothing matches. Pure column expressions."""
     toks = with_tokens(df, text_col)
-    hits = [
-        F.size(F.filter("tokens", lambda x: x.isin(ws))).alias(f"hits_{lang}")
-        for lang, ws in _LANG_MARKERS.items()
-    ]
-    scored = toks.select("doc_id", "tokens", *hits)
-    langs = list(_LANG_MARKERS)
-    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lg in langs:  # first-match tie-break in fixed lang order
-        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
-    return scored.select("doc_id", pred.alias("pred_lang"),
-                         *[F.col(f"hits_{lg}") for lg in langs])
+    scored = toks.select("doc_id", "tokens", *_lang_hits_cols())
+    return scored.select("doc_id", _pred_lang_expr().alias("pred_lang"),
+                         *[F.col(f"hits_{lg}") for lg in _LANG_MARKERS])
