@@ -110,6 +110,14 @@ class BM25Engine:
         # across real query streams, so an LRU pays for itself fast.
         self._term_cache: "dict[tuple[int, str], tuple[int, list[dict]]]" = {}
         self._term_cache_max = 4096
+        # (epoch, term) -> (df, docs, tfs, dls) DECODED postings, LRU by
+        # total postings held: head-term queries are decode-bound
+        # (~300 k varint postings per hot conjunction), so a hit skips
+        # straight to the ~5 flops/posting scoring. Only valid while no
+        # tombstones are pending (block-level masking would invalidate).
+        self._dec_cache: "dict[tuple[int, str], tuple]" = {}
+        self._dec_used = 0
+        self._dec_budget = 16_000_000  # postings (~256 MB of int64/int32)
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
@@ -117,6 +125,8 @@ class BM25Engine:
         self._manifest = None
         self._ds_cache.clear()
         self._term_cache.clear()
+        self._dec_cache.clear()
+        self._dec_used = 0
         return self
 
     @property
@@ -203,6 +213,37 @@ class BM25Engine:
         out.update({t: v for t, v in loaded.items()})
         return self._apply_tombstones(out)
 
+    def _load_term_arrays(self, terms: list[str]) -> dict | None:
+        """Decoded per-term postings {term: (df, docs, tfs, dls)} through
+        the postings-budget LRU. Returns None when tombstones are
+        pending (caller falls back to the block path, which masks
+        them)."""
+        if self._tombstone_set().size:
+            return None
+        from ..codec import decode_blocks_batch
+
+        epoch = int(self.manifest["epoch"])
+        out: dict = {}
+        missing = []
+        for t in terms:
+            hit = self._dec_cache.pop((epoch, t), None)
+            if hit is not None:
+                self._dec_cache[(epoch, t)] = hit  # LRU re-insert
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            for t, (df_t, bl) in self._load_term_blocks(missing).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                entry = (df_t, docs, tfs, dls)
+                out[t] = entry
+                self._dec_cache[(epoch, t)] = entry
+                self._dec_used += len(docs)
+            while self._dec_used > self._dec_budget and len(self._dec_cache) > len(terms):
+                old_key = next(iter(self._dec_cache))
+                self._dec_used -= len(self._dec_cache.pop(old_key)[1])
+        return out
+
     def _apply_tombstones(self, out: dict) -> dict:
         out = {t: v for t, v in out.items() if v[1]}
         tombs = self._tombstone_set()
@@ -262,10 +303,20 @@ class BM25Engine:
         terms = sorted(set(tokenize(qtext)))
         if not terms:
             return []
+        m = engine.manifest
+        if method == "vectorized":
+            arrays = engine._load_term_arrays(terms)
+            if arrays is not None:  # no pending tombstones
+                if not arrays:
+                    return []
+                from .wand import vectorized_topk_arrays
+
+                return vectorized_topk_arrays(
+                    arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+                    k1=float(m["k1"]), b=float(m["b"]))
         blocks = engine._load_term_blocks(terms)
         if not blocks:
             return []
-        m = engine.manifest
         return _TOPK_METHODS[method](
             blocks, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]))

@@ -240,12 +240,29 @@ def vectorized_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
     query touches; WAND remains the scale story (block skipping) and
     the two are asserted identical in tests.
     """
-    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ids, contribs)
-    for term in sorted(term_blocks):
-        df, blocks = term_blocks[term]
+    arrays = {}
+    for term, (df, blocks) in term_blocks.items():
         if not blocks:
             continue
         docs, tfs, dls, _ = decode_blocks_batch(blocks)  # one pass, all blocks
+        arrays[term] = (df, docs, tfs, dls)
+    return vectorized_topk_arrays(arrays, n_docs, avgdl, k, k1=k1, b=b)
+
+
+def vectorized_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
+                           avgdl: float, k: int, k1: float = K1,
+                           b: float = B) -> list[tuple[int, float]]:
+    """vectorized_topk over PRE-DECODED per-term arrays
+    {term: (df, docs, tfs, dls)} — the decoded-postings-cache fast path
+    (engine._load_term_arrays): head-term queries are decode-bound, so
+    a cache hit skips straight to the ~5 flops/posting scoring. Math and
+    accumulation order are identical to vectorized_topk (a doc gets one
+    contribution per term; terms accumulate in ascending order)."""
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ids, contribs)
+    for term in sorted(term_arrays):
+        df, docs, tfs, dls = term_arrays[term]
+        if not len(docs):
+            continue
         tfs = tfs.astype(np.float64)
         dls = dls.astype(np.float64)
         idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
