@@ -149,6 +149,16 @@ def main() -> int:
         extra["query_p50_ms"] = round(statistics.median(lat) * 1e3, 2)
         extra["query_p90_ms"] = round(sorted(lat)[int(len(lat) * 0.9)] * 1e3, 2)
 
+        # serving steady state: the same stream again, now riding the
+        # decoded-postings LRU (head terms repeat in real query logs)
+        lat = []
+        for q in queries:
+            s = time.time()
+            eng.topk(q["text"], q["k"], method="vectorized")
+            lat.append(time.time() - s)
+        extra["query_p50_ms_warm"] = round(statistics.median(lat) * 1e3, 2)
+        extra["query_p90_ms_warm"] = round(sorted(lat)[int(len(lat) * 0.9)] * 1e3, 2)
+
         t0 = time.time()
         for q in queries[:30]:
             eng.topk(q["text"], q["k"], method="wand")

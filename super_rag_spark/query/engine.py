@@ -387,12 +387,14 @@ class BM25Engine:
                                     candidates=cand_df)
             hits = [(int(r["doc_id"]), float(r["score"]))
                     for r in res.orderBy("rank").collect()]
+        elif terms and allowed is None:
+            # unfiltered: same path as topk() (incl. the decoded LRU)
+            hits = engine.topk(qtext, k, method=method)
         elif terms:
             blocks = engine._load_term_blocks(terms)
-            if allowed is not None:
-                blocks = {t: (df_t, _keep_only(bl, allowed))
-                          for t, (df_t, bl) in blocks.items()}
-                blocks = {t: v for t, v in blocks.items() if v[1]}
+            blocks = {t: (df_t, _keep_only(bl, allowed))
+                      for t, (df_t, bl) in blocks.items()}
+            blocks = {t: v for t, v in blocks.items() if v[1]}
             if blocks:
                 m = engine.manifest
                 hits = _TOPK_METHODS[method](
