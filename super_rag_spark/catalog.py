@@ -130,9 +130,11 @@ class IcebergCatalog(Catalog):
         df.writeTo(table).append()
 
     def delete_where(self, spark: SparkSession, table: str, predicate) -> None:
-        # Column -> SQL text via the JVM expression (Iceberg DELETE is a
+        # Column -> SQL text via Catalyst's SQL renderer, which QUOTES
+        # string literals — _jc.toString() prints `(lang = en)` and the
+        # DELETE would resolve `en` as a column (Iceberg DELETE is a
         # real metadata+data transaction, no copy-on-write dance needed)
-        pred_sql = predicate._jc.toString()
+        pred_sql = predicate._jc.expr().sql()
         spark.sql(f"DELETE FROM {table} WHERE {pred_sql}")
 
     def drop(self, spark: SparkSession, table: str) -> None:

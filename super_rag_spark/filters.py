@@ -54,10 +54,16 @@ def _condition(cond: dict) -> Column:
             return col.isin(list(m["any"]))
         raise ValueError(f"unsupported match: {m!r}")
     if "range" in cond:
+        bad = set(cond["range"]) - set(_RANGE_OPS)
+        if bad:
+            # a silently-dropped op would make the filter BROADER than
+            # requested (candidates the caller excluded get returned)
+            raise ValueError(
+                f"unsupported range operator(s) {sorted(bad)} in {cond!r}; "
+                f"supported: {sorted(_RANGE_OPS)}")
         parts = [
             _RANGE_OPS[op](col, F.lit(v))
             for op, v in cond["range"].items()
-            if op in _RANGE_OPS
         ]
         if not parts:
             raise ValueError(f"empty range: {cond!r}")

@@ -257,7 +257,17 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         F.sum("dl").alias("total_tokens"),
     ).collect()[0]
     if int(st["n_docs"]) != int(st["n_uniq"]):
-        deduped = toks.dropDuplicates(["doc_id"]).persist(StorageLevel.MEMORY_AND_DISK)
+        # deterministic survivor (dropDuplicates keeps a partition-order-
+        # dependent row): max content hash per doc_id, so re-runs build
+        # bit-identical indexes even when one url arrives with two texts —
+        # matching the merge path's defined upsert semantics
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.md5(F.concat_ws(" ", "tokens")).desc(), F.desc("dl"))
+        deduped = (toks.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1).drop("_rn")
+                   .persist(StorageLevel.MEMORY_AND_DISK))
         toks.unpersist()
         toks = deduped
         st = toks.agg(

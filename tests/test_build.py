@@ -17,3 +17,23 @@ def test_build_dedupes_duplicate_urls(spark, webtext_sf0001_path, tmp_path, quer
 
     q = queries100[0]["text"]
     assert dirty.topk(q, 10) == clean.topk(q, 10)
+
+
+def test_conflicting_url_dedup_is_deterministic(spark, tmp_path, queries100):
+    """One url ingested with TWO different texts: the survivor must be
+    chosen by content (max token-hash), not partition order, so repeated
+    builds produce rank-identical indexes (determinism north rule)."""
+    rows = [(f"https://ex.com/{i}", f"stable text number {i} common") for i in range(50)]
+    conflict = [("https://ex.com/dup", "alpha variant of the page common"),
+                ("https://ex.com/dup", "beta variant of the page common")]
+    a = BM25Engine(
+        spark, str(tmp_path / "a")).build(
+        spark.createDataFrame(rows + conflict, "url string, text string")
+        .repartition(8), n_buckets=4)
+    b = BM25Engine(
+        spark, str(tmp_path / "b")).build(
+        spark.createDataFrame(conflict[::-1] + rows, "url string, text string")
+        .repartition(3), n_buckets=4)
+    assert a.manifest["n_docs"] == b.manifest["n_docs"] == 51
+    assert a.manifest["avgdl"] == b.manifest["avgdl"]
+    assert a.topk("common page variant", 10) == b.topk("common page variant", 10)
