@@ -133,6 +133,17 @@ def merge_append(spark: SparkSession, index_dir: str,
     store.gc_stale_epochs()  # heal a crash between manifest switch and GC
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
     n_buckets = int(manifest["n_buckets"])
+    # a CRASHED compaction may have left partial (segment-collapsed,
+    # tombstone-consumed) bucket dirs at this target epoch; a merge
+    # hardlinking "unchanged" buckets over them would interleave the two
+    # protocols' outputs — wipe the compact attempt and start clean
+    crashed_compact = store.committed_buckets("compact", epoch)
+    if crashed_compact:
+        shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
+        for name in os.listdir(store.lineage_dir):
+            if name.startswith(f"compact-epoch{epoch}-") or \
+                    name.startswith(f"compact_stats-epoch{epoch}-"):
+                os.remove(os.path.join(store.lineage_dir, name))
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 
@@ -206,23 +217,32 @@ def merge_append(spark: SparkSession, index_dir: str,
     #    block's [first,last] window may contain a removed doc (metadata
     #    range probe, broadcast join, no decode; false positives only
     #    cost a no-op re-encode of identical postings).
-    removal_hits: dict[int, list[int]] = {}  # bucket -> removal-hit term_ids
+    # removal_hits_df stays a DATAFRAME end-to-end (ADVICE r2): a
+    # sub-threshold delete can still hit millions of distinct (bucket,
+    # term_id) groups — Zipf head terms span every doc range — so the
+    # hit set must never be collected. The driver only ever sees the
+    # DISTINCT BUCKET list (bounded by n_buckets); per-wave term sets
+    # are joined Spark-side inside merge_wave.
+    removal_hits_df: DataFrame | None = None
+    hit_bucket_set: set[int] = set()
     bulk_removal = n_removed > removed_driver_max
     if bulk_removal:
         # a bulk delete touches essentially every group: skip the probe
         # (its non-equi join only works broadcast) and rebuild every
         # bucket outright — this IS a compaction, and it costs O(index)
         # because the logical change is O(index)
-        removal_hits = {b: [] for b in range(n_buckets)}
+        hit_bucket_set = set(range(n_buckets))
     elif removed_small is not None and os.path.isdir(store.postings_dir_for(old_epoch)):
         meta = (store.postings(spark, old_epoch)
                 .select("bucket", "term_id", "first_doc_id", "last_doc_id"))
-        hits = (meta.join(removed_small,
-                          (meta["first_doc_id"] <= F.col("doc_id"))
-                          & (meta["last_doc_id"] >= F.col("doc_id")))
-                .select("bucket", "term_id").distinct().collect())
-        for r in hits:
-            removal_hits.setdefault(int(r["bucket"]), []).append(int(r["term_id"]))
+        removal_hits_df = (
+            meta.join(removed_small,
+                      (meta["first_doc_id"] <= F.col("doc_id"))
+                      & (meta["last_doc_id"] >= F.col("doc_id")))
+            .select("bucket", "term_id").distinct()
+            .persist())  # probe scan runs once, every wave reuses it
+        hit_bucket_set = {int(r["bucket"]) for r in
+                          removal_hits_df.select("bucket").distinct().collect()}
     staging_buckets = {
         int(name.split("=")[1])
         for name in os.listdir(sstore.postings_dir_for(0))
@@ -233,9 +253,9 @@ def merge_append(spark: SparkSession, index_dir: str,
     #   nothing at all (staging blocks land as a new segment).
     # stats_buckets: whose term_stats partitions need a recompute (df
     #   changes wherever postings were added OR removed).
-    rebuild_buckets = set(removal_hits) if segment else (
-        staging_buckets | set(removal_hits))
-    stats_buckets = staging_buckets | set(removal_hits)
+    rebuild_buckets = set(hit_bucket_set) if segment else (
+        staging_buckets | hit_bucket_set)
+    stats_buckets = staging_buckets | hit_bucket_set
 
     # 4. merge in WAVES of changed buckets. One Spark job per wave (the
     #    round-1 per-bucket jobs drowned small deltas in fixed job
@@ -301,9 +321,11 @@ def merge_append(spark: SparkSession, index_dir: str,
         if stg_parts:
             rebuild_terms = (read_buckets(stg_root, stg_parts)
                              .select("term_id").distinct())
-        wave_hits = [t for b in wave for t in removal_hits.get(b, [])]
-        if wave_hits:
-            hit = spark.createDataFrame([(t,) for t in wave_hits], "term_id long")
+        if removal_hits_df is not None and (set(wave) & hit_bucket_set):
+            # Spark-side: the hit terms of this wave's buckets, never
+            # materialized on the driver (can be O(vocabulary) rows)
+            hit = (removal_hits_df.where(F.col("bucket").isin(wave))
+                   .select("term_id").distinct())
             rebuild_terms = hit if rebuild_terms is None else (
                 rebuild_terms.unionByName(hit).distinct())
 
@@ -318,9 +340,13 @@ def merge_append(spark: SparkSession, index_dir: str,
                            .mapInPandas(decode_postings_map_in_pandas,
                                         schema=DECODED_SCHEMA))
             else:
-                keep = old_blocks.join(F.broadcast(rebuild_terms),
+                # no forced broadcast: rebuild_terms is usually tiny (AQE
+                # broadcasts it at runtime) but a head-term-heavy delete
+                # can make it vocabulary-sized — a forced broadcast would
+                # then OOM the driver
+                keep = old_blocks.join(rebuild_terms,
                                        "term_id", "left_anti")
-                dec_old = (old_blocks.join(F.broadcast(rebuild_terms),
+                dec_old = (old_blocks.join(rebuild_terms,
                                            "term_id", "left_semi")
                            .drop("bucket")
                            .mapInPandas(decode_postings_map_in_pandas,
@@ -423,8 +449,8 @@ def merge_append(spark: SparkSession, index_dir: str,
         src = os.path.join(ts_old, f"bucket={b}")
         if b not in stats_buckets and os.path.isdir(src):
             _hardlink_tree(src, os.path.join(ts_new, f"bucket={b}"))
-    hit_buckets = sorted(set(removal_hits) & stats_buckets)
-    gain_only = sorted(stats_buckets - set(removal_hits)) if segment else []
+    hit_buckets = sorted(hit_bucket_set & stats_buckets)
+    gain_only = sorted(stats_buckets - hit_bucket_set) if segment else []
     write_term_stats_and_lineage(
         spark, store, phase="merge_stats", epoch=epoch,
         buckets=hit_buckets if segment else sorted(stats_buckets))
@@ -443,6 +469,8 @@ def merge_append(spark: SparkSession, index_dir: str,
     # GC after the switch (crash here is healed by the next merge's
     # gc_stale_epochs call)
     store.gc_stale_epochs()
+    if removal_hits_df is not None:
+        removal_hits_df.unpersist()
     return store
 
 
@@ -472,47 +500,91 @@ def _fold_term_stats_delta(spark: SparkSession, store: IndexStorage,
          "status": "committed"} for b in buckets])
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
+def compact_index(spark: SparkSession, index_dir: str, *,
+                  fail_after_bucket: int | None = None) -> IndexStorage:
     """Fold every segment back into seg=0 and consume pending tombstones:
     decode ALL postings, rebuild blocks from scratch into the next epoch.
 
     After any sequence of segment-mode appends, compact(index) is
     BIT-IDENTICAL to a from-scratch build over the live corpus (v3
     blocks depend only on their group's postings; tests assert it).
-    Cost is O(index) by design — this is the Lucene compaction cadence:
-    micro-batches pay O(delta) via mode="segment", and a periodic
-    compaction restores the tight block layout + WAND skip efficiency.
-    Crash-safe the same way merges are: everything lands in epoch N+1
-    dirs and the manifest replace is the single switch point.
+    Total cost is O(index) by design — this is the Lucene compaction
+    cadence: micro-batches pay O(delta) via mode="segment", and a
+    periodic compaction restores the tight block layout + WAND skip
+    efficiency. But it is NOT one monolithic job (ADVICE r2): buckets
+    rebuild in WAVES with per-bucket lineage commits, exactly like
+    merge_append — at 100 TB a crash mid-compaction resumes from the
+    last committed wave instead of restarting a multi-hour job from
+    zero. Bucket rebuilds are deterministic (a term's postings live
+    wholly inside one bucket, so per-wave df == global df for the
+    salting decision), so resume produces the identical index.
+    The manifest replace stays the single switch point.
     """
     store = IndexStorage(index_dir)
     manifest = store.read_manifest()
     store.gc_stale_epochs()
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
+    n_buckets = int(manifest["n_buckets"])
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 
+    # tombstones stay a DataFrame (a bulk delete can dwarf the driver);
+    # AQE broadcasts the (usual) tiny case at runtime
     tomb = store.tombstones(spark, old_epoch)
-    tomb_small = None
     if tomb is not None:
-        tomb_pdf = tomb.select("doc_id").distinct().toPandas()
-        if len(tomb_pdf):
-            tomb_small = spark.createDataFrame(tomb_pdf)
+        tomb = tomb.select("doc_id").distinct()
 
-    decoded = (store.postings(spark, old_epoch).drop("bucket")
-               .mapInPandas(decode_postings_map_in_pandas, schema=DECODED_SCHEMA))
-    ds = store.doc_stats(spark, old_epoch)
-    if tomb_small is not None:
-        decoded = decoded.join(F.broadcast(tomb_small), "doc_id", "left_anti")
-        ds = ds.join(F.broadcast(tomb_small), "doc_id", "left_anti")
-
-    blocks = build_postings(decoded, **cfg)
     new_dir = store.postings_dir_for(epoch)
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
-    # empty buckets get no partition dir from the writer; materialize
-    for b in range(int(manifest["n_buckets"])):
-        os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
+    os.makedirs(new_dir, exist_ok=True)
+    old_root = store.postings_dir_for(old_epoch)
+    committed = store.committed_buckets("compact", epoch)
 
+    def commit_buckets(buckets: list[int]) -> None:
+        store.append_lineage(spark, [{
+            "bucket": b, "phase": "compact", "epoch": epoch,
+            "n_terms": -1, "n_blocks": -1, "n_postings": -1,
+            "status": "committed"} for b in buckets])
+
+    def compact_wave(wave: list[int]) -> None:
+        parts = [os.path.join(old_root, f"bucket={b}") for b in wave]
+        parts = [p for p in parts if os.path.isdir(p)]
+        if parts:
+            blocks = (spark.read.option("basePath", old_root)
+                      .schema(POSTINGS_SCHEMA).parquet(*parts))
+            decoded = (blocks.drop("bucket")
+                       .mapInPandas(decode_postings_map_in_pandas,
+                                    schema=DECODED_SCHEMA))
+            if tomb is not None:
+                decoded = decoded.join(tomb, "doc_id", "left_anti")
+            (build_postings(decoded, **cfg)
+             .repartition("bucket")
+             .sortWithinPartitions("term_id", "salt", "block_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(new_dir))
+        # fully-emptied buckets get no dir from the writer; materialize
+        for b in wave:
+            os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
+
+    todo = [b for b in range(n_buckets) if b not in committed]
+    if fail_after_bucket is not None:
+        # deterministic per-bucket order for fault-injection tests
+        for b in todo:
+            compact_wave([b])
+            commit_buckets([b])
+            if b >= fail_after_bucket:
+                raise SimulatedMergeFailure(
+                    f"injected failure after bucket {b}")
+    else:
+        wave_size = max(64, n_buckets // 16)
+        for i in range(0, len(todo), wave_size):
+            wave = todo[i:i + wave_size]
+            compact_wave(wave)
+            commit_buckets(wave)
+
+    ds = store.doc_stats(spark, old_epoch)
+    if tomb is not None:
+        ds = ds.join(tomb, "doc_id", "left_anti")
     st = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
                 F.sum("dl").alias("tot")).collect()[0]
     store.catalog.overwrite(ds, store.doc_stats_dir_for(epoch))
@@ -521,7 +593,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
             [(int(st["n"]), float(st["avgdl"] or 0.0), int(st["tot"] or 0))],
             "n_docs long, avgdl double, total_tokens long"),
         store.corpus_stats_dir_for(epoch))
-    write_term_stats_and_lineage(spark, store, phase="compact", epoch=epoch)
+    write_term_stats_and_lineage(spark, store, phase="compact_stats", epoch=epoch)
 
     manifest.update(epoch=epoch, n_docs=int(st["n"]),
                     avgdl=float(st["avgdl"] or 0.0), n_segments=1)
@@ -530,15 +602,122 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexStorage:
     return store
 
 
+def compact_tail(spark: SparkSession, index_dir: str, *,
+                 fail_after_bucket: int | None = None) -> IndexStorage:
+    """TIERED compaction (Lucene-style): fold every segment EXCEPT the
+    largest into ONE new segment. Cost is O(tail postings) — the big
+    base segment is carried through as rows, never decoded or
+    re-encoded — so the steady-state compaction cadence of a streaming
+    ingest pays for the deltas it absorbed, not for the whole index.
+    Repeated folds re-fold the previous fold (the folded segment grows
+    until it rivals the base, amortized O(n log n) total — the classic
+    tiered-merge tradeoff); a rare full compact_index() restores the
+    single-segment layout when wanted.
+
+    Invariants: the live doc set, df(term), and all scores are
+    unchanged (postings only change SEGMENT); doc_stats / corpus_stats
+    / term_stats hardlink through, and pending tombstones stay pending
+    (a tail fold must not half-consume them — the base segment keeps
+    its copies). Resumable exactly like compact_index: bucket waves,
+    per-bucket lineage (phase "compact_tail"), manifest switch last.
+    No-op (no epoch bump) when <= 1 segment is live.
+    """
+    store = IndexStorage(index_dir)
+    manifest = store.read_manifest()
+    store.gc_stale_epochs()
+    old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
+    n_buckets = int(manifest["n_buckets"])
+    cfg = {k: manifest[k] for k in
+           ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
+
+    seg_sizes = (store.postings(spark, old_epoch)
+                 .groupBy("seg").agg(F.sum("n").alias("n")).collect())
+    if len(seg_sizes) <= 1:
+        return store  # nothing to fold
+    largest = int(max(seg_sizes, key=lambda r: (int(r["n"]), -int(r["seg"])))["seg"])
+    tail_segs = sorted(int(r["seg"]) for r in seg_sizes
+                       if int(r["seg"]) != largest)
+    new_seg = epoch  # unique, never collides with a live seg id
+
+    new_dir = store.postings_dir_for(epoch)
+    os.makedirs(new_dir, exist_ok=True)
+    old_root = store.postings_dir_for(old_epoch)
+    committed = store.committed_buckets("compact_tail", epoch)
+
+    def commit_buckets(buckets: list[int]) -> None:
+        store.append_lineage(spark, [{
+            "bucket": b, "phase": "compact_tail", "epoch": epoch,
+            "n_terms": -1, "n_blocks": -1, "n_postings": -1,
+            "status": "committed"} for b in buckets])
+
+    def fold_wave(wave: list[int]) -> None:
+        parts = [os.path.join(old_root, f"bucket={b}") for b in wave]
+        parts = [p for p in parts if os.path.isdir(p)]
+        if parts:
+            blocks = (spark.read.option("basePath", old_root)
+                      .schema(POSTINGS_SCHEMA).parquet(*parts))
+            keep = blocks.where(F.col("seg") == largest)
+            decoded = (blocks.where(F.col("seg").isin(tail_segs))
+                       .drop("bucket")
+                       .mapInPandas(decode_postings_map_in_pandas,
+                                    schema=DECODED_SCHEMA))
+            rebuilt = build_postings(decoded, seg=new_seg, **cfg)
+            (keep.unionByName(rebuilt)
+             .repartition("bucket")
+             .sortWithinPartitions("term_id", "salt", "block_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("bucket").parquet(new_dir))
+        for b in wave:
+            os.makedirs(os.path.join(new_dir, f"bucket={b}"), exist_ok=True)
+
+    todo = [b for b in range(n_buckets) if b not in committed]
+    if fail_after_bucket is not None:
+        for b in todo:
+            fold_wave([b])
+            commit_buckets([b])
+            if b >= fail_after_bucket:
+                raise SimulatedMergeFailure(
+                    f"injected failure after bucket {b}")
+    else:
+        wave_size = max(64, n_buckets // 16)
+        for i in range(0, len(todo), wave_size):
+            wave = todo[i:i + wave_size]
+            fold_wave(wave)
+            commit_buckets(wave)
+
+    # stats + tombstones are segment-invariant: hardlink, don't rewrite
+    for src, dst in ((store.doc_stats_dir_for(old_epoch),
+                      store.doc_stats_dir_for(epoch)),
+                     (store.corpus_stats_dir_for(old_epoch),
+                      store.corpus_stats_dir_for(epoch)),
+                     (store.term_stats_dir_for(old_epoch),
+                      store.term_stats_dir_for(epoch)),
+                     (store.tombstones_dir_for(old_epoch),
+                      store.tombstones_dir_for(epoch))):
+        if os.path.isdir(src):
+            _hardlink_tree(src, dst)
+
+    manifest.update(epoch=epoch, n_segments=2)
+    store.write_manifest(manifest)  # <- the switch
+    store.gc_stale_epochs()
+    return store
+
+
 def maybe_compact(spark: SparkSession, index_dir: str, *,
-                  max_segments: int = 8) -> bool:
+                  max_segments: int = 8, mode: str = "full") -> bool:
     """Compaction policy: fold segments when the live count exceeds
     ``max_segments`` (each live segment adds one WAND cursor per query
     term and loosens block ranges, so read amplification grows with the
-    count — the Lucene tiered-merge tradeoff in its simplest form).
-    Returns True if a compaction ran."""
+    count). ``mode="full"`` restores the single-segment layout
+    (O(index), bit-identical to a fresh build); ``mode="tiered"`` folds
+    only the tail segments (O(tail) — the at-scale steady-state
+    cadence). Returns True if a compaction ran."""
     store = IndexStorage(index_dir)
     if int(store.read_manifest().get("n_segments", 1)) <= max_segments:
         return False
-    compact_index(spark, index_dir)
+    if mode == "tiered":
+        compact_tail(spark, index_dir)
+    else:
+        compact_index(spark, index_dir)
     return True

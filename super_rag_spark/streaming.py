@@ -69,6 +69,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   mode: str = "segment",
                   compact_every: int | None = None,
                   compact_max_segments: int | None = None,
+                  compact_tiered: bool = False,
                   max_files_per_trigger: int = 8):
     """Fold every new parquet file in ``input_dir`` into the index.
 
@@ -76,10 +77,18 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     Lucene-style segment — O(delta) per batch, no old group re-encoded
     (index/merge.py). Compaction cadence, pick one (or neither and
     schedule compact_index() out-of-band):
-    - ``compact_every=N``: fold segments after every N batches;
+    - ``compact_every=N``: fold when N segments have accumulated since
+      the last compaction (each non-empty batch adds one segment, so
+      this is the every-N-batches cadence — but counted via the
+      manifest's n_segments, NOT a process-local batch counter, so a
+      stream restart can never defer compaction indefinitely);
     - ``compact_max_segments=K``: fold when the live segment count
       (manifest n_segments) exceeds K — bounds read amplification
       directly instead of by batch count.
+    Both are restart-durable: the trigger state lives in the manifest.
+    ``compact_tiered=True`` folds only the tail segments when the
+    cadence fires (compact_tail, O(delta) steady state) instead of the
+    full O(index) single-segment rebuild.
 
     Returns the StreamingQuery; with ``available_now`` the query drains
     the currently-visible files and stops (deterministic for tests and
@@ -92,8 +101,6 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    folded = {"n": 0}
-
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -104,16 +111,15 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         # merge_append returns without touching the index.
         merge_append(spark, index_dir, batch_df.select("url", "text"),
                      stream_batch_id=batch_id, mode=mode)
-        folded["n"] += 1
-        if compact_every and folded["n"] % compact_every == 0:
-            from .index.merge import compact_index
-
-            compact_index(spark, index_dir)
-        elif compact_max_segments:
+        # cadence state = manifest n_segments (durable across restarts;
+        # an in-memory batch counter resets with the process and could
+        # defer compaction forever under repeated restarts — ADVICE r2)
+        limit = compact_max_segments or compact_every
+        if limit:
             from .index.merge import maybe_compact
 
-            maybe_compact(spark, index_dir,
-                          max_segments=compact_max_segments)
+            maybe_compact(spark, index_dir, max_segments=limit,
+                          mode="tiered" if compact_tiered else "full")
 
     writer = stream.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir)

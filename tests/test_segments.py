@@ -263,3 +263,138 @@ def test_segment_counter_and_maybe_compact(spark, corpus, tmp_path):
     segs = {r["seg"] for r in
             eng.store.postings(spark).select("seg").distinct().collect()}
     assert segs == {0}
+
+
+def test_compact_resume_after_crash(spark, corpus, tmp_path):
+    """Crash mid-compaction (after 3 committed bucket waves), resume:
+    result bit-identical to an uninterrupted compaction AND to a fresh
+    build — wave-based compaction with per-bucket lineage (ADVICE r2:
+    compaction must never be one unresumable O(index) job)."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "cr")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:250]), mode="segment")
+    eng.delete_urls([rows[5]["url"]])  # compaction must consume this
+
+    with pytest.raises(SimulatedMergeFailure):
+        compact_index(spark, eng.store.root, fail_after_bucket=2)
+    # crashed mid-compaction: old epoch still live, partial commits exist
+    assert BM25Engine(spark, eng.store.root).manifest["epoch"] == 1
+    committed = eng.store.committed_buckets("compact", 2)
+    assert committed and len(committed) < CFG["n_buckets"]
+
+    compact_index(spark, eng.store.root)  # resume
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 2
+    assert eng.manifest["n_segments"] == 1
+
+    kept = [r for i, r in enumerate(rows[:250]) if i != 5]
+    want = BM25Engine(spark, str(tmp_path / "crw")).build(mk(kept), **CFG)
+    assert eng.manifest["n_docs"] == want.manifest["n_docs"]
+    assert _rows(eng, spark) == _rows(want, spark)
+    assert _term_stats(eng, spark) == _term_stats(want, spark)
+
+
+def test_merge_after_crashed_compact_starts_clean(spark, corpus, tmp_path):
+    """A merge_append landing on the epoch of a CRASHED compaction must
+    wipe the partial compact output instead of hardlinking over it."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "mc")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:200]), mode="segment")
+    with pytest.raises(SimulatedMergeFailure):
+        compact_index(spark, eng.store.root, fail_after_bucket=1)
+
+    merge_append(spark, eng.store.root, mk(rows[200:260]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 2
+    assert not eng.store.committed_buckets("compact", 2)  # wiped
+
+    want = BM25Engine(spark, str(tmp_path / "mcw")).build(mk(rows[:260]), **CFG)
+    batch = [{"query_id": i, "text": q, "k": 10} for i, q in enumerate(QUERIES)]
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+           for r in eng.query_batch(batch, k=10).collect()}
+    exp = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+           for r in want.query_batch(batch, k=10).collect()}
+    assert got == exp
+
+
+def test_epoch_switch_cache_warmup(spark, corpus, tmp_path):
+    """r3: a long-lived engine crossing an out-of-band merge must (a)
+    drop stale old-epoch cache entries and (b) eagerly re-decode the
+    previously-hot terms at the new epoch (engine._warm_new_epoch), so
+    post-append serving stays warm instead of re-running cold."""
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "wu")).build(mk(rows[:200]), **CFG)
+    eng.topk("semudo muro", 10)  # hot terms at epoch 0
+    assert any(e == 0 for e, _ in eng._dec_cache)
+
+    merge_append(spark, eng.store.root, mk(rows[200:260]), mode="segment")
+    assert eng.manifest["epoch"] == 1  # staleness detection + warm-up
+    assert eng._dec_cache and all(e == 1 for e, _ in eng._dec_cache)
+    assert {"semudo", "muro"} <= {t for _, t in eng._dec_cache}
+
+    fresh = BM25Engine(spark, eng.store.root)
+    assert _r9(eng.topk("semudo muro", 10)) == _r9(fresh.topk("semudo muro", 10))
+
+
+def test_tiered_compact_tail(spark, corpus, tmp_path):
+    """r3: compact_tail folds every segment except the largest into ONE
+    new segment — scores and term_stats unchanged, base segment never
+    decoded — and resumes from a mid-fold crash."""
+    from super_rag_spark.index.merge import compact_tail
+
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "tt")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:200]), mode="segment")
+    merge_append(spark, eng.store.root, mk(rows[200:240]), mode="segment")
+    merge_append(spark, eng.store.root, mk(rows[240:300]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["n_segments"] == 4
+
+    with pytest.raises(SimulatedMergeFailure):
+        compact_tail(spark, eng.store.root, fail_after_bucket=2)
+    assert BM25Engine(spark, eng.store.root).manifest["epoch"] == 3  # still live
+    compact_tail(spark, eng.store.root)  # resume
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 4
+    assert eng.manifest["n_segments"] == 2
+    segs = {int(r["seg"]) for r in
+            eng.store.postings(spark).select("seg").distinct().collect()}
+    assert segs == {0, 4}  # base + one folded tail segment
+
+    want = BM25Engine(spark, str(tmp_path / "ttw")).build(mk(rows[:300]), **CFG)
+    assert _term_stats(eng, spark) == _term_stats(want, spark)
+    for q in QUERIES:
+        assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
+    batch = [{"query_id": i, "text": q, "k": 10} for i, q in enumerate(QUERIES)]
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+           for r in eng.query_batch_wand(batch, k=10).collect()}
+    exp = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+           for r in want.query_batch(batch, k=10).collect()}
+    assert got == exp
+
+    # a second fold absorbs the previous fold + the new delta -> still 2
+    delta = mk([(r["url"] + "?v2", r["text"]) for r in rows[:40]])
+    merge_append(spark, eng.store.root, delta, mode="segment")
+    compact_tail(spark, eng.store.root)
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["n_segments"] == 2
+
+
+def test_tiered_compact_preserves_pending_tombstones(spark, corpus, tmp_path):
+    """compact_tail must NOT consume tombstones (the base segment keeps
+    its copies); the next full merge/compaction still applies them."""
+    from super_rag_spark.index.merge import compact_tail
+
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "tp")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:200]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    eng.delete_urls([rows[3]["url"]])
+    compact_tail(spark, eng.store.root)
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.store.tombstones(spark) is not None  # still pending
+    # queries mask the tombstone exactly like before the fold
+    kept = [r for i, r in enumerate(rows[:200]) if i != 3]
+    want = BM25Engine(spark, str(tmp_path / "tpw")).build(mk(kept), **CFG)
+    got = {d for d, _ in eng.topk(QUERIES[0], 10)}
+    assert got == {d for d, _ in want.topk(QUERIES[0], 10)}
