@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,24 +76,48 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
 
 
-def _centroid_cos(vec_col, cvec: list):
-    """round(cosine(vec, literal centroid), 6): rounding makes the
-    argmax comparable across engines (float sum order differs between
-    Spark's ordered aggregate and DuckDB's group sum)."""
-    return F.round(
-        cosine_expr(vec_col, F.array(*[F.lit(float(x)) for x in cvec])), 6)
+def ivf_default_n_centroids(n_rows: int) -> int:
+    """Scale policy: ~sqrt(n) cells (classic IVF heuristic — balances
+    the O(C*d) probe cost against O(n/C*d*nprobe) cell-scan cost),
+    clamped to [16, 65536]."""
+    import math
+
+    return max(16, min(65536, 1 << max(4, round(math.log2(max(1, n_rows) ** 0.5)))))
 
 
-def ivf_assign_col(vec_col, centroids: list):
-    """Nearest-centroid cell id as a pure column expression (broadcast
-    literals, no join, no shuffle): argmax over (rounded cosine, -cid)
-    structs — ties go to the lowest centroid id."""
-    structs = [
-        F.struct(_centroid_cos(vec_col, cvec).alias("c"),
-                 F.lit(-cid).alias("n"))
-        for cid, cvec in centroids
-    ]
-    return -F.greatest(*structs).getField("n")
+def ivf_nearest_cells_udf(centroids: list, nprobe: int):
+    """Arrow-batched nearest-cell assignment: ONE NumPy matmul + argsort
+    per batch against the broadcast centroid matrix. Replaces the r2
+    literal-column argmax, whose plan exploded at O(C*d) folded float
+    literals (4k-64k centroids x 768 dims is megabytes of expression
+    tree per operator). Semantics are unchanged and oracle-compatible:
+    cosine rounded to 6dp, ties to the lowest centroid id (stable sort
+    over cid-ascending columns). Returns a pandas UDF: vec ->
+    array<nprobe nearest cell ids, nearest first>."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(centroids)  # cid-ascending -> stable sort == tie rule
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([v for _, v in cents], dtype=np.float64)  # (C, d)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((cids, mat, cnorm)) if spark else None
+
+    @pandas_udf("array<long>")
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        b_cids, b_mat, b_cnorm = bc.value if bc is not None else (cids, mat, cnorm)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        vnorm = np.sqrt((V * V).sum(axis=1))
+        # same operand order as the oracle: dot / (|v| * |c|), round 6
+        S = np.round(V @ b_mat.T / np.outer(vnorm, b_cnorm), 6)
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        out = b_cids[idx]
+        return pd.Series(list(out))
+
+    return nearest_cells
 
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
@@ -100,29 +125,26 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-Flat approximate cosine top-k.
 
-    Plan: one corpus pass stamps each vector's cell (literal argmax,
-    shuffle-free) -> the query side ranks centroids and keeps its
-    ``nprobe`` nearest cells (tiny: |queries| x n_centroids rows) ->
-    broadcast equi-join on cell restricts the exact re-rank to the
-    probed cells. Returns (query_id, rank, vec_id, cosine)."""
+    Plan: one corpus pass stamps each vector's cell (Arrow-batched
+    NumPy argmax against the broadcast centroid matrix, shuffle-free)
+    -> the query side keeps its ``nprobe`` nearest cells (tiny:
+    |queries| x nprobe rows) -> broadcast equi-join on cell restricts
+    the exact re-rank to the probed cells. At 10^12 rows the probed
+    cells hold ~nprobe/n_centroids of the corpus; pick n_centroids with
+    ivf_default_n_centroids (~sqrt n). Returns
+    (query_id, rank, vec_id, cosine)."""
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assign1 = ivf_nearest_cells_udf(cents, 1)
     assigned = embeddings.select(
-        id_col, vec_col, ivf_assign_col(F.col(vec_col), cents).alias("cell"))
+        id_col, vec_col,
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"))
 
+    assign_np = ivf_nearest_cells_udf(cents, nprobe)
     probes = (
         embeddings.where(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                F.explode(F.array(*[
-                    F.struct(F.lit(cid).alias("cell"),
-                             _centroid_cos(F.col(vec_col), cvec).alias("ccos"))
-                    for cid, cvec in cents])).alias("p"))
-        .select("query_id", "qvec", F.col("p.cell").alias("cell"),
-                F.col("p.ccos").alias("ccos"))
+                F.explode(assign_np(F.col(vec_col))).alias("cell"))
     )
-    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    probes = (probes.withColumn("pr", F.row_number().over(wp))
-              .where(F.col("pr") <= nprobe)
-              .select("query_id", "qvec", "cell"))
 
     cand = (
         assigned.join(F.broadcast(probes), "cell")
@@ -161,8 +183,23 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def lsh_default_n_planes(n_rows: int, target_bucket: int = 1024) -> int:
+    """Scale policy: pick n_planes so the EXPECTED bucket occupancy is
+    ~``target_bucket`` rows (n / 2^planes ~= target): planes =
+    log2(n/target), clamped to [4, 24]. The recall/cost tradeoff: each
+    extra plane halves the candidate set (cost) and roughly multiplies
+    per-table recall by P(same side) once more (for neighbors at angle
+    theta, p = 1 - theta/pi per plane) — compensate with more tables
+    (recall ~= 1-(1-p^planes)^tables). At 10^12 rows: 30 planes would
+    starve recall; 24 planes x ~16-32 tables keeps buckets ~60k rows
+    and pairwise re-rank bounded."""
+    import math
+
+    return max(4, min(24, round(math.log2(max(2, n_rows / target_bucket)))))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                    n_planes: int = 4, n_tables: int = 8,
+                    n_planes: int | None = None, n_tables: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int = 64) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
@@ -173,7 +210,13 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     re-rank inside the candidate set. For collision prob p per table,
     recall ~= 1-(1-p)^T — single-table LSH has near-zero recall on
     weakly-correlated neighbors. At 10^12 rows the bucket join replaces
-    the O(n*q) scan with O(T * n / 2^planes * q)."""
+    the O(n*q) scan with O(T * n / 2^planes * q).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (lsh_default_n_planes: ~n/2^planes = 1024 rows per bucket) — the
+    occupancy, not the corpus, then bounds per-bucket re-rank cost."""
+    if n_planes is None:
+        n_planes = lsh_default_n_planes(embeddings.count())
     sigs = F.array(*[
         F.struct(F.lit(t).alias("table_id"),
                  lsh_signature_col(F.col(vec_col), _planes(dim, n_planes, t))

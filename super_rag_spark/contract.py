@@ -718,7 +718,9 @@ SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 5
 """)
 def ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
-    return (ann.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=5)
+    # n_planes pinned to the oracle's 4-bit signatures (the library
+    # default derives ~sqrt-scale planes from the corpus size)
+    return (ann.lsh_cosine_topk(emb, ANN_QUERY_IDS, k=5, n_planes=4)
             .select(F.col("query_id").cast("long").alias("query_id"),
                     "rank", "vec_id", "cosine"))
 

@@ -188,3 +188,34 @@ def test_clean_corpus_pipeline_stages_fire(spark):
     assert any(v >= 1000000 for v in dropped_variants)
     for r in out:
         assert r["n_tokens"] >= 20 and r["pred_lang"] != "und"
+
+
+def test_ann_scale_defaults_and_recall_two_sizes(spark):
+    """r3: (a) derived parameters follow the scale policies; (b) IVF and
+    LSH recall@5 vs the exact scan stays useful at BOTH corpus sizes
+    (500 and 5000 vectors) — guards against parameterizations that only
+    work at one scale."""
+    from super_rag_spark.ann import (cosine_topk, ivf_default_n_centroids,
+                                     ivf_topk, lsh_cosine_topk,
+                                     lsh_default_n_planes)
+
+    assert ivf_default_n_centroids(1_000_000) == 1024
+    assert ivf_default_n_centroids(100) == 16
+    assert ivf_default_n_centroids(10**12) == 65536
+    assert lsh_default_n_planes(10**12) == 24
+    assert lsh_default_n_planes(1000) == 4
+    assert 9 <= lsh_default_n_planes(1_000_000) <= 11
+
+    for sf in ("0.001", "0.01"):
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        n = emb.count()
+        qids = [0, 1, 2]
+        exact = {}
+        for r in cosine_topk(emb, qids, k=5).collect():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        ivf = ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=4).collect()
+        ivf_hits = sum(1 for r in ivf if r["vec_id"] in exact[r["query_id"]])
+        assert ivf_hits >= 5, (sf, n, ivf_hits)  # >= 1/3 recall@5
+        lsh = lsh_cosine_topk(emb, qids, k=5, n_tables=16).collect()  # derived planes
+        lsh_hits = sum(1 for r in lsh if r["vec_id"] in exact[r["query_id"]])
+        assert lsh_hits >= 5, (sf, n, lsh_hits)
