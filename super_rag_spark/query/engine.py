@@ -143,9 +143,34 @@ class BM25Engine:
         except FileNotFoundError:
             mtime = None
         if self._manifest is None or mtime != self._manifest_mtime:
+            old = self._manifest
             self._manifest = self.store.read_manifest()
             self._manifest_mtime = mtime
+            if old is not None and int(old.get("epoch", -1)) != int(
+                    self._manifest["epoch"]):
+                self._warm_new_epoch(int(old["epoch"]))
         return self._manifest
+
+    def _warm_new_epoch(self, old_epoch: int) -> None:
+        """Epoch switch (out-of-band merge/compact): the old epoch's
+        dirs are GC'd, so stale cache entries are dropped — and the
+        terms that were HOT in the decoded LRU are re-decoded from the
+        new epoch eagerly. Without this, the first post-append query
+        stream runs cold (~40x the steady-state p50) until the LRU
+        refills; head terms stay head terms across epochs, so the old
+        working set is the right prefetch list."""
+        hot = [t for (e, t) in self._dec_cache if e == old_epoch]
+        self._ds_cache = {k: v for k, v in self._ds_cache.items()
+                          if k[0] != old_epoch}
+        for key in [k for k in self._term_cache if k[0] == old_epoch]:
+            del self._term_cache[key]
+        for key in [k for k in self._dec_cache if k[0] == old_epoch]:
+            self._dec_used -= len(self._dec_cache.pop(key)[1])
+        if hot:
+            try:
+                self._load_term_arrays(hot)  # refill under the new epoch
+            except Exception:
+                pass  # warm-up is best-effort; queries reload lazily
 
     # ------------------------------------------------------------- query
     def query_batch(self, queries: list[dict], k: int = 10,
@@ -156,11 +181,15 @@ class BM25Engine:
         return score_query_batch(self.spark, self.store, queries, k=k,
                                  candidates=candidates)
 
-    def query_batch_wand(self, queries: list[dict], k: int = 10) -> DataFrame:
+    def query_batch_wand(self, queries: list[dict], k: int = 10,
+                         candidates: DataFrame | None = None) -> DataFrame:
         """Distributed block-max WAND over the query batch (one WAND
         task per query; blocks stay encoded until the scorer needs
-        them). Rank-identical to query_batch."""
-        return score_query_batch_wand(self.spark, self.store, queries, k=k)
+        them). ``candidates``: optional (doc_id) frame (P7 filter),
+        cogrouped per salt range so block skipping survives broad
+        filters. Rank-identical to query_batch."""
+        return score_query_batch_wand(self.spark, self.store, queries, k=k,
+                                      candidates=candidates)
 
     def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
         """Driver-side pruned postings read: only the parquet partitions
@@ -381,10 +410,14 @@ class BM25Engine:
         if terms and cand_df is not None:
             # distributed path: candidate semi-join BEFORE scoring, then
             # global top-k — identical ranking to the driver path (the
-            # contribution exprs mirror bm25_term_score bit-for-bit)
-            res = score_query_batch(self.spark, engine.store,
-                                    [{"query_id": 0, "text": qtext}], k=k,
-                                    candidates=cand_df)
+            # contribution exprs mirror bm25_term_score bit-for-bit).
+            # method="wand" keeps block skipping under the broad filter
+            # (per-salt-range candidate cogroup, scoring.py)
+            scorer = (score_query_batch_wand if method == "wand"
+                      else score_query_batch)
+            res = scorer(self.spark, engine.store,
+                         [{"query_id": 0, "text": qtext}], k=k,
+                         candidates=cand_df)
             hits = [(int(r["doc_id"]), float(r["score"]))
                     for r in res.orderBy("rank").collect()]
         elif terms and allowed is None:

@@ -177,13 +177,20 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
 
 
 def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
-                           queries: list[dict], k: int = 10) -> DataFrame:
+                           queries: list[dict], k: int = 10,
+                           candidates: DataFrame | None = None) -> DataFrame:
     """Distributed block-max WAND: the query batch is the parallelism
     axis — each query's (compressed, still-encoded) blocks are grouped
     to one task, which runs the NumPy WAND scorer with full block-skip
     pruning. Compared to score_query_batch this never decodes blocks
     the threshold prunes, at the cost of shipping one query's blocks to
     one task (bounded: <=5 terms x df/BLOCK_SIZE block rows).
+
+    ``candidates``: optional (doc_id) frame (P7 metadata filter). The
+    candidate set is routed to each (query, salt-range) task via a
+    cogroup — a candidate doc joins exactly its OWN range's task
+    (range_id = doc_id >> shift), so block skipping survives broad
+    filters instead of falling back to the exhaustive plan.
 
     Returns (query_id int, rank int, doc_id long, score double) —
     rank-identical to the exhaustive plan (tests assert it).
@@ -210,7 +217,8 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
     if store.tombstones(spark) is not None:
         # pending lazy deletes change set membership below the WAND
         # threshold; use the exhaustive plan until the next merge GCs them
-        return score_query_batch(spark, store, queries, k=k)
+        return score_query_batch(spark, store, queries, k=k,
+                                 candidates=candidates)
 
     # Distribution axis: (query_id, salt range). Salt ranges partition
     # the doc-id space into SALT_COUNT contiguous, non-overlapping
@@ -240,7 +248,7 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
         ).otherwise(F.array(F.lit(-1)))),
     )
 
-    def run_wand(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_wand(pdf: pd.DataFrame, allowed=None) -> pd.DataFrame:
         from .wand import wand_topk
 
         qid = int(pdf["query_id"].iloc[0])
@@ -261,7 +269,7 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
             })
         # wand_topk splits blocks into (term, seg) runs and sorts them
         hits = wand_topk(term_blocks, n_docs, avgdl, k, k1=k1, b=b,
-                         doc_range=doc_range)
+                         doc_range=doc_range, allowed=allowed)
         return pd.DataFrame({
             "query_id": qid,
             "rank": np.arange(1, len(hits) + 1, dtype="int32"),
@@ -269,8 +277,49 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
             "score": [s for _, s in hits],
         })
 
-    per_range = ranged.groupBy("query_id", "range_id").applyInPandas(
-        run_wand, schema=out_schema)
+    if candidates is None:
+        # NB: applyInPandas dispatches on function ARITY (2 params means
+        # (key, pdf)), so the two-param run_wand must be wrapped
+        per_range = ranged.groupBy("query_id", "range_id").applyInPandas(
+            lambda pdf: run_wand(pdf), schema=out_schema)
+    else:
+        def _empty_out():
+            return pd.DataFrame({
+                "query_id": np.array([], dtype="int32"),
+                "rank": np.array([], dtype="int32"),
+                "doc_id": np.array([], dtype="int64"),
+                "score": np.array([], dtype="float64")})
+
+        def run_wand_cg(blocks_pdf: pd.DataFrame,
+                        cand_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(blocks_pdf) or not len(cand_pdf):
+                return _empty_out()  # no blocks or no candidates here
+            allowed = np.unique(cand_pdf["doc_id"].to_numpy()
+                                .astype(np.int64))
+            return run_wand(blocks_pdf, allowed=allowed)
+
+        # route each candidate doc to exactly the (query, range) tasks
+        # that may score it: its own salt range for salted queries, the
+        # -1 whole-space range for unsalted ones. The pair table is tiny
+        # (<= queries x SALT_COUNT) and broadcast; the candidate frame
+        # is shuffled once by the cogroup — never collected.
+        salt_count = int(manifest["salt_count"])
+        pair_rows = []
+        for qid in qterms_pdf["query_id"].unique():
+            if qid in salted_queries:
+                pair_rows += [(int(qid), r) for r in range(salt_count)]
+            else:
+                pair_rows.append((int(qid), -1))
+        pairs = spark.createDataFrame(pair_rows, "query_id long, range_id int")
+        cand = candidates.select(F.col("doc_id").cast("long").alias("doc_id"))
+        cand2 = cand.join(
+            F.broadcast(pairs),
+            (pairs["range_id"] == F.lit(-1))
+            | (pairs["range_id"]
+               == F.shiftright(cand["doc_id"], shift).cast("int")))
+        per_range = (ranged.groupBy("query_id", "range_id")
+                     .cogroup(cand2.groupBy("query_id", "range_id"))
+                     .applyInPandas(run_wand_cg, schema=out_schema))
     # global merge: per-range winners are disjoint docs; re-rank is tiny
     # (<= SALT_COUNT * k rows per query)
     w = Window.partitionBy("query_id").orderBy(

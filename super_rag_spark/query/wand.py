@@ -57,13 +57,15 @@ class TermCursor:
     """
 
     __slots__ = ("term", "df", "blocks", "bi", "pos", "docs", "tfs", "dls",
-                 "term_max", "_ubs", "_lo", "_hi")
+                 "term_max", "_ubs", "_lo", "_hi", "_allowed")
 
     def __init__(self, term: str, df: int, blocks: list[dict], n_docs: int,
                  avgdl: float, k1: float, b: float,
-                 doc_range: tuple[int, int] | None = None):
+                 doc_range: tuple[int, int] | None = None,
+                 allowed: np.ndarray | None = None):
         self.term = term
         self.df = df
+        self._allowed = allowed  # sorted int64; None = no candidate mask
         self._lo, self._hi = doc_range if doc_range else (None, None)
         if doc_range:
             blocks = [blk for blk in blocks
@@ -88,6 +90,13 @@ class TermCursor:
                 blk["docs_enc"], blk["tfs_enc"], blk["dls_enc"], blk["n"])
             if self._lo is not None:
                 keep = (docs >= self._lo) & (docs < self._hi)
+                if not keep.all():
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if self._allowed is not None and len(docs):
+                # candidate restriction (metadata filter, P7): masking
+                # only REMOVES postings, so every block upper bound and
+                # seek boundary stays valid — skipping is preserved
+                keep = np.isin(docs, self._allowed, assume_unique=False)
                 if not keep.all():
                     docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             if len(docs) == 0:
@@ -143,7 +152,8 @@ class TermCursor:
 
 def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
               avgdl: float, k: int, k1: float = K1, b: float = B,
-              doc_range: tuple[int, int] | None = None) -> list[tuple[int, float]]:
+              doc_range: tuple[int, int] | None = None,
+              allowed: np.ndarray | None = None) -> list[tuple[int, float]]:
     """Exact block-max WAND.
 
     term_blocks: {term: (df, [block rows])}. Blocks may span several
@@ -159,6 +169,8 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
     Full evaluation sums contributions in term-ascending order — the
     same float addition order as the oracle and the Spark scorer.
     ``doc_range``: optional [lo, hi) window (per-salt-range distribution).
+    ``allowed``: optional sorted int64 candidate doc_ids (P7 metadata
+    filter); other docs are invisible, block skipping is unaffected.
     """
     cursors = []
     for t, (df, blks) in sorted(term_blocks.items()):
@@ -167,7 +179,8 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
             runs.setdefault(int(blk.get("seg", 0)), []).append(blk)
         for seg in sorted(runs):
             run = sorted(runs[seg], key=lambda r: r["first_doc_id"])
-            cursors.append(TermCursor(t, df, run, n_docs, avgdl, k1, b, doc_range))
+            cursors.append(TermCursor(t, df, run, n_docs, avgdl, k1, b,
+                                      doc_range, allowed))
     cursors = [c for c in cursors if c.blocks]
     if not cursors:
         return []

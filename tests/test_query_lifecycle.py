@@ -133,3 +133,41 @@ def test_chunk_materialization_join(spark, built_index, webtext_sf0001_path, que
     rows = joined.collect()
     if rows:  # only docs within the 200-doc chunk slice materialize
         assert all(r["content"] for r in rows)
+
+
+def test_filter_unknown_range_op_raises(spark):
+    import pytest
+
+    from super_rag_spark.filters import to_column
+
+    # a silently-dropped op would WIDEN the filter (ADVICE r2)
+    with pytest.raises(ValueError, match="unsupported range operator"):
+        to_column({"must": [{"key": "n", "range": {"gte": 1, "eq": 2}}]})
+
+
+def test_filtered_wand_matches_exhaustive(built_index, docs_meta, queries100):
+    """r3: candidates= through the distributed WAND plan (per-salt-range
+    candidate cogroup) is rank-identical to the exhaustive semi-join
+    plan AND to the driver path — block skipping survives broad
+    filters."""
+    cand = docs_meta.where(F.col("lang") == "en").select("doc_id")
+    batch = [dict(q) for q in queries100[:8]]
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in rows)
+    exhaustive = built_index.query_batch(batch, k=10, candidates=cand).collect()
+    wand = built_index.query_batch_wand(batch, k=10, candidates=cand).collect()
+    assert key(wand) == key(exhaustive)
+    assert len(exhaustive) > 0
+
+    # search(method="wand") rides the same plan
+    q = queries100[0]["text"]
+    a = built_index.search(q, k=10, docs_meta=docs_meta, method="wand",
+                           where=F.col("lang") == "en",
+                           driver_filter_max=0).collect()
+    b = built_index.search(q, k=10, docs_meta=docs_meta,
+                           where=F.col("lang") == "en",
+                           driver_filter_max=0).collect()
+    key2 = lambda rows: [(r["doc_id"], round(r["score"], 9))
+                         for r in sorted(rows, key=lambda r: r["rank"])]
+    assert key2(a) == key2(b)
