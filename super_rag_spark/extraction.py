@@ -194,18 +194,245 @@ def extract_elements_markdown(payload: bytes | str) -> list[dict]:
     return elements
 
 
+# ------------------------------------------- CSV / JSON / EML (stdlib)
+
+def extract_elements_csv(payload: bytes | str) -> list[dict]:
+    """CSV -> one Table element (rows "\\n"-joined, cells "\\t"-joined,
+    matching the HTML/markdown table text shape). CSV arm of the
+    reference's 11-type dispatch (/root/reference/models/file.py:20-34);
+    unstructured.io likewise partitions a CSV into a single Table."""
+    import csv
+    import io
+
+    if isinstance(payload, (bytes, bytearray)):
+        payload = payload.decode("utf-8", errors="replace")
+    rows = [r for r in csv.reader(io.StringIO(payload)) if r]
+    text = "\n".join("\t".join(c.strip() for c in r) for r in rows)
+    return [{"type": "Table", "text": text}] if text else []
+
+
+def extract_elements_json(payload: bytes | str) -> list[dict]:
+    """JSON -> one NarrativeText per top-level entry, each the
+    "path: value" flattening of its leaves (deterministic: json.loads
+    preserves object order). JSON arm of
+    /root/reference/models/file.py:20-34."""
+    import json
+
+    if isinstance(payload, (bytes, bytearray)):
+        payload = payload.decode("utf-8", errors="replace")
+    obj = json.loads(payload)
+
+    def leaves(o, prefix: str):
+        if isinstance(o, dict):
+            for k, v in o.items():
+                yield from leaves(v, f"{prefix}.{k}" if prefix else str(k))
+        elif isinstance(o, list):
+            for i, v in enumerate(o):
+                yield from leaves(v, f"{prefix}[{i}]")
+        else:
+            yield prefix, o
+
+    if isinstance(obj, dict):
+        tops = list(obj.items())
+    elif isinstance(obj, list):
+        tops = [(f"[{i}]", v) for i, v in enumerate(obj)]
+    else:
+        tops = [("", obj)]
+    out = []
+    for key, val in tops:
+        text = "\n".join(
+            f"{p}: {v}" if p else str(v) for p, v in leaves(val, key))
+        if text.strip():
+            out.append({"type": "NarrativeText", "text": text})
+    return out
+
+
+def extract_elements_eml(payload: bytes | str) -> list[dict]:
+    """RFC-822 email -> Title (Subject) + body elements via the stdlib
+    email package: the text/plain part splits into paragraphs (TXT arm);
+    an HTML-only message routes through the HTML extractor. EML arm of
+    /root/reference/models/file.py:20-34."""
+    import email
+    import email.policy
+
+    if isinstance(payload, (bytes, bytearray)):
+        msg = email.message_from_bytes(bytes(payload), policy=email.policy.default)
+    else:
+        msg = email.message_from_string(payload, policy=email.policy.default)
+    out: list[dict] = []
+    subject = (msg.get("Subject") or "").strip()
+    if subject:
+        out.append({"type": "Title", "text": subject})
+    plain = msg.get_body(preferencelist=("plain",))
+    if plain is not None:
+        # RFC-822 bodies keep CRLF; normalize so paragraph splitting works
+        out.extend(extract_elements_txt(
+            plain.get_content().replace("\r\n", "\n")))
+        return out
+    html = msg.get_body(preferencelist=("html",))
+    if html is not None:
+        out.extend(extract_elements(html.get_content()))
+    return out
+
+
+# -------------------------------- DOCX / PPTX / XLSX (zip + XML, stdlib)
+# OOXML containers are plain zip archives of XML parts — no external
+# parser needed for TEXT extraction (the reference ships these to
+# unstructured.io; PDF remains the one format that genuinely needs an
+# absent library and keeps its NotImplementedError).
+
+def _xml_root(zf, name: str):
+    import xml.etree.ElementTree as ET
+
+    return ET.fromstring(zf.read(name))
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def extract_elements_docx(payload: bytes) -> list[dict]:
+    """DOCX -> typed elements from word/document.xml: Heading/Title
+    styled paragraphs -> Title, tables -> Table (rows/cells joined like
+    the HTML path), other paragraphs -> NarrativeText. DOCX arm of
+    /root/reference/models/file.py:20-34."""
+    import io
+    import zipfile
+
+    def para_text(p) -> str:
+        return "".join(t.text or "" for t in p.iter() if _local(t.tag) == "t")
+
+    def para_style(p) -> str:
+        for el in p.iter():
+            if _local(el.tag) == "pStyle":
+                for k, v in el.attrib.items():
+                    if _local(k) == "val":
+                        return v
+        return ""
+
+    out: list[dict] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = _xml_root(zf, "word/document.xml")
+        body = next((el for el in root.iter() if _local(el.tag) == "body"), None)
+        if body is None:
+            return out
+        for child in body:
+            tag = _local(child.tag)
+            if tag == "p":
+                text = para_text(child).strip()
+                if not text:
+                    continue
+                style = para_style(child)
+                kind = ("Title" if style.startswith(("Heading", "Title"))
+                        else "NarrativeText")
+                out.append({"type": kind, "text": text})
+            elif tag == "tbl":
+                rows = []
+                for tr in (el for el in child.iter() if _local(el.tag) == "tr"):
+                    cells = ["\n".join(
+                        para_text(p).strip() for p in tc.iter()
+                        if _local(p.tag) == "p").strip()
+                        for tc in tr if _local(tc.tag) == "tc"]
+                    if any(cells):
+                        rows.append(cells)
+                text = "\n".join("\t".join(r) for r in rows)
+                if text:
+                    out.append({"type": "Table", "text": text})
+    return out
+
+
+def extract_elements_pptx(payload: bytes) -> list[dict]:
+    """PPTX -> per-shape elements from ppt/slides/slideN.xml (slide
+    order numeric): title-placeholder shapes -> Title, other text
+    shapes -> NarrativeText (shape paragraphs "\\n"-joined). PPTX arm
+    of /root/reference/models/file.py:20-34."""
+    import io
+    import re
+    import zipfile
+
+    out: list[dict] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        slides = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)))
+        for name in slides:
+            root = _xml_root(zf, name)
+            for sp in (el for el in root.iter() if _local(el.tag) == "sp"):
+                is_title = any(
+                    _local(el.tag) == "ph"
+                    and el.get("type") in ("title", "ctrTitle")
+                    for el in sp.iter())
+                paras = []
+                for p in (el for el in sp.iter() if _local(el.tag) == "p"):
+                    t = "".join(t.text or "" for t in p.iter()
+                                if _local(t.tag) == "t").strip()
+                    if t:
+                        paras.append(t)
+                if paras:
+                    out.append({"type": "Title" if is_title else "NarrativeText",
+                                "text": "\n".join(paras)})
+    return out
+
+
+def extract_elements_xlsx(payload: bytes) -> list[dict]:
+    """XLSX -> one Table element per worksheet (cells resolved through
+    xl/sharedStrings.xml, rows "\\n"-joined, cells "\\t"-joined). XLSX
+    arm of /root/reference/models/file.py:20-34."""
+    import io
+    import re
+    import zipfile
+
+    out: list[dict] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = _xml_root(zf, "xl/sharedStrings.xml")
+            for si in (el for el in root.iter() if _local(el.tag) == "si"):
+                shared.append("".join(t.text or "" for t in si.iter()
+                                      if _local(t.tag) == "t"))
+        sheets = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)\.xml$", n).group(1)))
+        for name in sheets:
+            root = _xml_root(zf, name)
+            rows = []
+            for row in (el for el in root.iter() if _local(el.tag) == "row"):
+                cells = []
+                for c in (el for el in row.iter() if _local(el.tag) == "c"):
+                    v = next((el.text or "" for el in c.iter()
+                              if _local(el.tag) == "v"), "")
+                    if c.get("t") == "s" and v != "":
+                        v = shared[int(v)]
+                    cells.append(v)
+                if any(cells):
+                    rows.append(cells)
+            text = "\n".join("\t".join(r) for r in rows)
+            if text:
+                out.append({"type": "Table", "text": text})
+    return out
+
+
 _EXTRACTORS = {
     "HTML": extract_elements,
     "TXT": extract_elements_txt,
     "MARKDOWN": extract_elements_markdown,
+    "CSV": extract_elements_csv,
+    "JSON": extract_elements_json,
+    "EML": extract_elements_eml,
+    "DOCX": extract_elements_docx,
+    "PPTX": extract_elements_pptx,
+    "XLSX": extract_elements_xlsx,
 }
 
 
 def extract_elements_any(payload: bytes | str, source_type: str = "HTML") -> list[dict]:
     """Format dispatch (S3): route the payload to the matching element
-    extractor. Formats the sandbox cannot parse (PDF/DOCX/... need
-    external parsers the reference delegates to unstructured.io) raise
-    explicitly rather than silently mis-parsing."""
+    extractor. 9 of the reference's 11 formats parse in-sandbox
+    (stdlib only); PDF and MSG (OLE compound file) genuinely need
+    external parsers the reference delegates to unstructured.io and
+    raise explicitly rather than silently mis-parsing."""
     fn = _EXTRACTORS.get(source_type)
     if fn is None:
         raise NotImplementedError(

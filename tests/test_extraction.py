@@ -92,3 +92,129 @@ def test_extract_any_spark_dispatch(spark):
     assert got["https://x/b.txt"] == "plain body\nmore"
     assert got["https://x/c.md"] == "T\nmd body"
     assert got["https://x/d"] == "no ext defaults to html"
+
+
+# ----------------------------- r3: CSV / JSON / EML / DOCX / PPTX / XLSX
+
+def _zip_bytes(parts: dict) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in parts.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_extract_csv():
+    from super_rag_spark.extraction import extract_elements_csv
+
+    els = extract_elements_csv(b'name,age\n"Smith, J",7\n\nx,y\n')
+    assert els == [{"type": "Table",
+                    "text": "name\tage\nSmith, J\t7\nx\ty"}]
+    assert extract_elements_csv(b"") == []
+
+
+def test_extract_json():
+    from super_rag_spark.extraction import extract_elements_json, extract_text_any
+
+    els = extract_elements_json(
+        b'{"title": "T", "meta": {"lang": "en", "tags": ["a", "b"]}}')
+    assert els == [
+        {"type": "NarrativeText", "text": "title: T"},
+        {"type": "NarrativeText",
+         "text": "meta.lang: en\nmeta.tags[0]: a\nmeta.tags[1]: b"},
+    ]
+    assert extract_text_any(b'[1, 2]', "JSON") == "[0]: 1\n[1]: 2"
+
+
+def test_extract_eml():
+    from super_rag_spark.extraction import extract_elements_eml
+
+    raw = (b"Subject: Weekly report\r\nFrom: a@x.com\r\nTo: b@x.com\r\n"
+           b"Content-Type: text/plain\r\n\r\n"
+           b"First paragraph line.\r\n\r\nSecond paragraph.\r\n")
+    assert extract_elements_eml(raw) == [
+        {"type": "Title", "text": "Weekly report"},
+        {"type": "NarrativeText", "text": "First paragraph line."},
+        {"type": "NarrativeText", "text": "Second paragraph."},
+    ]
+    html_mail = (b"Subject: S\r\nContent-Type: text/html\r\n\r\n"
+                 b"<h1>H</h1><p>body</p>\r\n")
+    assert extract_elements_eml(html_mail) == [
+        {"type": "Title", "text": "S"},
+        {"type": "Title", "text": "H"},
+        {"type": "NarrativeText", "text": "body"},
+    ]
+
+
+_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def test_extract_docx():
+    from super_rag_spark.extraction import extract_elements_docx
+
+    doc = f"""<w:document {_W}><w:body>
+      <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+           <w:r><w:t>Intro</w:t></w:r></w:p>
+      <w:p><w:r><w:t>Body </w:t></w:r><w:r><w:t>text.</w:t></w:r></w:p>
+      <w:tbl><w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+                   <w:tc><w:p><w:r><w:t>b</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+    </w:body></w:document>"""
+    payload = _zip_bytes({"word/document.xml": doc})
+    assert extract_elements_docx(payload) == [
+        {"type": "Title", "text": "Intro"},
+        {"type": "NarrativeText", "text": "Body text."},
+        {"type": "Table", "text": "a\tb"},
+    ]
+
+
+def test_extract_pptx():
+    from super_rag_spark.extraction import extract_elements_pptx
+
+    ns = ('xmlns:p="urn:p" xmlns:a="urn:a"')
+    slide1 = f"""<p:sld {ns}><p:sp>
+        <p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+        <a:txBody><a:p><a:r><a:t>Deck title</a:t></a:r></a:p></a:txBody>
+      </p:sp><p:sp>
+        <a:txBody><a:p><a:r><a:t>bullet one</a:t></a:r></a:p>
+                  <a:p><a:r><a:t>bullet two</a:t></a:r></a:p></a:txBody>
+      </p:sp></p:sld>"""
+    slide2 = f"""<p:sld {ns}><p:sp>
+        <a:txBody><a:p><a:r><a:t>second slide</a:t></a:r></a:p></a:txBody>
+      </p:sp></p:sld>"""
+    payload = _zip_bytes({"ppt/slides/slide1.xml": slide1,
+                          "ppt/slides/slide2.xml": slide2})
+    assert extract_elements_pptx(payload) == [
+        {"type": "Title", "text": "Deck title"},
+        {"type": "NarrativeText", "text": "bullet one\nbullet two"},
+        {"type": "NarrativeText", "text": "second slide"},
+    ]
+
+
+def test_extract_xlsx():
+    from super_rag_spark.extraction import extract_elements_xlsx
+
+    ss = """<sst xmlns="urn:s"><si><t>name</t></si><si><t>bob</t></si></sst>"""
+    sheet = """<worksheet xmlns="urn:s"><sheetData>
+      <row><c t="s"><v>0</v></c><c><v>1</v></c></row>
+      <row><c t="s"><v>1</v></c><c><v>2.5</v></c></row>
+    </sheetData></worksheet>"""
+    payload = _zip_bytes({"xl/sharedStrings.xml": ss,
+                          "xl/worksheets/sheet1.xml": sheet})
+    assert extract_elements_xlsx(payload) == [
+        {"type": "Table", "text": "name\t1\nbob\t2.5"}]
+
+
+def test_extract_any_new_formats_and_remaining_stubs():
+    import pytest
+
+    from super_rag_spark.extraction import extract_text_any
+
+    assert extract_text_any(b"a,b\n1,2", "CSV") == "a\tb\n1\t2"
+    assert extract_text_any(b'{"k": 1}', "JSON") == "k: 1"
+    # PDF and MSG are the only formats still delegated (binary parsers)
+    for st in ("PDF", "MSG"):
+        with pytest.raises(NotImplementedError):
+            extract_text_any(b"\x00\x01", st)
