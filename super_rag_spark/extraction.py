@@ -414,6 +414,263 @@ def extract_elements_xlsx(payload: bytes) -> list[dict]:
     return out
 
 
+# ------------------------------------------------------- PDF (stdlib)
+
+def _pdf_text_ops(data: bytes) -> list[tuple[str, float]]:
+    """Scan one decoded PDF content stream for text-showing operators.
+    Returns (line_text, max_font_size) pairs. Handles literal strings
+    (escapes, nested parens), hex strings, TJ arrays (kerns <= -180
+    milli-ems become word spaces), Tf font sizes, and the Td/TD/T*/ET
+    line breaks. Latin-1 byte decoding — simple fonts only (CID/CMap
+    text needs a ToUnicode table and stays out of scope)."""
+    out: list[tuple[str, float]] = []
+    cur: list[str] = []
+    cur_size = 0.0
+    font_size = 12.0
+    last_num = 0.0
+    in_array = False
+    i, n = 0, len(data)
+
+    def flush_line():
+        nonlocal cur, cur_size
+        text = "".join(cur).strip()
+        if text:
+            out.append((text, cur_size))
+        cur, cur_size = [], 0.0
+
+    while i < n:
+        c = data[i:i + 1]
+        if c == b"(":
+            depth, i = 1, i + 1
+            buf = bytearray()
+            while i < n and depth:
+                ch = data[i]
+                if ch == 0x5C and i + 1 < n:  # backslash escape
+                    nxt = data[i + 1]
+                    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+                    if nxt in esc:
+                        buf.append(esc[nxt])
+                        i += 2
+                    elif 0x30 <= nxt <= 0x37:  # octal \ddd
+                        j = i + 1
+                        oct_digits = ""
+                        while j < n and len(oct_digits) < 3 and 0x30 <= data[j] <= 0x37:
+                            oct_digits += chr(data[j])
+                            j += 1
+                        buf.append(int(oct_digits, 8) & 0xFF)
+                        i = j
+                    else:
+                        buf.append(nxt)
+                        i += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if not depth:
+                        i += 1
+                        break
+                buf.append(ch)
+                i += 1
+            cur.append(buf.decode("latin-1"))
+            cur_size = max(cur_size, font_size)
+        elif c == b"<" and data[i + 1:i + 2] != b"<":
+            j = data.find(b">", i)
+            if j < 0:
+                break
+            hx = data[i + 1:j].translate(None, b" \r\n\t")
+            try:
+                raw = bytes.fromhex(hx.decode("ascii") + ("0" if len(hx) % 2 else ""))
+                txt = raw.decode("latin-1")
+                if all(ch == "\n" or ch == "\t" or " " <= ch <= "\xff" for ch in txt):
+                    cur.append(txt)
+                    cur_size = max(cur_size, font_size)
+            except ValueError:
+                pass
+            i = j + 1
+        elif c == b"[":
+            in_array = True
+            i += 1
+        elif c == b"]":
+            in_array = False
+            i += 1
+        elif c in b"+-.0123456789":
+            j = i
+            while j < n and data[j:j + 1] in b"+-.0123456789":
+                j += 1
+            try:
+                last_num = float(data[i:j])
+            except ValueError:
+                last_num = 0.0
+            if in_array and last_num <= -180 and cur:
+                cur.append(" ")  # TJ word-space kern
+            i = j
+        elif c.isalpha() or c in b"'\"*":
+            j = i
+            while j < n and (data[j:j + 1].isalpha() or data[j:j + 1] in b"'\"*"):
+                j += 1
+            op = data[i:j].decode("latin-1", errors="replace")
+            if op == "Tf":
+                font_size = last_num if last_num > 0 else font_size
+            elif op in ("'", '"'):
+                # ' and " move to the next line BEFORE showing their
+                # string operand (already consumed into cur): re-home it
+                last = cur.pop() if cur else None
+                flush_line()
+                if last is not None:
+                    cur.append(last)
+                    cur_size = font_size
+            elif op in ("Td", "TD", "T", "T*", "ET"):
+                flush_line()
+            i = j
+        else:
+            i += 1
+    flush_line()
+    return out
+
+
+def extract_elements_pdf(payload: bytes) -> list[dict]:
+    """PDF -> typed elements with stdlib only: every stream object is
+    inflated (zlib for /FlateDecode, raw otherwise), content streams
+    (those containing text operators) are scanned by _pdf_text_ops, and
+    lines set in a large font (>= 14pt) become Titles. Covers the
+    common simple-font text PDF; image-only or CID/CMap-encoded PDFs
+    yield [] rather than mojibake. PDF arm of
+    /root/reference/models/file.py:20-34 (the reference ships these to
+    unstructured.io)."""
+    import re
+    import zlib
+
+    if isinstance(payload, str):
+        payload = payload.encode("latin-1", errors="replace")
+    if not payload.startswith(b"%PDF"):
+        raise ValueError("not a PDF payload (missing %PDF header)")
+    out: list[dict] = []
+    for m in re.finditer(rb"stream\r?\n", payload):
+        start = m.end()
+        end = payload.find(b"endstream", start)
+        if end < 0:
+            continue
+        raw = payload[start:end].rstrip(b"\r\n")
+        try:
+            data = zlib.decompress(raw)
+        except zlib.error:
+            data = raw
+        if b"Tj" not in data and b"TJ" not in data and b"'" not in data:
+            continue  # not a text content stream (font/image/xref data)
+        for text, size in _pdf_text_ops(data):
+            kind = "Title" if size >= 14 else "NarrativeText"
+            out.append({"type": kind, "text": text})
+    return out
+
+
+# ------------------------------------------- MSG (CFB/OLE2, stdlib)
+
+def _cfb_streams(payload: bytes) -> dict[str, bytes]:
+    """Minimal Compound File Binary (OLE2) reader: header -> DIFAT ->
+    FAT -> directory + miniFAT -> {stream name: bytes}. Red-black
+    directory-tree pointers are ignored (all stream entries are
+    scanned), which is sufficient for flat .msg containers."""
+    import struct
+
+    if payload[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        raise ValueError("not a CFB (OLE2) container")
+    ssz = 1 << struct.unpack_from("<H", payload, 30)[0]
+    mssz = 1 << struct.unpack_from("<H", payload, 32)[0]
+    n_fat = struct.unpack_from("<I", payload, 44)[0]
+    first_dir = struct.unpack_from("<I", payload, 48)[0]
+    cutoff = struct.unpack_from("<I", payload, 56)[0]
+    first_minifat = struct.unpack_from("<I", payload, 60)[0]
+    first_difat = struct.unpack_from("<I", payload, 68)[0]
+    n_difat = struct.unpack_from("<I", payload, 72)[0]
+
+    def sector(n: int) -> bytes:
+        return payload[512 + n * ssz: 512 + (n + 1) * ssz]
+
+    difat = list(struct.unpack_from("<109I", payload, 76))
+    s = first_difat
+    for _ in range(n_difat):
+        if s >= 0xFFFFFFFC:
+            break
+        vals = struct.unpack(f"<{ssz // 4}I", sector(s))
+        difat += vals[:-1]
+        s = vals[-1]
+    fat: list[int] = []
+    for fs in [x for x in difat if x < 0xFFFFFFFC][:n_fat]:
+        fat += struct.unpack(f"<{ssz // 4}I", sector(fs))
+
+    def chain(start: int) -> list[int]:
+        out, s, seen = [], start, set()
+        while s < 0xFFFFFFFC and s not in seen and s < len(fat):
+            seen.add(s)
+            out.append(s)
+            s = fat[s]
+        return out
+
+    dirdata = b"".join(sector(s) for s in chain(first_dir))
+    entries = []
+    for off in range(0, len(dirdata) - 127, 128):
+        namelen = struct.unpack_from("<H", dirdata, off + 64)[0]
+        otype = dirdata[off + 66]
+        if otype not in (2, 5) or namelen < 2 or namelen > 64:
+            continue
+        name = dirdata[off: off + namelen - 2].decode("utf-16-le",
+                                                      errors="replace")
+        start = struct.unpack_from("<I", dirdata, off + 116)[0]
+        size = struct.unpack_from("<Q", dirdata, off + 120)[0]
+        if ssz == 512:  # v3 files: only the low dword of size is valid
+            size &= 0xFFFFFFFF
+        entries.append((name, otype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    ministream = (b"".join(sector(s) for s in chain(root[2]))[:root[3]]
+                  if root else b"")
+    minifat: list[int] = []
+    for s in chain(first_minifat):
+        minifat += struct.unpack(f"<{ssz // 4}I", sector(s))
+
+    def read(start: int, size: int, mini: bool) -> bytes:
+        if mini:
+            out, s, seen = b"", start, set()
+            while s < 0xFFFFFFFC and s not in seen and s < len(minifat):
+                seen.add(s)
+                out += ministream[s * mssz: (s + 1) * mssz]
+                s = minifat[s]
+            return out[:size]
+        return b"".join(sector(s) for s in chain(start))[:size]
+
+    return {name: read(start, size, size < cutoff)
+            for name, otype, start, size in entries if otype == 2}
+
+
+def extract_elements_msg(payload: bytes) -> list[dict]:
+    """Outlook .msg -> Title (PidTagSubject, stream
+    __substg1.0_0037001F) + body paragraphs (PidTagBody,
+    __substg1.0_1000001F / 001E) through the minimal CFB reader. MSG
+    arm of /root/reference/models/file.py:20-34 — the last of the 11
+    reference formats."""
+    streams = _cfb_streams(bytes(payload))
+
+    def get_text(tag: str) -> str | None:
+        uni = streams.get(f"__substg1.0_{tag}001F")
+        if uni is not None:
+            return uni.decode("utf-16-le", errors="replace")
+        raw = streams.get(f"__substg1.0_{tag}001E")
+        if raw is not None:
+            return raw.decode("cp1252", errors="replace")
+        return None
+
+    out: list[dict] = []
+    subject = (get_text("0037") or "").strip("\x00").strip()
+    if subject:
+        out.append({"type": "Title", "text": subject})
+    body = get_text("1000")
+    if body:
+        out.extend(extract_elements_txt(
+            body.strip("\x00").replace("\r\n", "\n")))
+    return out
+
+
 _EXTRACTORS = {
     "HTML": extract_elements,
     "TXT": extract_elements_txt,
@@ -424,15 +681,17 @@ _EXTRACTORS = {
     "DOCX": extract_elements_docx,
     "PPTX": extract_elements_pptx,
     "XLSX": extract_elements_xlsx,
+    "PDF": extract_elements_pdf,
+    "MSG": extract_elements_msg,
 }
 
 
 def extract_elements_any(payload: bytes | str, source_type: str = "HTML") -> list[dict]:
     """Format dispatch (S3): route the payload to the matching element
-    extractor. 9 of the reference's 11 formats parse in-sandbox
-    (stdlib only); PDF and MSG (OLE compound file) genuinely need
-    external parsers the reference delegates to unstructured.io and
-    raise explicitly rather than silently mis-parsing."""
+    extractor. ALL 11 of the reference's file types parse in-sandbox,
+    stdlib only (PDF covers the common simple-font text PDF; MSG plain
+    bodies via the minimal CFB reader); an unknown source_type raises
+    rather than silently mis-parsing."""
     fn = _EXTRACTORS.get(source_type)
     if fn is None:
         raise NotImplementedError(

@@ -72,8 +72,8 @@ def test_extract_any_dispatch_and_unknown():
 
     assert extract_text_any(b"<p>x</p>", "HTML") == "x"
     assert extract_text_any(b"x", "TXT") == "x"
-    with pytest.raises(NotImplementedError):
-        extract_text_any(b"%PDF-1.4", "PDF")
+    with pytest.raises(ValueError):
+        extract_text_any(b"\xd0\xcf\x11\xe0", "MSG")  # truncated magic
 
 
 def test_extract_any_spark_dispatch(spark):
@@ -214,7 +214,106 @@ def test_extract_any_new_formats_and_remaining_stubs():
 
     assert extract_text_any(b"a,b\n1,2", "CSV") == "a\tb\n1\t2"
     assert extract_text_any(b'{"k": 1}', "JSON") == "k: 1"
-    # PDF and MSG are the only formats still delegated (binary parsers)
-    for st in ("PDF", "MSG"):
-        with pytest.raises(NotImplementedError):
-            extract_text_any(b"\x00\x01", st)
+    # MSG parses via the CFB reader; garbage containers error
+    with pytest.raises(ValueError):
+        extract_text_any(b"\xd0\xcf\x11\xe0", "MSG")  # truncated magic
+    # a content-less PDF extracts to empty, a non-PDF payload errors
+    assert extract_text_any(b"%PDF-1.4", "PDF") == ""
+    with pytest.raises(ValueError):
+        extract_text_any(b"\x00\x01", "PDF")
+
+
+def _mini_pdf(content: bytes, compress: bool) -> bytes:
+    import zlib
+
+    data = zlib.compress(content) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (b"%PDF-1.4\n1 0 obj\n<< " + filt +
+            b"/Length " + str(len(data)).encode() + b" >>\nstream\n" +
+            data + b"\nendstream\nendobj\ntrailer\n%%EOF\n")
+
+
+def test_extract_pdf():
+    from super_rag_spark.extraction import extract_elements_pdf
+
+    content = (b"BT /F1 18 Tf (Doc Title) Tj ET "
+               b"BT /F1 11 Tf (Hello \\(escaped\\) ) Tj (world.) Tj "
+               b"0 -14 Td [(spaced) -250 (words)] TJ "
+               b"T* (next ) Tj <6c696e65> Tj ET")
+    want = [
+        {"type": "Title", "text": "Doc Title"},
+        {"type": "NarrativeText", "text": "Hello (escaped) world."},
+        {"type": "NarrativeText", "text": "spaced words"},
+        {"type": "NarrativeText", "text": "next line"},
+    ]
+    assert extract_elements_pdf(_mini_pdf(content, compress=False)) == want
+    assert extract_elements_pdf(_mini_pdf(content, compress=True)) == want
+
+
+def _mini_cfb(streams: dict) -> bytes:
+    """Build a tiny valid v3 CFB container with all payload streams in
+    the mini stream (test fixture for the MSG arm)."""
+    import struct
+
+    FREE, END, FATS = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    mssz = 64
+    minifat, allocs, mini = [], {}, b""
+    for name, data in streams.items():
+        n = max(1, -(-len(data) // mssz))
+        start = len(minifat)
+        minifat.extend(list(range(start + 1, start + n)) + [END])
+        allocs[name] = (start, len(data))
+        mini += data + b"\x00" * (n * mssz - len(data))
+    mini_used = len(mini)
+    mini_sectors = max(1, -(-len(mini) // 512))
+    mini += b"\x00" * (mini_sectors * 512 - len(mini))
+
+    def direntry(name, otype, start, size):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = nm + b"\x00" * (64 - len(nm))
+        e += struct.pack("<HBB", len(nm), otype, 1)
+        e += struct.pack("<III", FREE, FREE, FREE)  # left/right/child
+        e += b"\x00" * 36  # clsid + state + times
+        e += struct.pack("<IQ", start, size)
+        assert len(e) == 128
+        return e
+
+    dirdata = direntry("Root Entry", 5, 3, mini_used)
+    for name in streams:
+        dirdata += direntry(name, 2, allocs[name][0], allocs[name][1])
+    dirdata += b"\x00" * (512 - len(dirdata))
+
+    fat = [FATS, END, END]  # sector 0=FAT, 1=dir, 2=miniFAT
+    fat += list(range(4, 3 + mini_sectors)) + [END]  # 3.. = ministream
+    fat += [FREE] * (128 - len(fat))
+    minifat += [FREE] * (128 - len(minifat))
+
+    hdr = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+    hdr += struct.pack("<HHHHH", 0x3E, 3, 0xFFFE, 9, 6) + b"\x00" * 6
+    hdr += struct.pack("<IIIIIIII", 0, 1, 1, 0, 4096, 2, 1, END)
+    hdr += struct.pack("<I", 0)  # num DIFAT sectors
+    hdr += struct.pack("<I", 0)  # DIFAT[0] -> FAT sector 0
+    hdr += struct.pack("<108I", *([FREE] * 108))
+    assert len(hdr) == 512
+    return (hdr + struct.pack("<128I", *fat) + dirdata
+            + struct.pack("<128I", *minifat) + mini)
+
+
+def test_extract_msg():
+    from super_rag_spark.extraction import extract_elements_msg
+
+    payload = _mini_cfb({
+        "__substg1.0_0037001F": "Weekly sync".encode("utf-16-le"),
+        "__substg1.0_1000001F":
+            "Para one.\r\n\r\nPara two continues here.".encode("utf-16-le"),
+    })
+    assert extract_elements_msg(payload) == [
+        {"type": "Title", "text": "Weekly sync"},
+        {"type": "NarrativeText", "text": "Para one."},
+        {"type": "NarrativeText", "text": "Para two continues here."},
+    ]
+    # 8-bit body variant (PidTagBody 001E)
+    payload = _mini_cfb({
+        "__substg1.0_1000001E": b"only a body"})
+    assert extract_elements_msg(payload) == [
+        {"type": "NarrativeText", "text": "only a body"}]
