@@ -65,6 +65,9 @@ def main() -> int:
 
     p_cmp = sub.add_parser("compact", help="fold segments to seg=0, GC tombstones")
     p_cmp.add_argument("--index", required=True)
+    p_cmp.add_argument("--tiered", action="store_true",
+                       help="fold only the tail segments (O(delta), keeps "
+                            "tombstones pending) instead of the full rebuild")
     p_cmp.add_argument("--master", default=None)
 
     args = ap.parse_args()
@@ -90,12 +93,14 @@ def main() -> int:
             print(json.dumps({"event": "deleted", "n_tombstoned": n,
                               "elapsed_sec": round(time.time() - t0, 3)}))
         else:
-            from super_rag_spark.index.merge import compact_index
+            from super_rag_spark.index.merge import compact_index, compact_tail
 
-            store = compact_index(spark, args.index)
+            fold = compact_tail if args.tiered else compact_index
+            store = fold(spark, args.index)
             m = store.read_manifest()
-            print(json.dumps({"event": "compacted", "epoch": m["epoch"],
-                              "n_docs": m["n_docs"],
+            print(json.dumps({"event": "compacted", "tiered": args.tiered,
+                              "epoch": m["epoch"], "n_docs": m["n_docs"],
+                              "n_segments": m.get("n_segments", 1),
                               "elapsed_sec": round(time.time() - t0, 3)}))
     finally:
         spark.stop()
