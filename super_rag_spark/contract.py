@@ -1196,6 +1196,113 @@ def index_segment_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
 
 
+@_q("bm25_topk_filtered_wand", _bm25_sql([BM25_QUERIES[1]], cand_where="lang = 'en'"))
+def bm25_topk_filtered_wand(spark, sf_dir):
+    """The same metadata-filtered top-k through the DISTRIBUTED WAND
+    plan (r3): candidates cogroup into their own (query, salt-range)
+    tasks, so block skipping survives the broad filter. Must be
+    rank-identical to the exhaustive filtered plan (same SQL oracle as
+    bm25_topk_filtered)."""
+    from .index.build import doc_id_expr
+
+    eng = _indexed_engine(spark, sf_dir)
+    meta = (_docs(spark, sf_dir)
+            .select(F.concat(F.lit("doc://"), F.col("doc_id")).alias("_u"),
+                    F.col("doc_id").alias("table_doc_id"), "lang")
+            .select(doc_id_expr("_u").alias("doc_id"), "table_doc_id", "lang"))
+    qid, qtext = BM25_QUERIES[1]
+    out = eng.search(
+        qtext, k=10, docs_meta=meta, method="wand",
+        where={"must": [{"key": "lang", "match": {"value": "en"}}]},
+        driver_filter_max=0)
+    return out.select(F.lit(qid).alias("query_id"), "rank",
+                      F.col("table_doc_id").alias("doc_id"),
+                      F.round("score", 6).alias("score"))
+
+
+@_q("index_tiered_topk", _bm25_sql([BM25_QUERIES[4]]))
+def index_tiered_topk(spark, sf_dir):
+    """Top-k over an index assembled as base build (80%) + TWO
+    segment-mode appends (10% each) + compact_tail (r3 tiered
+    compaction: both append segments fold into one, the base segment is
+    never decoded). Scores must equal plain-SQL BM25 over the whole
+    corpus — tiered folds are score-exact."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .index.merge import compact_tail, merge_append
+    from .query.engine import BM25Engine
+
+    key = os.path.abspath(sf_dir)
+    ckey = "tier:" + key
+    if ckey in _INDEX_CACHE:
+        eng = _INDEX_CACHE[ckey]
+    else:
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "srs_contract_tieridx_" + hashlib.sha1(key.encode()).hexdigest()[:10])
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text", F.col("doc_id").alias("tid"))
+        eng = BM25Engine(spark, idx_dir)
+        eng.build(docs.where(F.col("tid") % 10 < 8).drop("tid"),
+                  n_buckets=8, salt_df_threshold=200)
+        merge_append(spark, idx_dir, docs.where(F.col("tid") % 10 == 8).drop("tid"),
+                     mode="segment")
+        merge_append(spark, idx_dir, docs.where(F.col("tid") % 10 == 9).drop("tid"),
+                     mode="segment")
+        compact_tail(spark, idx_dir)
+        eng = BM25Engine(spark, idx_dir)
+        assert int(eng.manifest["n_segments"]) == 2
+        _INDEX_CACHE[ckey] = eng
+    qid, qtext = BM25_QUERIES[4]
+    hits = eng.topk(qtext, k=10, method="wand")
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (qid, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_SQL = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+@_q("pii_scrub", f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
+              || (doc_id % 200)::VARCHAR || '.0.' || ((doc_id * 7) % 250)::VARCHAR AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IP_SQL}'))::INT AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                          '{_PII_IP_SQL}', '<IP>', 'g')) AS scrubbed_md5
+FROM aug
+""")
+def pii_scrub(spark, sf_dir):
+    """Training-data PII redaction (textops.pii_scrub): emails and IPv4
+    literals planted deterministically per doc (the raw corpus has
+    none — the augmentation makes the check non-vacuous, r1 lesson),
+    then scrubbed by pure Catalyst regexp exprs; the full scrubbed text
+    is hash-compared against DuckDB's regexp_replace(g)."""
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+            ((F.col("doc_id") * 7) % 250).cast("string"),
+        ).alias("text"))
+    return textops.pii_scrub(aug).drop("scrubbed")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

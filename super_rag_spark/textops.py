@@ -378,3 +378,32 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scored = toks.select("doc_id", "tokens", *_lang_hits_cols())
     return scored.select("doc_id", _pred_lang_expr().alias("pred_lang"),
                          *[F.col(f"hits_{lg}") for lg in _LANG_MARKERS])
+
+
+# --------------------------------------------------------------- PII scrub
+
+# pragmatic training-corpus patterns (both Java regex and DuckDB RE2
+# accept them verbatim, so the contract oracle can mirror the exprs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction (emails -> <EMAIL>, IPv4 -> <IP>):
+    pure Catalyst regexp exprs, whole-stage codegen, no UDF — the same
+    shape web-scale cleaning pipelines run before tokenization. Emails
+    scrub FIRST (an address's host part would otherwise half-match the
+    IP pattern). Returns (doc_id, n_emails, n_ips, scrubbed_md5,
+    scrubbed); at 100 TB this is a map-only pass, no shuffle."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>")
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0)))
+        .cast("int").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        scrubbed.alias("scrubbed"),
+    )
