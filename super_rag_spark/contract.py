@@ -1303,6 +1303,38 @@ def pii_scrub(spark, sf_dir):
     return textops.pii_scrub(aug).drop("scrubbed")
 
 
+@_q("decontaminate", """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+btk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bench),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ts) - 6, 1)),
+                                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM btk WHERE len(ts) >= 8
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 6, 1)),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM tk WHERE len(ts) >= 8
+),
+hits AS (SELECT DISTINCT doc_id FROM sh JOIN bsh USING (shingle))
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY d.doc_id
+""")
+def decontaminate(spark, sf_dir):
+    """Train/eval overlap scrub (textops.decontaminate): every doc
+    sharing an 8-gram shingle with the planted eval slice (doc_id % 50
+    == 0 — the eval docs ARE corpus members, so the check is
+    non-vacuous: at minimum they remove themselves) is dropped; the
+    surviving doc_id set is compared exactly."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return (textops.decontaminate(docs, bench, n=8)
+            .select("doc_id").orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -407,3 +407,21 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def decontaminate(docs_df: DataFrame, bench_df: DataFrame, n: int = 8,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination (the train/test-overlap scrub every
+    LLM training pipeline runs): drop any training doc that shares at
+    least one ``n``-gram token shingle with the evaluation corpus
+    ``bench_df`` (doc_id, text). Returns ``docs_df`` rows that survive.
+
+    Scale shape: the eval-set shingles are tiny next to a 100 TB corpus
+    (AQE broadcasts them at runtime — no forced hint, a huge eval suite
+    must not OOM the driver); the training side is ONE semi-join on the
+    shingle string + a distinct + an anti-join — never all-pairs."""
+    bench_sh = shingles(bench_df, n, text_col).select("shingle").distinct()
+    hits = (shingles(docs_df, n, text_col)
+            .join(bench_sh, "shingle", "left_semi")
+            .select("doc_id").distinct())
+    return docs_df.join(hits, "doc_id", "left_anti")

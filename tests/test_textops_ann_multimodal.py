@@ -219,3 +219,29 @@ def test_ann_scale_defaults_and_recall_two_sizes(spark):
         lsh = lsh_cosine_topk(emb, qids, k=5, n_tables=16).collect()  # derived planes
         lsh_hits = sum(1 for r in lsh if r["vec_id"] in exact[r["query_id"]])
         assert lsh_hits >= 5, (sf, n, lsh_hits)
+
+
+def test_decontaminate(spark):
+    """r3: train/eval n-gram overlap scrub — eval members remove
+    themselves, docs with a planted 8-gram overlap drop, everything
+    else survives."""
+    from super_rag_spark import textops
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    bench = base.where(F.col("doc_id") % 20 == 0)
+    # plant a doc that copies 8 consecutive tokens from a bench doc
+    leak_src = bench.limit(1).collect()[0]
+    leaked = " ".join(leak_src["text"].split()[:8])
+    extra = spark.createDataFrame(
+        [(900001, "completely fresh words " + leaked + " trailing tail"),
+         (900002, "no overlap with anything benchmark related here at all")],
+        "doc_id long, text string")
+    docs = base.unionByName(extra)
+
+    kept = {r["doc_id"] for r in
+            textops.decontaminate(docs, bench, n=8).select("doc_id").collect()}
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    assert not (kept & bench_ids)        # eval members all dropped
+    assert 900001 not in kept            # planted leak dropped
+    assert 900002 in kept                # clean doc survives
