@@ -26,6 +26,9 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="webtext parquet path")
     ap.add_argument("--index", required=True, help="output index directory")
     ap.add_argument("--from-html", action="store_true",
+    ap.add_argument("--extract-mode", choices=["html", "any"], default="html",
+                    help="'any' dispatches extraction on the url extension "
+                         "(all 11 reference formats); 'html' is the webtext default")
                     help="run the HTML extraction UDF (default: use text column)")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
@@ -65,7 +68,8 @@ def main() -> int:
     n_docs = df.count()
     t0 = time.time()
     eng = BM25Engine(spark, args.index)
-    eng.build(df, text_is_extracted=not args.from_html, **kwargs)
+    eng.build(df, text_is_extracted=not args.from_html,
+              extract_mode=args.extract_mode, **kwargs)
     elapsed = time.time() - t0
     print(json.dumps({
         "event": "index_built", "index": args.index, "n_docs": n_docs,

@@ -220,6 +220,7 @@ def build_postings(tf_df: DataFrame, *,
 
 def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 text_is_extracted: bool = True,
+                extract_mode: str = "html",
                 k1: float = analysis.K1, b: float = analysis.B,
                 block_size: int = analysis.BLOCK_SIZE,
                 n_buckets: int = analysis.N_BUCKETS,
@@ -227,16 +228,21 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 salt_count: int = analysis.SALT_COUNT,
                 staging: bool = False, seg: int = 0) -> IndexStorage:
     """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
-    with ``text_is_extracted=False`` to run the extraction UDF first.
+    with ``text_is_extracted=False`` to run the extraction UDF first:
+    ``extract_mode="html"`` treats every payload as HTML (the webtext
+    default), ``extract_mode="any"`` dispatches on the url extension
+    across all 11 reference formats (extraction.extract_elements_any).
     ``staging=True`` skips term_stats + lineage (a merge delta's stats
     are recomputed from the MERGED blocks anyway; saves two jobs on the
     micro-batch append path). ``seg``: segment id stamped on every block
     (segment-mode merges build the delta directly as its target segment,
     index/merge.py)."""
+    if extract_mode not in ("html", "any"):
+        raise ValueError(f"unknown extract_mode: {extract_mode!r}")
     store = IndexStorage(index_dir)
 
     if not text_is_extracted:
-        docs_df = extract(docs_df)
+        docs_df = extract(docs_df) if extract_mode == "html" else extract_any(docs_df)
     # The extraction + tokenize scan feeds doc_stats, corpus stats AND the
     # tf aggregation; persist it so the (expensive) extraction UDF runs
     # once. On a cluster this would be a checkpoint table — locally

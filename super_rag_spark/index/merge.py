@@ -66,6 +66,30 @@ def _staging_dir(store: IndexStorage, epoch: int) -> str:
     return os.path.join(store.root, f"staging_e{epoch}")
 
 
+_EPOCH_PHASES = ("merge", "compact", "compact_tail")
+
+
+def _wipe_foreign_epoch(store: IndexStorage, epoch: int, keep: str) -> None:
+    """A crashed run of a DIFFERENT protocol (merge vs compact vs
+    tiered fold) may have left partial bucket dirs + lineage at this
+    target epoch; resuming a different protocol over them would
+    interleave two write protocols' outputs (hardlink-keeps vs
+    dynamic overwrites). If any foreign phase has commits, wipe the
+    epoch's postings dir and ALL phases' lineage so this run starts the
+    epoch clean. Same-protocol resume (only ``keep`` commits present)
+    is untouched — that's the supported crash-resume path."""
+    if not any(store.committed_buckets(ph, epoch)
+               for ph in _EPOCH_PHASES if ph != keep):
+        return
+    shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
+    if os.path.isdir(store.lineage_dir):
+        prefixes = tuple(f"{ph}-epoch{epoch}-" for ph in _EPOCH_PHASES) + (
+            f"merge_stats-epoch{epoch}-", f"compact_stats-epoch{epoch}-")
+        for name in os.listdir(store.lineage_dir):
+            if name.startswith(prefixes):
+                os.remove(os.path.join(store.lineage_dir, name))
+
+
 def _hardlink_tree(src: str, dst: str) -> None:
     """Mirror a directory via hardlinks (fall back to copy across
     filesystems). Idempotent: an existing dst is kept as-is."""
@@ -84,6 +108,7 @@ def _hardlink_tree(src: str, dst: str) -> None:
 def merge_append(spark: SparkSession, index_dir: str,
                  new_docs_df: DataFrame | None = None, *,
                  text_is_extracted: bool = True,
+                 extract_mode: str = "html",
                  fail_after_bucket: int | None = None,
                  stream_batch_id: int | None = None,
                  mode: str = "rebuild",
@@ -133,17 +158,7 @@ def merge_append(spark: SparkSession, index_dir: str,
     store.gc_stale_epochs()  # heal a crash between manifest switch and GC
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
     n_buckets = int(manifest["n_buckets"])
-    # a CRASHED compaction may have left partial (segment-collapsed,
-    # tombstone-consumed) bucket dirs at this target epoch; a merge
-    # hardlinking "unchanged" buckets over them would interleave the two
-    # protocols' outputs — wipe the compact attempt and start clean
-    crashed_compact = store.committed_buckets("compact", epoch)
-    if crashed_compact:
-        shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
-        for name in os.listdir(store.lineage_dir):
-            if name.startswith(f"compact-epoch{epoch}-") or \
-                    name.startswith(f"compact_stats-epoch{epoch}-"):
-                os.remove(os.path.join(store.lineage_dir, name))
+    _wipe_foreign_epoch(store, epoch, keep="merge")
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 
@@ -174,7 +189,8 @@ def merge_append(spark: SparkSession, index_dir: str,
         if new_docs_df is None:
             raise ValueError("no staging index found and no new_docs_df given")
         build_index(spark, new_docs_df, staging,
-                    text_is_extracted=text_is_extracted, staging=True,
+                    text_is_extracted=text_is_extracted,
+                    extract_mode=extract_mode, staging=True,
                     seg=want_seg, **cfg)
 
     # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
@@ -525,6 +541,7 @@ def compact_index(spark: SparkSession, index_dir: str, *,
     store.gc_stale_epochs()
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
     n_buckets = int(manifest["n_buckets"])
+    _wipe_foreign_epoch(store, epoch, keep="compact")
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 
@@ -627,6 +644,7 @@ def compact_tail(spark: SparkSession, index_dir: str, *,
     store.gc_stale_epochs()
     old_epoch, epoch = int(manifest["epoch"]), int(manifest["epoch"]) + 1
     n_buckets = int(manifest["n_buckets"])
+    _wipe_foreign_epoch(store, epoch, keep="compact_tail")
     cfg = {k: manifest[k] for k in
            ("k1", "b", "block_size", "n_buckets", "salt_df_threshold", "salt_count")}
 

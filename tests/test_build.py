@@ -37,3 +37,30 @@ def test_conflicting_url_dedup_is_deterministic(spark, tmp_path, queries100):
     assert a.manifest["n_docs"] == b.manifest["n_docs"] == 51
     assert a.manifest["avgdl"] == b.manifest["avgdl"]
     assert a.topk("common page variant", 10) == b.topk("common page variant", 10)
+
+
+def test_build_mixed_format_corpus(spark, tmp_path, queries100):
+    """r3: extract_mode='any' indexes a mixed-format data lake (url
+    extension dispatch) — equivalent to pre-extracting every payload
+    and building from text."""
+    rows = [
+        ("https://x/a.html", b"<h1>alpha doc</h1><p>text about tables</p>"),
+        ("https://x/b.txt", b"bravo doc\n\nplain text about scans"),
+        ("https://x/c.md", b"# charlie doc\n\nmarkdown text about joins"),
+        ("https://x/d.csv", b"col,val\ndelta,42"),
+        ("https://x/e.json", b'{"name": "echo doc", "topic": "queries"}'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    eng = BM25Engine(spark, str(tmp_path / "mixed")).build(
+        df, text_is_extracted=False, extract_mode="any", n_buckets=4)
+    assert eng.manifest["n_docs"] == 5
+
+    from super_rag_spark.extraction import extract_text_any
+    from super_rag_spark.points import _EXT_MAP
+
+    pre = [(u, extract_text_any(h, _EXT_MAP[u.rsplit(".", 1)[-1]]))
+           for u, h in rows]
+    want = BM25Engine(spark, str(tmp_path / "pre")).build(
+        spark.createDataFrame(pre, "url string, text string"), n_buckets=4)
+    for q in ["doc text", "tables scans joins", "delta echo"]:
+        assert eng.topk(q, 5) == want.topk(q, 5)

@@ -398,3 +398,24 @@ def test_tiered_compact_preserves_pending_tombstones(spark, corpus, tmp_path):
     want = BM25Engine(spark, str(tmp_path / "tpw")).build(mk(kept), **CFG)
     got = {d for d, _ in eng.topk(QUERIES[0], 10)}
     assert got == {d for d, _ in want.topk(QUERIES[0], 10)}
+
+
+def test_merge_after_crashed_tail_fold_starts_clean(spark, corpus, tmp_path):
+    """Same interleaving guard for the TIERED fold: a merge landing on
+    the epoch of a crashed compact_tail wipes its partial output."""
+    from super_rag_spark.index.merge import compact_tail
+
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "mt")).build(mk(rows[:150]), **CFG)
+    merge_append(spark, eng.store.root, mk(rows[150:200]), mode="segment")
+    with pytest.raises(SimulatedMergeFailure):
+        compact_tail(spark, eng.store.root, fail_after_bucket=1)
+
+    merge_append(spark, eng.store.root, mk(rows[200:260]), mode="segment")
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["epoch"] == 2
+    assert not eng.store.committed_buckets("compact_tail", 2)  # wiped
+
+    want = BM25Engine(spark, str(tmp_path / "mtw")).build(mk(rows[:260]), **CFG)
+    for q in QUERIES[:2]:
+        assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
