@@ -4,45 +4,149 @@ A 100 TB training-data pipeline carries images/audio/video alongside
 text. The engine treats them as opaque ``binary`` columns with typed
 metadata, exactly like the webtext ``html:binary`` column: all Spark
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
-real and tested; only the codec calls are stubbed because no
-image/audio libraries exist in this container.
+real and tested.
 
-Stub policy: `decode_image` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives a fake
-(width, height, n_channels, mean_luma) from the payload bytes — enough
-to exercise the full distributed path end-to-end and keep results
-reproducible.
+Codec policy (r3): formats with stdlib-decodable containers decode FOR
+REAL — BMP (24-bit uncompressed) and PPM/PGM images to NumPy arrays,
+WAV audio through the stdlib ``wave`` module. Entropy-coded formats
+(PNG/JPEG/MP4) still need absent libraries; for those `decode_image`
+raises unless ``deterministic_fake=True``, which derives a fake
+(width, height, n_channels, mean_luma) from the payload bytes so the
+distributed path stays exercisable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 IMAGE_META_SCHEMA = (
     "asset_id long, media_type string, n_bytes long, sha1 string, "
-    "width int, height int, n_channels int, mean_luma double"
+    "width int, height int, n_channels int, mean_luma double, decoder string"
 )
 
 FRAME_SAMPLE_SCHEMA = "asset_id long, frame_index int, frame_sha1 string"
 
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, std_luma double, hist array<double>"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zero_cross_rate double"
+)
+
+
+# -------------------------------------------------- real stdlib decoders
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> (H, W, 3) uint8 RGB array.
+    Handles 4-byte row padding and bottom-up row order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP (got bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) / PGM (P5) -> (H, W) uint8 array."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header: magic, whitespace-separated w, h, maxval (comments allowed)
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV (PCM16) -> (samples int16 array [n, channels], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only PCM16 WAV supported")
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pure NumPy indexing)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """STUB — real implementation needs an image lib (PIL/opencv absent
-    in this container). The fake is a pure function of the bytes."""
+    """Sniff + decode: BMP and PPM/PGM decode FOR REAL (stdlib/NumPy);
+    entropy-coded formats (PNG/JPEG/...) need absent libraries and
+    raise unless ``deterministic_fake=True`` (fake metadata is a pure
+    function of the bytes). Returns
+    {width, height, n_channels, mean_luma, decoder}."""
+    arr = None
+    if payload[:2] == b"BM":
+        arr, decoder = decode_bmp(payload), "bmp"
+    elif payload[:2] in (b"P6", b"P5"):
+        arr, decoder = decode_ppm(payload), "ppm"
+    if arr is not None:
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        return {
+            "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+            "n_channels": int(ch),
+            "mean_luma": round(float(arr.mean()) / 255.0, 6),
+            "decoder": decoder,
+        }
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv; pass deterministic_fake=True "
-            "for the test/CI path")
+            "entropy-coded image decode (PNG/JPEG) requires PIL/opencv; "
+            "pass deterministic_fake=True for the test/CI path")
     h = hashlib.sha1(payload).digest()
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,
         "n_channels": 1 + h[2] % 4,
         "mean_luma": round(h[3] / 255.0, 6),
+        "decoder": "fake",
     }
 
 
@@ -64,7 +168,7 @@ def extract_image_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             })
         yield pd.DataFrame(rows, columns=[
             "asset_id", "media_type", "n_bytes", "sha1",
-            "width", "height", "n_channels", "mean_luma"])
+            "width", "height", "n_channels", "mean_luma", "decoder"])
 
 
 def image_metadata(assets_df: DataFrame) -> DataFrame:
@@ -101,14 +205,136 @@ def sample_frames(assets_df: DataFrame, every_n: int = 10,
         gen, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def image_features(assets_df: DataFrame, resize_to: int | None = None) -> DataFrame:
+    """REAL feature extraction over decodable payloads (BMP/PPM):
+    per-channel means, luma std, 8-bin luma histogram; undecodable
+    assets are dropped (filter them upstream by sniffing the magic in
+    a Catalyst expr when the corpus is mixed). ``resize_to``:
+    nearest-neighbor square resize before features (the preprocessing
+    shape a vision-model pipeline runs)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    if payload[:2] == b"BM":
+                        arr = decode_bmp(payload)
+                    elif payload[:2] in (b"P6", b"P5"):
+                        arr = decode_ppm(payload)
+                    else:
+                        continue
+                except (ValueError, NotImplementedError):
+                    continue
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                if resize_to:
+                    arr = resize_nearest(arr, resize_to, resize_to)
+                luma = arr.mean(axis=2)
+                hist = np.histogram(luma, bins=8, range=(0, 256))[0]
+                hist = (hist / max(luma.size, 1)).round(6)
+                rows.append({
+                    "asset_id": int(asset_id),
+                    "width": int(arr.shape[1]), "height": int(arr.shape[0]),
+                    "mean_r": round(float(arr[:, :, 0].mean()), 6),
+                    "mean_g": round(float(arr[:, :, 1].mean()), 6),
+                    "mean_b": round(float(arr[:, :, 2].mean()), 6),
+                    "std_luma": round(float(luma.std()), 6),
+                    "hist": hist.tolist(),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "std_luma", "hist"])
+
+    return assets_df.select("asset_id", "payload").mapInPandas(
+        gen, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(assets_df: DataFrame) -> DataFrame:
+    """REAL audio features for WAV payloads (stdlib wave + NumPy):
+    duration, RMS level, zero-crossing rate. Non-WAV assets drop."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] != b"RIFF":
+                    continue
+                try:
+                    samples, rate = decode_wav(payload)
+                except Exception:
+                    continue
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(n - 1, 1)
+                rows.append({
+                    "asset_id": int(asset_id), "sample_rate": int(rate),
+                    "n_samples": n,
+                    "duration_s": round(n / rate, 6),
+                    "rms": round(float(np.sqrt((mono ** 2).mean())), 6),
+                    "zero_cross_rate": round(zc, 6),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "sample_rate", "n_samples", "duration_s", "rms",
+                "zero_cross_rate"])
+
+    return assets_df.select("asset_id", "payload").mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------ deterministic encoders
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit BI_RGB BMP bytes (test/synth aid
+    and the exact inverse of decode_bmp)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                            2835, 2835, 0, 0))
+    return header + data
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def synth_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table for tests (payload bytes derived
-    from the asset id; no external data)."""
+    """Deterministic asset table for tests: every 4th asset is a REAL
+    decodable payload (BMP or WAV built by the encoders above);
+    the rest are opaque pseudo-PNG/JPEG/MP4 byte strings (no external
+    data anywhere)."""
     rows = []
     for i in range(n):
         seed = hashlib.sha1(f"asset{i}".encode()).digest()
-        payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
-        rows.append((i, ["image/png", "image/jpeg", "video/mp4"][i % 3],
-                     bytearray(payload)))
+        kind = i % 4
+        if kind == 0:
+            rng = np.frombuffer((seed * 200)[: 24 * 16 * 3], dtype=np.uint8)
+            payload = encode_bmp(rng.reshape(16, 24, 3))
+            media = "image/bmp"
+        elif kind == 1:
+            t = np.arange(1600 + (i % 5) * 320)
+            wave_s = (3000 * np.sin(2 * np.pi * t * (100 + i) / 16000)).astype(np.int16)
+            payload = encode_wav(wave_s)
+            media = "audio/wav"
+        else:
+            payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
+            media = ["image/png", "video/mp4"][kind - 2]
+        rows.append((i, media, bytearray(payload)))
     return spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary")

@@ -150,7 +150,12 @@ def test_multimodal_plumbing(spark):
     assert len(rows) == 48
     for r in rows:
         assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
-        assert 64 <= r["width"] <= 255 and 1 <= r["n_channels"] <= 4
+        assert 1 <= r["n_channels"] <= 4
+        if r["decoder"] == "fake":
+            assert 64 <= r["width"] <= 255
+        else:  # REAL decode (r3): synth BMPs are 24x16
+            assert (r["decoder"], r["width"], r["height"]) == ("bmp", 24, 16)
+    assert {r["decoder"] for r in rows} == {"bmp", "fake"}
     # determinism through the distributed path
     again = {r["asset_id"]: r["sha1"] for r in image_metadata(assets).collect()}
     assert all(again[r["asset_id"]] == r["sha1"] for r in rows)
@@ -245,3 +250,41 @@ def test_decontaminate(spark):
     assert not (kept & bench_ids)        # eval members all dropped
     assert 900001 not in kept            # planted leak dropped
     assert 900002 in kept                # clean doc survives
+
+
+def test_multimodal_real_codecs(spark):
+    """r3: BMP/PPM/WAV decode for real (stdlib+NumPy) — roundtrip
+    exactness, nearest resize, and the distributed feature extractors
+    over the synth asset table."""
+    import numpy as np
+
+    from super_rag_spark.multimodal import (audio_features, decode_bmp,
+                                            decode_ppm, decode_wav,
+                                            encode_bmp, encode_wav,
+                                            image_features, resize_nearest,
+                                            synth_assets)
+
+    img = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)  # exact roundtrip
+
+    ppm = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    arr = decode_ppm(ppm)
+    assert arr.shape == (2, 3, 3) and arr[0, 0, 0] == 0 and arr[1, 2, 2] == 17
+
+    samples = (1000 * np.sin(np.arange(800) / 5.0)).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], samples)
+
+    big = resize_nearest(img, 14, 10)
+    assert big.shape == (10, 14, 3) and big[0, 0, 0] == img[0, 0, 0]
+
+    assets = synth_assets(spark, n=32)
+    feats = {r["asset_id"]: r for r in image_features(assets).collect()}
+    assert feats and all(r["width"] == 24 for r in feats.values())
+    assert all(abs(sum(r["hist"]) - 1.0) < 1e-4 for r in feats.values())
+    au = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    assert au and all(r["sample_rate"] == 16000 and r["rms"] > 0
+                      for r in au.values())
+    # real assets are every-4th: ids 0,4,8,... images; 1,5,9,... audio
+    assert set(feats) == {i for i in range(32) if i % 4 == 0}
+    assert set(au) == {i for i in range(32) if i % 4 == 1}
