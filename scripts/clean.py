@@ -7,9 +7,13 @@ writes the clean corpus — the batch job a pretraining-data pipeline
 schedules in front of tokenization:
 
   spark-submit scripts/clean.py --input docs.parquet --output clean.parquet \
-      [--min-tokens 20] [--langs en,de,fr,es] [--jaccard 0.5]
+      [--min-tokens 20] [--langs en,de,fr,es] [--jaccard 0.5] \
+      [--decontaminate bench.parquet [--decontaminate-n 8]] [--pii-scrub]
 
-Input needs (doc_id, text). Also runnable with plain `python`.
+--decontaminate drops docs sharing an n-gram shingle with the given
+eval corpus (doc_id, text); --pii-scrub redacts emails/IPv4 in the
+surviving text. Input needs (doc_id, text). Also runnable with plain
+`python`.
 """
 
 from __future__ import annotations
@@ -30,11 +34,16 @@ def main() -> int:
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--langs", default="en,de,fr,es")
     ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--decontaminate", default=None,
+                    help="eval-corpus parquet (doc_id, text); overlapping docs drop")
+    ap.add_argument("--decontaminate-n", type=int, default=8)
+    ap.add_argument("--pii-scrub", action="store_true")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from super_rag_spark import textops
     from super_rag_spark.textops import clean_corpus
 
     builder = (SparkSession.builder.appName("super-rag-spark-clean")
@@ -50,6 +59,16 @@ def main() -> int:
         out = clean_corpus(docs, min_tokens=args.min_tokens,
                            keep_langs=tuple(args.langs.split(",")),
                            jaccard_threshold=args.jaccard)
+        if args.decontaminate:
+            bench = spark.read.parquet(args.decontaminate)
+            out = textops.decontaminate(out, bench, n=args.decontaminate_n)
+        if args.pii_scrub:
+            from pyspark.sql import functions as F
+
+            scrubbed = textops.pii_scrub(out).select(
+                "doc_id", F.col("scrubbed").alias("text"))
+            out = (out.drop("text")
+                   .join(scrubbed, "doc_id"))
         out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({
