@@ -1335,6 +1335,66 @@ def decontaminate(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
+_HYBRID_ANN_SQL = """
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+hdots AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(e.v * q.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(q.v * q.v)) AS nq
+  FROM flat e JOIN flat q USING (i)
+  WHERE q.vec_id = 0 AND e.vec_id <> q.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+ann_r AS (
+  SELECT query_id, vec_id, round(dot / (ne * nq), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (ne * nq), 6) DESC, vec_id) AS rank
+  FROM hdots
+)"""
+
+
+@_q("hybrid_rrf_topk", f"""
+WITH bm AS (SELECT * FROM ({_bm25_sql([BM25_QUERIES[0]], k=20).strip()}) b),
+{_HYBRID_ANN_SQL.strip()},
+u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS rrf FROM bm
+  UNION ALL
+  SELECT query_id, vec_id AS doc_id, 1.0 / (60 + rank) AS rrf
+  FROM ann_r WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(rrf), 9) AS rrf_score
+  FROM u GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank::INT AS rank, doc_id, rrf_score FROM r WHERE rank <= 10
+""")
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid search (hybrid.rrf_fuse): reciprocal-rank fusion of the
+    exact BM25 top-20 and the exact cosine-ANN top-20 for query 0
+    (embeddings.vec_id == documents.doc_id in the fixture tables) —
+    the Spark-native analog of the reference's dense-retrieve + rerank
+    composition. RRF contributions are 1/(60+rank); the 2-term double
+    sum is order-independent (IEEE addition is commutative), so the
+    fused scores hash-match DuckDB exactly."""
+    from . import hybrid
+
+    bm = _bm25_scored(spark, sf_dir, [BM25_QUERIES[0]], k=20)
+    emb = _read(spark, sf_dir, "embeddings")
+    ann_r = (ann.cosine_topk(emb, [0], k=20)
+             .select("query_id", "rank", F.col("vec_id").alias("doc_id")))
+    return hybrid.rrf_fuse([bm, ann_r], k=10)
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,50 @@
+"""Hybrid retrieval: reciprocal-rank fusion of ranked result lists.
+
+The reference composes dense retrieval with a rerank stage
+(/root/reference/service/router.py:40-73 — vector DB top-k, then a
+Cohere reranker); the Spark-native analog fuses the engine's exact
+BM25 ranking with the ANN cosine ranking via RRF (Cormack et al.):
+
+    score(doc) = sum over systems s of 1 / (c + rank_s(doc))
+
+RRF needs no score calibration between systems (only ranks), which is
+what makes it the standard hybrid-search default (Elasticsearch, Vespa,
+Weaviate all ship it). Pure DataFrame ops: union -> groupBy sum ->
+rank window; the inputs are already top-k-sized, so every stage is
+tiny regardless of corpus scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, c: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Fuse (query_id, rank, <id_col>) frames into an RRF top-k:
+    (query_id, rank, doc_id, rrf_score). ``c`` damps the head ranks
+    (60 is the published default). Contributions are 1/(c+rank) — a
+    doc absent from one system simply contributes nothing from it.
+    Ties break by doc_id ascending (engine-wide rank contract)."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    parts = [
+        df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col(id_col).cast("long").alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double")))
+            .alias("rrf"),
+        )
+        for df in ranked
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = (u.groupBy("query_id", "doc_id")
+             .agg(F.round(F.sum("rrf"), 9).alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "rrf_score"))

@@ -288,3 +288,23 @@ def test_multimodal_real_codecs(spark):
     # real assets are every-4th: ids 0,4,8,... images; 1,5,9,... audio
     assert set(feats) == {i for i in range(32) if i % 4 == 0}
     assert set(au) == {i for i in range(32) if i % 4 == 1}
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF math + tie-breaks on hand-built rankings."""
+    from super_rag_spark.hybrid import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)],
+        "query_id long, rank int, doc_id long")
+    annr = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 13)],
+        "query_id long, rank int, doc_id long")
+    got = {(r["doc_id"]): (r["rank"], r["rrf_score"])
+           for r in rrf_fuse([bm, annr], k=4).collect()}
+    # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+    assert got[11][0] == 1
+    assert got[11][1] == round(1 / 62 + 1 / 61, 9)
+    assert got[10] == (2, round(1 / 61, 9))
+    assert got[13] == (3, round(1 / 62, 9))
+    assert got[12] == (4, round(1 / 63, 9))
