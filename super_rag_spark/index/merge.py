@@ -722,6 +722,32 @@ def compact_tail(spark: SparkSession, index_dir: str, *,
     return store
 
 
+def compaction_plan(spark: SparkSession, index_dir: str, *,
+                    max_segments: int = 8,
+                    full_ratio: float = 0.5) -> str:
+    """Size-ratio-aware compaction decision (the Lucene merge-policy
+    shape): returns ``"none"`` under the segment budget, ``"tiered"``
+    when the tail is small relative to the base (fold only the tail,
+    O(tail)), and ``"full"`` once the second-largest segment has grown
+    to ``full_ratio`` of the base — at that point a tiered fold decodes
+    nearly half the index anyway while leaving two rival segments, so
+    paying ~2x once to reclaim the tight single-segment layout (and
+    consume tombstones) is the better trade. The decision needs one
+    block-METADATA aggregate (bucket files' (seg, n) columns), never a
+    decode."""
+    store = IndexStorage(index_dir)
+    manifest = store.read_manifest()
+    if int(manifest.get("n_segments", 1)) <= max_segments:
+        return "none"
+    sizes = sorted((int(r["n"]) for r in
+                    store.postings(spark, int(manifest["epoch"]))
+                    .groupBy("seg").agg(F.sum("n").alias("n")).collect()),
+                   reverse=True)
+    if len(sizes) <= 1:
+        return "none"
+    return "full" if sizes[1] >= full_ratio * sizes[0] else "tiered"
+
+
 def maybe_compact(spark: SparkSession, index_dir: str, *,
                   max_segments: int = 8, mode: str = "full") -> bool:
     """Compaction policy: fold segments when the live count exceeds
@@ -730,10 +756,16 @@ def maybe_compact(spark: SparkSession, index_dir: str, *,
     count). ``mode="full"`` restores the single-segment layout
     (O(index), bit-identical to a fresh build); ``mode="tiered"`` folds
     only the tail segments (O(tail) — the at-scale steady-state
-    cadence). Returns True if a compaction ran."""
+    cadence); ``mode="auto"`` picks per compaction_plan (tiered while
+    the tail is small, full once the folded tier rivals the base).
+    Returns True if a compaction ran."""
     store = IndexStorage(index_dir)
     if int(store.read_manifest().get("n_segments", 1)) <= max_segments:
         return False
+    if mode == "auto":
+        mode = compaction_plan(spark, index_dir, max_segments=max_segments)
+        if mode == "none":
+            return False
     if mode == "tiered":
         compact_tail(spark, index_dir)
     else:

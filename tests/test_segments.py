@@ -419,3 +419,28 @@ def test_merge_after_crashed_tail_fold_starts_clean(spark, corpus, tmp_path):
     want = BM25Engine(spark, str(tmp_path / "mtw")).build(mk(rows[:260]), **CFG)
     for q in QUERIES[:2]:
         assert _r9(eng.topk(q, 10)) == _r9(want.topk(q, 10))
+
+
+def test_compaction_plan_auto(spark, corpus, tmp_path):
+    """r3: size-ratio policy — small tail -> tiered; a tail that rivals
+    the base -> full; under budget -> none."""
+    from super_rag_spark.index.merge import compaction_plan, maybe_compact
+
+    rows, mk = corpus
+    eng = BM25Engine(spark, str(tmp_path / "cp")).build(mk(rows[:200]), **CFG)
+    assert compaction_plan(spark, eng.store.root, max_segments=1) == "none"
+
+    merge_append(spark, eng.store.root, mk(rows[200:210]), mode="segment")
+    assert compaction_plan(spark, eng.store.root, max_segments=1) == "tiered"
+    # a delta comparable to the base flips the decision to full
+    merge_append(spark, eng.store.root, mk(rows[210:300]), mode="segment")
+    big = mk([(r["url"] + "?x", r["text"]) for r in rows[:150]])
+    merge_append(spark, eng.store.root, big, mode="segment")
+    assert compaction_plan(spark, eng.store.root, max_segments=1) == "full"
+
+    assert maybe_compact(spark, eng.store.root, max_segments=1,
+                         mode="auto") is True
+    eng = BM25Engine(spark, eng.store.root)
+    assert eng.manifest["n_segments"] == 1  # auto chose the full fold
+    assert maybe_compact(spark, eng.store.root, max_segments=1,
+                         mode="auto") is False
