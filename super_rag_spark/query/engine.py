@@ -322,10 +322,14 @@ class BM25Engine:
         return arr
 
     def topk(self, query: str, k: int = 10, use_wand: bool | None = None,
-             method: str = "vectorized") -> list[tuple[int, float]]:
+             method: str = "vectorized",
+             approx: float = 1.0) -> list[tuple[int, float]]:
         """Single-query top-k on the driver (low-latency path).
         Routes 'summarize ...' queries to the summary index when present.
-        All three methods return identical rankings (asserted in tests)."""
+        All three methods return identical rankings (asserted in tests).
+        ``approx`` > 1.0 (wand only) enables bounded-error early
+        termination: skipped docs provably score < approx * the
+        returned k-th score."""
         if use_wand is not None:  # back-compat boolean switch
             method = "wand" if use_wand else "bruteforce"
         engine, qtext = self._route(query)
@@ -333,6 +337,14 @@ class BM25Engine:
         if not terms:
             return []
         m = engine.manifest
+        if approx != 1.0:
+            if method != "wand":
+                raise ValueError("approx= requires method='wand'")
+            blocks = engine._load_term_blocks(terms)
+            if not blocks:
+                return []
+            return wand_topk(blocks, int(m["n_docs"]), float(m["avgdl"]), k,
+                             k1=float(m["k1"]), b=float(m["b"]), approx=approx)
         if method == "vectorized":
             arrays = engine._load_term_arrays(terms)
             if arrays is not None:  # no pending tombstones

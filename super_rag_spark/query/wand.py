@@ -153,7 +153,8 @@ class TermCursor:
 def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
               avgdl: float, k: int, k1: float = K1, b: float = B,
               doc_range: tuple[int, int] | None = None,
-              allowed: np.ndarray | None = None) -> list[tuple[int, float]]:
+              allowed: np.ndarray | None = None,
+              approx: float = 1.0) -> list[tuple[int, float]]:
     """Exact block-max WAND.
 
     term_blocks: {term: (df, [block rows])}. Blocks may span several
@@ -171,6 +172,12 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
     ``doc_range``: optional [lo, hi) window (per-salt-range distribution).
     ``allowed``: optional sorted int64 candidate doc_ids (P7 metadata
     filter); other docs are invisible, block skipping is unaffected.
+    ``approx``: threshold over-scaling factor (Lucene's WAND "F"
+    early-termination knob). 1.0 = exact (the default everywhere);
+    F > 1 skips any doc whose upper bound is below F*theta, trading
+    bounded error for speed — every SKIPPED doc's true score is
+    < F * (the returned k-th score), so returned docs are exact-scored
+    and misses are quantifiably close.
     """
     cursors = []
     for t, (df, blks) in sorted(term_blocks.items()):
@@ -199,7 +206,7 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
 
         # pivot: first prefix whose term-max sum can beat theta
         acc, pivot_idx = 0.0, None
-        th = theta()
+        th = theta() * approx if len(heap) >= k else -np.inf
         for i, c in enumerate(live):
             acc += c.term_max
             if acc > th - _EPS:

@@ -100,3 +100,30 @@ def test_wand_skips_blocks():
     assert [d for d, _ in res] == list(range(n - 64, n - 59))
     # k=5 fills from block 0; after threshold locks in, low blocks skip
     assert decoded_count < len(blocks) * 3  # sanity: not decoding repeatedly
+
+
+def test_approx_wand_guarantee(built_index):
+    """r3: approx-WAND (threshold factor F) — F=1.0 stays exact; at
+    F>1 every returned doc keeps its exact score and every exact-top-k
+    doc it misses provably scores < F * the returned k-th score."""
+    from super_rag_spark.fixtures import generate_queries
+
+    checked = 0
+    for q in generate_queries()[:30]:
+        exact = built_index.topk(q["text"], 10, method="wand")
+        assert built_index.topk(q["text"], 10, method="wand",
+                                approx=1.0) == exact
+        ap = built_index.topk(q["text"], 10, method="wand", approx=1.3)
+        if not ap:
+            assert not exact
+            continue
+        exact_scores = dict(exact)
+        kth = ap[-1][1]
+        for d, s in ap:  # returned docs are exact-scored
+            if d in exact_scores:
+                assert s == exact_scores[d]
+        for d, s in exact:  # misses are quantifiably close
+            if d not in dict(ap):
+                assert s < 1.3 * kth + 1e-9
+        checked += 1
+    assert checked >= 25
