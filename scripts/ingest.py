@@ -55,6 +55,7 @@ def main() -> int:
     p_app.add_argument("--index", required=True)
     p_app.add_argument("--input", required=True, help="delta parquet (url, text|html)")
     p_app.add_argument("--from-html", action="store_true")
+    p_app.add_argument("--extract-mode", choices=["html", "any"], default="html")
     p_app.add_argument("--mode", choices=["segment", "rebuild"], default="segment")
     p_app.add_argument("--master", default=None)
 
@@ -81,7 +82,8 @@ def main() -> int:
             store = merge_append(
                 spark, args.index,
                 delta.select("url", "html" if args.from_html else "text"),
-                text_is_extracted=not args.from_html, mode=args.mode)
+                text_is_extracted=not args.from_html,
+                extract_mode=args.extract_mode, mode=args.mode)
             m = store.read_manifest()
             print(json.dumps({"event": "appended", "mode": args.mode,
                               "epoch": m["epoch"], "n_docs": m["n_docs"],

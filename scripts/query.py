@@ -31,6 +31,9 @@ def main() -> int:
     ap.add_argument("--distributed-wand", action="store_true",
                     help="distributed block-max WAND (one task per query)")
     ap.add_argument("--no-wand", action="store_true")
+    ap.add_argument("--approx", type=float, default=1.0,
+                    help="WAND threshold factor F (>1 = bounded-error early "
+                         "termination; misses provably score < F * kth)")
     ap.add_argument("--where", default=None,
                     help="Qdrant-style dict filter as JSON (reference "
                          "query-API parity); requires --meta")
@@ -67,7 +70,9 @@ def main() -> int:
                                    for r in rows]}))
     elif args.query is not None:
         t0 = time.time()
-        hits = eng.topk(args.query, args.k, use_wand=not args.no_wand)
+        hits = eng.topk(args.query, args.k,
+                        method="bruteforce" if args.no_wand else "wand",
+                        approx=args.approx)
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"query": args.query, "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
