@@ -26,10 +26,10 @@ def main() -> int:
     ap.add_argument("--input", required=True, help="webtext parquet path")
     ap.add_argument("--index", required=True, help="output index directory")
     ap.add_argument("--from-html", action="store_true",
+                    help="run the HTML extraction UDF (default: use text column)")
     ap.add_argument("--extract-mode", choices=["html", "any"], default="html",
                     help="'any' dispatches extraction on the url extension "
                          "(all 11 reference formats); 'html' is the webtext default")
-                    help="run the HTML extraction UDF (default: use text column)")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master")

@@ -81,11 +81,91 @@ class _Extractor(HTMLParser):
             self._buf.append(data)
 
 
+def _extract_elements_fast(html: str) -> list[dict] | None:
+    """Fast scanner for the common machine-generated subset: plain
+    alnum tags, no attributes, no entities, no comments/doctype/CDATA.
+    Replicates the _Extractor state machine EXACTLY over (tag, data)
+    events (same mode rules, same strips), so the output is
+    byte-identical; returns None for anything outside the subset and
+    the caller falls back to the full parser. Rationale: the stdlib
+    HTMLParser was ~48% of the sf0.1 index build (regex-per-token +
+    method dispatch); this split/find loop is several times faster and
+    the fallback preserves full-input correctness."""
+    if "&" in html:
+        return None  # charref conversion -> full parser
+    elements: list[dict] = []
+    mode: str | None = None
+    buf: list[str] = []
+    rows: list[list[str]] = []
+    cell: list[str] | None = None
+    parts = html.split("<")
+    # leading text before any tag is data with mode None -> ignored,
+    # exactly like the parser
+    for part in parts[1:]:
+        gt = part.find(">")
+        if gt < 0:
+            return None
+        tag = part[:gt]
+        data = part[gt + 1:]
+        if tag.startswith("/"):
+            is_end, name = True, tag[1:]
+        else:
+            is_end, name = False, tag
+        if not name.isalnum():
+            return None  # attributes / comments / PIs / self-closing
+        name = name.lower()
+        if name in ("script", "style"):
+            return None  # CDATA content rules need the real parser
+        if not is_end:
+            if name in _TITLE_TAGS:
+                mode, buf = "title", []
+            elif name in _TEXT_TAGS:
+                mode, buf = "text", []
+            elif name == "table":
+                mode, rows = "table", []
+            elif name == "tr" and mode == "table":
+                rows.append([])
+            elif name in ("td", "th") and mode == "table":
+                cell = []
+        else:
+            if name in _TITLE_TAGS and mode == "title":
+                text = "".join(buf).strip()
+                if text:
+                    elements.append({"type": "Title", "text": text})
+                mode = None
+            elif name in _TEXT_TAGS and mode == "text":
+                text = "".join(buf).strip()
+                if text:
+                    elements.append({"type": "NarrativeText", "text": text})
+                mode = None
+            elif name in ("td", "th") and cell is not None:
+                if rows:
+                    rows[-1].append("".join(cell).strip())
+                cell = None
+            elif name == "table" and mode == "table":
+                text = "\n".join("\t".join(r) for r in rows if r)
+                if text:
+                    elements.append({"type": "Table", "text": text})
+                mode = None
+        if data:
+            if cell is not None:
+                cell.append(data)
+            elif mode in ("title", "text"):
+                buf.append(data)
+    return elements
+
+
 def extract_elements(html: bytes | str) -> list[dict]:
     """Parse HTML into ordered typed elements (the UDTF analog of the
-    unstructured partitioner, SURVEY.md §2.11)."""
+    unstructured partitioner, SURVEY.md §2.11). Simple attribute-free
+    markup rides the fast scanner; anything else falls back to the
+    stdlib HTMLParser state machine (identical output either way —
+    tests drive both paths over the same inputs)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
+    fast = _extract_elements_fast(html)
+    if fast is not None:
+        return fast
     p = _Extractor()
     p.feed(html)
     p.close()

@@ -317,3 +317,44 @@ def test_extract_msg():
         "__substg1.0_1000001E": b"only a body"})
     assert extract_elements_msg(payload) == [
         {"type": "NarrativeText", "text": "only a body"}]
+
+
+def test_fast_scanner_matches_full_parser():
+    """r3 perf: the fast HTML scanner must be byte-identical to the
+    stdlib-parser state machine — over every sf0.001 fixture doc (fast
+    path taken) and over constructs that force the fallback."""
+    import pyarrow.parquet as pq
+
+    from super_rag_spark.extraction import (_Extractor,
+                                            _extract_elements_fast,
+                                            extract_elements)
+
+    def full(html):
+        p = _Extractor()
+        p.feed(html)
+        p.close()
+        return p.elements
+
+    t = pq.read_table("/root/repo/.fixtures/webtext_sf0.001.parquet",
+                      columns=["html"])
+    for h in t["html"]:
+        h = bytes(h.as_py()).decode()
+        fast = _extract_elements_fast(h)
+        assert fast is not None and fast == full(h)
+
+    tricky = [
+        '<p>a &amp; b</p>',
+        '<!DOCTYPE html><p>x</p>',
+        '<p class="x">attr</p>',
+        '<p>a<br/>b</p>',
+        '<script>var x = "<p>no</p>";</script><p>real</p>',
+        '<style>p { color: red }</style><h1>t</h1>',
+        '<p>unclosed',
+        'plain leading <p>text</p> trailing',
+        '<P>UPPER</P><TABLE><TR><TD>c</TD></TR></TABLE>',
+        '<p></p><h1>  </h1>',
+        '<p>a<span>b</span>c</p>',
+        '<table><tr><th>h</th></tr><tr><td>1</td><td>2</td></tr></table>',
+    ]
+    for h in tricky:
+        assert extract_elements(h) == full(h), h
