@@ -358,3 +358,46 @@ def test_fast_scanner_matches_full_parser():
     ]
     for h in tricky:
         assert extract_elements(h) == full(h), h
+
+
+def test_fast_scanner_property_fuzz():
+    """Hypothesis fuzz: over random markup drawn from BOTH the fast
+    subset (attribute-free alnum tags) and fallback-forcing constructs
+    (entities, attributes, comments), extract_elements must equal the
+    full-parser output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from super_rag_spark.extraction import _Extractor, extract_elements
+
+    def full(html):
+        p = _Extractor()
+        p.feed(html)
+        p.close()
+        return p.elements
+
+    tag = st.sampled_from(
+        ["p", "h1", "h2", "title", "li", "table", "tr", "td", "th",
+         "div", "span", "ul", "P", "TD", "x1"])
+    text = st.text(
+        alphabet="abc XYZ\n\t.,;:!?-_0123456789'\"()>=",
+        max_size=30)
+    fancy = st.sampled_from(
+        ["&amp;", "&#65;", "<!-- c -->", '<p class="x">', "<br/>",
+         "<!DOCTYPE html>", "<script>var a=1;</script>",
+         "<style>p{}</style>", "<", "<p", "< p>"])
+
+    piece = st.one_of(
+        text,
+        tag.map(lambda t: f"<{t}>"),
+        tag.map(lambda t: f"</{t}>"),
+        fancy,
+    )
+    doc = st.lists(piece, max_size=40).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(doc)
+    def check(html):
+        assert extract_elements(html) == full(html)
+
+    check()
