@@ -26,11 +26,16 @@ import numpy as np
 LEB_MAX_BYTES = 10  # 64-bit value -> at most 10 LEB128 bytes
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative int64 values."""
+def encode_varint_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array of non-negative int64 values; also return
+    the per-value byte count. LEB128 encodes each value independently,
+    so slicing the returned buffer at cumulative-size boundaries yields
+    exactly the per-range encodings — this is what lets the block
+    builder varint-encode an entire Arrow batch in ONE vectorized pass
+    and carve per-block buffers out of it bit-identically."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value (at least 1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -56,7 +61,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         idx[active] += 1
         remaining[active] -= 1
         active = remaining > 0
-    return out.tobytes()
+    return out.tobytes(), ngroups
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative int64 values."""
+    return encode_varint_sizes(values)[0]
 
 
 def decode_varint(buf: bytes, count: int) -> np.ndarray:

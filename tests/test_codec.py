@@ -43,3 +43,60 @@ def test_delta_is_compact():
     enc = encode_varint(delta_encode(ids))
     assert len(enc) < 10_000 * 1.1 + 10
     assert np.array_equal(delta_decode(decode_varint(enc, 10_000)), ids)
+
+
+def test_vectorized_block_builder_bit_identity():
+    """r3 perf: _build_blocks_np batch-encodes the whole Arrow chunk in
+    one vectorized pass and carves per-block buffers out of the single
+    LEB128 stream. Every carved buffer, boundary, and stat must be
+    bit-identical to per-block encode_block over the same groups."""
+    import numpy as np
+    import pandas as pd
+
+    from super_rag_spark.codec import encode_block
+    from super_rag_spark.index.build import _build_blocks_np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for term in [3, 5, 64, 65, 1 << 59]:
+        for salt in ([0] if term != 65 else [0, 1, 3]):
+            n_post = int(rng.integers(1, 300))
+            docs = np.sort(rng.choice(1 << 50, size=n_post, replace=False))
+            for d in docs:
+                rows.append((term, salt, int(d),
+                             int(rng.integers(1, 90)),
+                             int(rng.integers(1, 4000))))
+    pdf = pd.DataFrame(rows, columns=["term_id", "salt", "doc_id", "tf", "dl"])
+    pdf = pdf.sort_values(["term_id", "salt", "doc_id"], ignore_index=True)
+
+    block_size, n_buckets, seg = 128, 8, 2
+    got = _build_blocks_np(pdf, block_size, n_buckets, seg=seg)
+
+    # reference: the pre-vectorization per-group/per-block loop
+    exp_rows = []
+    terms = pdf["term_id"].to_numpy(); salts = pdf["salt"].to_numpy()
+    doc_ids = pdf["doc_id"].to_numpy()
+    tfs = pdf["tf"].to_numpy(); dls = pdf["dl"].to_numpy()
+    starts = np.concatenate((
+        [0],
+        np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1,
+        [len(pdf)]))
+    for gi in range(len(starts) - 1):
+        lo, hi = int(starts[gi]), int(starts[gi + 1])
+        for blk, s in enumerate(range(lo, hi, block_size)):
+            e = min(s + block_size, hi)
+            d_enc, t_enc, l_enc = encode_block(doc_ids[s:e], tfs[s:e], dls[s:e])
+            exp_rows.append({
+                "term_id": int(terms[lo]), "salt": int(salts[lo]), "seg": seg,
+                "block_id": blk, "n": e - s,
+                "first_doc_id": int(doc_ids[s]), "last_doc_id": int(doc_ids[e - 1]),
+                "docs_enc": d_enc, "tfs_enc": t_enc, "dls_enc": l_enc,
+                "block_max_tf": int(tfs[s:e].max()),
+                "block_min_dl": int(dls[s:e].min()),
+                "bucket": int(terms[lo]) % n_buckets})
+    exp = pd.DataFrame(exp_rows)
+
+    assert len(got) == len(exp)
+    for col in exp.columns:
+        g, x = got[col].tolist(), exp[col].tolist()
+        assert g == x, f"column {col} diverges: {g[:3]} vs {x[:3]}"
