@@ -211,6 +211,80 @@ def bm25_topk_multi(spark, sf_dir):
     return _bm25_scored(spark, sf_dir, BM25_QUERIES)
 
 
+# ---- phrase / proximity search (match-then-verify, query/phrase.py) --------
+
+PHRASE_QUERIES = [(0, "table hash"), (1, "customer join"), (2, "slow hash batch")]
+PHRASE_SLOP_QUERIES = [(0, "window fast query"), (1, "part filter scan")]
+
+
+def _phrase_sql(phrases: list[tuple[int, str]], slop: int = 0, k: int = 10) -> str:
+    """BM25-ranked phrase match oracle: conjunctive candidates ->
+    adjacency (or slop-regex) verify on the space-joined token stream ->
+    BM25 over the phrase's terms with GLOBAL corpus stats."""
+    from .query.phrase import phrase_pattern
+
+    q_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, p in phrases
+        for t in sorted(set(analysis.tokenize(p))))
+    phr_vals = ", ".join(
+        f"({qid}, '{phrase_pattern(analysis.tokenize(p), slop)}', "
+        f"{len(set(analysis.tokenize(p)))})" for qid, p in phrases)
+    verify = ("strpos(j.jt, phr.pat) > 0" if slop == 0
+              else "regexp_matches(j.jt, phr.pat)")
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {q_vals}),
+phr(query_id, pat, n_terms) AS (VALUES {phr_vals}),
+jt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''), ' ') || ' ' AS jt
+       FROM documents),
+cand AS (SELECT q.query_id, tf.doc_id
+         FROM q JOIN tf USING (term) JOIN phr USING (query_id)
+         GROUP BY q.query_id, tf.doc_id, phr.n_terms
+         HAVING count(*) = phr.n_terms),
+verified AS (SELECT c.query_id, c.doc_id
+             FROM cand c JOIN jt AS j USING (doc_id) JOIN phr USING (query_id)
+             WHERE {verify}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term)
+  JOIN verified v ON v.query_id = q.query_id AND v.doc_id = tf.doc_id
+  JOIN dfreq d USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("phrase_topk", _phrase_sql(PHRASE_QUERIES))
+def phrase_topk_entry(spark, sf_dir):
+    from .query.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir).select("doc_id", "text"),
+                       PHRASE_QUERIES)
+
+
+@_q("phrase_topk_slop", _phrase_sql(PHRASE_SLOP_QUERIES, slop=1))
+def phrase_topk_slop_entry(spark, sf_dir):
+    """Proximity variant: each inter-term gap admits <=1 extra token
+    (' t1( [a-z0-9]+){0,1} t2 ...' — the regex subset where Java regex
+    and RE2 agree)."""
+    from .query.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir).select("doc_id", "text"),
+                       PHRASE_SLOP_QUERIES, slop=1)
+
+
 # ---- dedup family ----------------------------------------------------------
 
 

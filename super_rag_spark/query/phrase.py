@@ -1,0 +1,149 @@
+"""Phrase / proximity search: match-then-verify, Spark-first.
+
+The reference's retrieval is bag-of-words dense top-k (no positional
+queries, /root/reference/service/query.py); a fulltext engine needs
+phrase match. Rather than widening the posting format with positions
+(2-3x index size for a minority query type — the classic trade), this
+implements the match-then-verify strategy production engines use for
+rare phrase queries over non-positional indexes:
+
+  1. CANDIDATES — conjunctive pruning: only documents containing ALL of
+     the phrase's terms (a groupBy/HAVING over the tf relation; against
+     the inverted index this is the same bucket-pruned posting
+     intersection the WAND path does, so the candidate step never
+     touches more than the phrase terms' postings).
+  2. VERIFY — tokenization-exact adjacency: the document's token stream
+     joined by single spaces (tokens are [a-z0-9]+, so ' ' is an
+     unambiguous separator) must contain ' t1 t2 ... tn ' — or, with
+     ``slop=s``, match the regex ' t1( [a-z0-9]+){0,s} t2 ...' (each
+     gap admits at most s intervening tokens). Runs ONLY on the pruned
+     candidates, JVM-side (contains / regexp_like — no UDF).
+  3. RANK — BM25 over the phrase's distinct terms, restricted to the
+     verified documents; corpus stats (n_docs, avgdl, df) stay GLOBAL,
+     mirroring the filtered-search (P7) semantics.
+
+At 100 TB: step 1 is the only stage that scans an un-pruned relation,
+and it is an aggregate over the phrase terms' tf rows only (broadcast
+term list, one shuffle on doc_id); steps 2-3 touch candidates only.
+
+Scores are deterministic: per-(query, doc) contributions are collected,
+sorted, and summed in term order (same device as contract._bm25_scored),
+so result hashes are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import analysis
+
+_TOKEN_RE = "[a-z0-9]+"
+
+
+def phrase_pattern(terms: list[str], slop: int = 0) -> str:
+    """The verify pattern for a tokenized phrase.
+
+    slop=0: a literal ' t1 t2 ... tn ' substring (no regex at all).
+    slop>0: a regex where each inter-term gap admits 0..slop extra
+    tokens. Anchored by the surrounding spaces of the padded token
+    stream, it is valid (and identical) under both Java regex and RE2 —
+    the subset used is alternation-free concatenation + bounded repeat.
+    """
+    if slop == 0:
+        return " " + " ".join(terms) + " "
+    gap = f"( {_TOKEN_RE}){{0,{slop}}}"
+    return " " + f"{gap} ".join(terms) + " "
+
+
+def joined_tokens_expr(text_col: str = "text"):
+    """' t1 t2 ... tn ' — the space-padded token stream of a document
+    (pure Catalyst: lower/split/filter/array_join/concat)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+
+
+def phrase_topk(docs_df: DataFrame, phrases: list[tuple[int, str]],
+                k: int = 10, slop: int = 0) -> DataFrame:
+    """Top-k BM25 over documents containing each query phrase.
+
+    ``docs_df``: (doc_id, text). ``phrases``: [(query_id, phrase)].
+    Returns (query_id, rank, doc_id, score) — schema-compatible with
+    the other top-k entries.
+    """
+    spark = docs_df.sparkSession
+    toks = docs_df.select(
+        "doc_id", F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda x: x != F.lit(""))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qrows, prows = [], []
+    for qid, phrase in phrases:
+        terms = analysis.tokenize(phrase)
+        if not terms:
+            continue
+        for t in sorted(set(terms)):
+            qrows.append((qid, t))
+        prows.append((qid, phrase_pattern(terms, slop), len(set(terms))))
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    pats = spark.createDataFrame(
+        prows, "query_id int, pat string, n_terms int")
+
+    # 1. conjunctive candidates: docs with ALL the phrase's terms
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(pats.select("query_id", "n_terms")), "query_id")
+        .where(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+
+    # 2. adjacency verify on candidates only (JVM string ops, no UDF)
+    joined = docs_df.select(
+        "doc_id", joined_tokens_expr("text").alias("jt"))
+    matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
+               else F.expr("rlike(jt, pat)"))
+    verified = (
+        cand.join(joined, "doc_id")
+        .join(F.broadcast(pats.select("query_id", "pat")), "query_id")
+        .where(matcher)
+        .select("query_id", "doc_id")
+    )
+
+    # 3. BM25 over the phrase terms, verified docs only, global stats
+    from .scoring import contribution_expr
+
+    contribs = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(verified, ["query_id", "doc_id"])
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib",
+                    contribution_expr(n_docs, avgdl, analysis.K1, analysis.B))
+    )
+    scored = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("term", "contrib"))).alias("parts"))
+        .withColumn("score", F.aggregate(
+            "parts", F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id",
+                F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,62 @@
+"""Phrase / proximity search semantics (query/phrase.py)."""
+
+from super_rag_spark.query.phrase import phrase_pattern, phrase_topk
+
+
+def _mk_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # "alpha beta" adjacent
+            (2, "alpha xx beta gamma"),           # one token between
+            (3, "alpha xx yy beta"),              # two tokens between
+            (4, "beta alpha"),                    # reversed -> never
+            (5, "alpha Beta! punct,separated"),   # tokenizer normalizes
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_phrase_exact_adjacency(spark):
+    out = phrase_topk(_mk_docs(spark), [(0, "alpha beta")], k=10)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 5]
+
+
+def test_phrase_slop_window(spark):
+    docs = _mk_docs(spark)
+    got1 = phrase_topk(docs, [(0, "alpha beta")], k=10, slop=1)
+    assert sorted(r["doc_id"] for r in got1.collect()) == [1, 2, 5]
+    got2 = phrase_topk(docs, [(0, "alpha beta")], k=10, slop=2)
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2, 3, 5]
+
+
+def test_phrase_order_matters(spark):
+    out = phrase_topk(_mk_docs(spark), [(0, "beta alpha")], k=10, slop=2)
+    assert sorted(r["doc_id"] for r in out.collect()) == [4]
+
+
+def test_phrase_pattern_shapes():
+    assert phrase_pattern(["a", "b"]) == " a b "
+    assert phrase_pattern(["a"]) == " a "
+    assert phrase_pattern(["a", "b"], slop=2) == " a( [a-z0-9]+){0,2} b "
+
+
+def test_phrase_scores_match_bag_of_terms(spark):
+    """The ranking stage is plain BM25 over the phrase's terms — a
+    verified doc's score must equal the bag-of-words score of the same
+    terms (phrase match restricts candidates, never reweights)."""
+    from super_rag_spark.contract import _bm25_scored
+
+    docs = _mk_docs(spark)
+    ph = phrase_topk(docs, [(0, "alpha beta")], k=10).collect()
+    # reproduce via the contract's bag-of-words scorer on the same frame
+    import super_rag_spark.contract as C
+
+    orig = C._docs
+    C._docs = lambda spark_, sf_dir: docs
+    try:
+        bag = {r["doc_id"]: r["score"]
+               for r in _bm25_scored(spark, "", [(0, "alpha beta")]).collect()}
+    finally:
+        C._docs = orig
+    for r in ph:
+        assert abs(bag[r["doc_id"]] - r["score"]) < 1e-9
