@@ -48,6 +48,9 @@ def make_session(cores: int):
         # with default G1 sizing: a large fixed young gen keeps short-lived
         # garbage out of mixed collections (measured 3-5x on this box)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn16g")
+        # local mode defaults to task maxFailures=1: one transient
+        # python-worker death kills the whole job (clusters run with 4)
+        .config("spark.task.maxFailures", "4")
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.ui.enabled", "false")

@@ -40,6 +40,7 @@ def main() -> int:
              .appName("contract-check")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.task.maxFailures", "4")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -48,7 +48,8 @@ def main() -> int:
 
     builder = (SparkSession.builder.appName("super-rag-spark-clean")
                .config("spark.sql.adaptive.enabled", "true")
-               .config("spark.sql.session.timeZone", "UTC"))
+               .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.task.maxFailures", "4"))
     if args.master:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()

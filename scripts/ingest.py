@@ -35,6 +35,9 @@ def _session(master: str | None):
         SparkSession.builder.appName("super-rag-spark-ingest")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -Xmn16g")
+        # local mode defaults to task maxFailures=1: one transient
+        # python-worker death kills the whole job (clusters run with 4)
+        .config("spark.task.maxFailures", "4")
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.adaptive.enabled", "true")

@@ -51,6 +51,7 @@ def main() -> int:
              .appName("super-rag-spark-query")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.task.maxFailures", "4")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     eng = BM25Engine(spark, args.index)

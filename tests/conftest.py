@@ -22,6 +22,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.task.maxFailures", "4")
         .getOrCreate()
     )
     yield s
