@@ -298,6 +298,33 @@ def dedup_exact(spark, sf_dir):
     return textops.exact_dup_groups(_docs(spark, sf_dir))
 
 
+@_q("bigram_pmi", """
+WITH arr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos FROM arr),
+uni AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+n_uni AS (SELECT count(*)::BIGINT AS n FROM tok),
+pr AS (SELECT doc_id, t AS t1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+       FROM tok),
+pairs AS (SELECT t1, t2 FROM pr WHERE t2 IS NOT NULL),
+n_bi AS (SELECT count(*)::BIGINT AS n FROM pairs),
+bi AS (SELECT t1, t2, count(*)::BIGINT AS c_ab FROM pairs
+       GROUP BY t1, t2 HAVING count(*) >= 5),
+scored AS (SELECT t1, t2, c_ab,
+                  round(ln((c_ab::DOUBLE / nb.n) /
+                           ((ua.c::DOUBLE / nu.n) * (ub.c::DOUBLE / nu.n))), 6) AS pmi
+           FROM bi JOIN uni ua ON ua.t = bi.t1 JOIN uni ub ON ub.t = bi.t2
+           CROSS JOIN n_bi nb CROSS JOIN n_uni nu)
+SELECT t1, t2, c_ab, pmi FROM scored ORDER BY pmi DESC, t1, t2 LIMIT 50
+""")
+def bigram_pmi_entry(spark, sf_dir):
+    """Adjacent-bigram collocations by PMI (textops.bigram_pmi) —
+    linear pair generation, two hash aggregates, broadcast unigram
+    joins; the collocation-discovery pass of a vocab-induction
+    pipeline."""
+    return textops.bigram_pmi(_docs(spark, sf_dir))
+
+
 @_q("token_counts", r"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT AS ws_tokens,

@@ -425,3 +425,59 @@ def decontaminate(docs_df: DataFrame, bench_df: DataFrame, n: int = 8,
             .join(bench_sh, "shingle", "left_semi")
             .select("doc_id").distinct())
     return docs_df.join(hits, "doc_id", "left_anti")
+
+
+# ------------------------------------------------------- collocation mining
+
+def bigram_pmi(df: DataFrame, text_col: str = "text",
+               min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the standard vocabulary/tokenizer-prep pass of a
+    training-data pipeline (collocation discovery, merge-candidate
+    ranking for BPE-style vocab induction).
+
+    PMI(a,b) = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )
+    over ADJACENT pairs only, so pair generation is linear in corpus
+    size (never the O(dl^2) all-pairs co-occurrence blowup): bigrams
+    come from zipping each token array with its own tail — pure
+    Catalyst, no UDF, no lambda (the HOF-CSE trap doesn't apply).
+    Aggregates are two hash-shuffles (bigram counts, unigram counts);
+    the unigram side joins in twice via broadcast (it is vocabulary-
+    sized). ``min_count`` prunes the long noise tail before the join.
+
+    Deterministic output: (t1, t2, c_ab, pmi) ordered by pmi desc then
+    lexicographic, ties broken exactly like the DuckDB oracle.
+    """
+    toks = df.select(
+        F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                 lambda x: x != F.lit("")).alias("tokens")).persist()
+
+    # unigram stats are CORPUS-wide (all docs, even single-token ones)
+    uni = (toks.select(F.explode("tokens").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    n_uni = toks.select(F.sum(F.size("tokens")).alias("n")).collect()[0]["n"]
+
+    pairs = (toks.where(F.size("tokens") >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.expr("slice(tokens, 1, size(tokens) - 1)").alias("t1"),
+                 F.expr("slice(tokens, 2, size(tokens) - 1)").alias("t2"),
+             )).alias("p"))
+             .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")))
+    n_bi = pairs.count()
+    bi = (pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_ab"))
+          .where(F.col("c_ab") >= min_count))
+    toks.unpersist()
+
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(u1), "t1").join(F.broadcast(u2), "t2")
+        .withColumn("pmi", F.round(
+            F.log((F.col("c_ab") / F.lit(float(n_bi))) /
+                  ((F.col("c_a") / F.lit(float(n_uni)))
+                   * (F.col("c_b") / F.lit(float(n_uni))))), 6))
+    )
+    return (scored
+            .orderBy(F.col("pmi").desc(), "t1", "t2")
+            .limit(k)
+            .select("t1", "t2", "c_ab", "pmi"))
