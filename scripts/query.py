@@ -34,6 +34,16 @@ def main() -> int:
     ap.add_argument("--approx", type=float, default=1.0,
                     help="WAND threshold factor F (>1 = bounded-error early "
                          "termination; misses provably score < F * kth)")
+    ap.add_argument("--phrase", action="store_true",
+                    help="treat --query as an exact phrase (match-then-"
+                         "verify: postings conjunction + adjacency check "
+                         "against --docs); requires --docs")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: allow up to N extra tokens "
+                         "between consecutive phrase terms")
+    ap.add_argument("--docs", default=None,
+                    help="source corpus parquet (url|doc_id, text) for "
+                         "phrase verification — the index stores no text")
     ap.add_argument("--where", default=None,
                     help="Qdrant-style dict filter as JSON (reference "
                          "query-API parity); requires --meta")
@@ -56,7 +66,19 @@ def main() -> int:
              .getOrCreate())
     eng = BM25Engine(spark, args.index)
 
-    if args.query is not None and args.where is not None:
+    if args.query is not None and args.phrase:
+        if not args.docs:
+            ap.error("--phrase requires --docs")
+        t0 = time.time()
+        hits = eng.phrase_topk(args.query, spark.read.parquet(args.docs),
+                               k=args.k, slop=args.slop)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"phrase": args.query, "slop": args.slop,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.where is not None:
         if not args.meta:
             ap.error("--where requires --meta")
         t0 = time.time()

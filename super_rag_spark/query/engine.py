@@ -459,6 +459,67 @@ class BM25Engine:
             out = out.drop(*exclude_fields)
         return out.orderBy("rank")
 
+    # ------------------------------------------------------------- phrase
+    def phrase_topk(self, phrase: str, docs_df: DataFrame, k: int = 10,
+                    slop: int = 0) -> list[tuple[int, float]]:
+        """Index-accelerated phrase search (match-then-verify).
+
+        Candidates come from the INVERTED INDEX: the decoded postings of
+        the phrase's terms intersect rarest-first (conjunction — the
+        only docs that can contain the phrase), so no corpus scan ever
+        happens. Adjacency (or ``slop``-bounded proximity) is then
+        verified against ``docs_df`` — the source-of-truth (url|doc_id,
+        text) table; the index stores no forward text — and survivors
+        are BM25-ranked over the phrase's terms with GLOBAL corpus
+        stats, exactly like query/phrase.phrase_topk's DataFrame path
+        (equality asserted in tests/test_phrase.py)."""
+        import numpy as np
+
+        from .phrase import joined_tokens_expr, phrase_pattern
+        from .wand import vectorized_topk_arrays
+
+        terms = tokenize(phrase)
+        if not terms:
+            return []
+        uterms = sorted(set(terms))
+        arrays = self._load_term_arrays(uterms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in self._load_term_blocks(uterms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        if len(arrays) < len(uterms):
+            return []  # some phrase term has no postings at all
+        by_rarity = sorted(uterms, key=lambda t: len(arrays[t][1]))
+        cand = arrays[by_rarity[0]][1]
+        for t in by_rarity[1:]:
+            cand = cand[np.isin(cand, arrays[t][1], assume_unique=True)]
+            if not len(cand):
+                return []
+
+        src = docs_df
+        if "doc_id" not in src.columns:
+            src = src.withColumn("doc_id", doc_id_expr("url"))
+        cdf = self.spark.createDataFrame(
+            [(int(d),) for d in cand.tolist()], "doc_id long")
+        jt = (src.join(F.broadcast(cdf), "doc_id")
+              .select("doc_id", joined_tokens_expr("text").alias("jt")))
+        pat = phrase_pattern(terms, slop)
+        matcher = (F.col("jt").contains(pat) if slop == 0
+                   else F.col("jt").rlike(pat))
+        verified = np.array(
+            sorted(r["doc_id"] for r in
+                   jt.where(matcher).select("doc_id").collect()),
+            dtype=np.int64)
+        if not len(verified):
+            return []
+        m = self.manifest
+        return vectorized_topk_arrays(
+            arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+            k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
+
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:
         """Tombstone the docs for these urls; returns count tombstoned.

@@ -271,16 +271,25 @@ def vectorized_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
 
 def vectorized_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
                            avgdl: float, k: int, k1: float = K1,
-                           b: float = B) -> list[tuple[int, float]]:
+                           b: float = B,
+                           candidates: np.ndarray | None = None
+                           ) -> list[tuple[int, float]]:
     """vectorized_topk over PRE-DECODED per-term arrays
     {term: (df, docs, tfs, dls)} — the decoded-postings-cache fast path
     (engine._load_term_arrays): head-term queries are decode-bound, so
     a cache hit skips straight to the ~5 flops/posting scoring. Math and
     accumulation order are identical to vectorized_topk (a doc gets one
-    contribution per term; terms accumulate in ascending order)."""
+    contribution per term; terms accumulate in ascending order).
+    ``candidates``: optional sorted unique doc_id array — only these
+    docs are scored (P7 filtered-search / phrase-verify semantics; df
+    and corpus stats stay GLOBAL)."""
     per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ids, contribs)
     for term in sorted(term_arrays):
         df, docs, tfs, dls = term_arrays[term]
+        if candidates is not None and len(docs):
+            keep = np.flatnonzero(
+                np.isin(docs, candidates, assume_unique=True))
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
         if not len(docs):
             continue
         tfs = tfs.astype(np.float64)

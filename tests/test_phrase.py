@@ -60,3 +60,55 @@ def test_phrase_scores_match_bag_of_terms(spark):
         C._docs = orig
     for r in ph:
         assert abs(bag[r["doc_id"]] - r["score"]) < 1e-9
+
+
+def test_engine_phrase_topk_matches_dataframe_path(spark, tmp_path):
+    """Index-accelerated phrase search (postings conjunction + verify)
+    must rank exactly like the corpus-scan DataFrame operator."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://x.example/{i}",
+             f"alpha beta gamma doc{i} filler tokens here")
+            for i in range(20)]
+    rows += [(f"https://y.example/{i}",
+              f"alpha filler beta gamma doc{i} extra")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+
+    eng = BM25Engine(spark, str(tmp_path / "phidx")).build(
+        docs, text_is_extracted=True)
+    from super_rag_spark.index.build import doc_id_expr
+
+    with_ids = docs.withColumn("doc_id", doc_id_expr("url"))
+
+    for slop in (0, 1):
+        got = eng.phrase_topk("alpha beta", with_ids, k=30, slop=slop)
+        exp = {r["doc_id"]: (r["rank"], r["score"]) for r in
+               phrase_topk(with_ids.select("doc_id", "text"),
+                           [(0, "alpha beta")], k=30, slop=slop).collect()}
+        assert len(got) == len(exp)
+        for rank, (doc_id, score) in enumerate(got, start=1):
+            assert exp[doc_id][0] == rank
+            assert abs(exp[doc_id][1] - round(score, 6)) < 1e-6
+
+    # adjacency semantics: slop=0 only the x.example docs match
+    assert len(eng.phrase_topk("alpha beta", with_ids, k=30)) == 20
+    assert len(eng.phrase_topk("alpha beta", with_ids, k=30, slop=1)) == 25
+    # unknown term -> no candidates, no corpus scan
+    assert eng.phrase_topk("alpha zzzznotaterm", with_ids) == []
+
+
+def test_engine_phrase_topk_respects_tombstones(spark, tmp_path):
+    from super_rag_spark.index.build import doc_id_expr
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://x.example/{i}", "alpha beta unique filler")
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "phidx2")).build(
+        docs, text_is_extracted=True)
+    with_ids = docs.withColumn("doc_id", doc_id_expr("url"))
+    assert len(eng.phrase_topk("alpha beta", with_ids, k=10)) == 4
+    eng.delete_urls(["https://x.example/0"])
+    got = eng.phrase_topk("alpha beta", with_ids, k=10)
+    assert len(got) == 3
