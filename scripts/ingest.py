@@ -50,6 +50,73 @@ def _session(master: str | None):
     return builder.config("spark.sql.session.timeZone", "UTC").getOrCreate()
 
 
+def _stats(index_dir: str) -> dict:
+    """Metadata-only index snapshot (north-rule 'metrics'): manifest,
+    per-bucket size distribution (the skew signal), pending tombstones,
+    lineage record count. Reads parquet FOOTERS at most — no Spark
+    session, no postings decode; safe to run against a live index of
+    any size."""
+    import statistics
+
+    from super_rag_spark.index.storage import IndexStorage
+
+    store = IndexStorage(index_dir)
+    m = store.read_manifest()
+    pdir = store.postings_dir
+
+    bucket_bytes: dict[str, int] = {}
+    n_files = 0
+    for entry in sorted(os.listdir(pdir)):
+        bdir = os.path.join(pdir, entry)
+        if not (entry.startswith("bucket=") and os.path.isdir(bdir)):
+            continue
+        sz = 0
+        for f in os.listdir(bdir):
+            if f.endswith(".parquet"):
+                sz += os.path.getsize(os.path.join(bdir, f))
+                n_files += 1
+        bucket_bytes[entry.split("=", 1)[1]] = sz
+
+    tombs = 0
+    tdir = store.tombstones_dir
+    if tdir and os.path.isdir(tdir):
+        import pyarrow.parquet as pq
+
+        for root, _, files in os.walk(tdir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    tombs += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+
+    lineage_records = 0
+    if os.path.isdir(store.lineage_dir):
+        for f in os.listdir(store.lineage_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(store.lineage_dir, f)) as fh:
+                    lineage_records += sum(1 for line in fh if line.strip())
+
+    sizes = list(bucket_bytes.values()) or [0]
+    return {
+        "event": "stats",
+        "epoch": m["epoch"],
+        "n_docs": m["n_docs"],
+        "n_segments": m.get("n_segments", 1),
+        "avgdl": m["avgdl"],
+        "n_buckets": m["n_buckets"],
+        "index_bytes": sum(sizes),
+        "postings_files": n_files,
+        "pending_tombstones": tombs,
+        "lineage_records": lineage_records,
+        "bucket_bytes": {
+            "min": min(sizes), "max": max(sizes),
+            "mean": round(statistics.mean(sizes), 1),
+            # balanced term-hash bucketing should keep this near 1.0;
+            # a high ratio means head-term skew outran the salting
+            "max_over_mean": round(max(sizes) / max(statistics.mean(sizes), 1), 3),
+        },
+        "manifest": m,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -74,7 +141,14 @@ def main() -> int:
                             "tombstones pending) instead of the full rebuild")
     p_cmp.add_argument("--master", default=None)
 
+    p_st = sub.add_parser(
+        "stats", help="index health/metrics snapshot (no Spark job)")
+    p_st.add_argument("--index", required=True)
+
     args = ap.parse_args()
+    if args.cmd == "stats":
+        print(json.dumps(_stats(args.index)))
+        return 0
     spark = _session(args.master)
     t0 = time.time()
     try:
