@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--approx", type=float, default=1.0,
                     help="WAND threshold factor F (>1 = bounded-error early "
                          "termination; misses provably score < F * kth)")
+    ap.add_argument("--boolean", action="store_true",
+                    help="treat --query as a boolean expression "
+                         "(left-assoc AND/OR/NOT over single tokens); "
+                         "pure index, no corpus needed")
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query as an exact phrase (match-then-"
                          "verify: postings conjunction + adjacency check "
@@ -66,7 +70,15 @@ def main() -> int:
              .getOrCreate())
     eng = BM25Engine(spark, args.index)
 
-    if args.query is not None and args.phrase:
+    if args.query is not None and args.boolean:
+        t0 = time.time()
+        hits = eng.boolean_topk(args.query, k=args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"boolean": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.phrase:
         if not args.docs:
             ap.error("--phrase requires --docs")
         t0 = time.time()

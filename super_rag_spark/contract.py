@@ -285,6 +285,62 @@ def phrase_topk_slop_entry(spark, sf_dir):
                        PHRASE_SLOP_QUERIES, slop=1)
 
 
+# ---- boolean retrieval (query/boolean.py) ----------------------------------
+
+BOOLEAN_QUERIES = [(0, "table AND scan NOT hash"),
+                   (1, "customer OR supplier NOT join"),
+                   (2, "vector OR spark AND data")]
+
+
+def _boolean_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Left-associative AND/OR/NOT candidate algebra as parenthesized
+    INTERSECT/UNION/EXCEPT (SQL's own set-op precedence differs, so the
+    generator parenthesizes every step), then BM25 over the positive
+    terms with GLOBAL stats."""
+    from .query.boolean import boolean_sql_cand, parse_boolean
+
+    q_vals, cand_arms = [], []
+    for qid, expr in queries:
+        steps = parse_boolean(expr)
+        for t in sorted({t for op, t in steps if op != "NOT"}):
+            q_vals.append(f"({qid}, '{t}')")
+        cand_arms.append(
+            f"SELECT {qid} AS query_id, doc_id FROM ({boolean_sql_cand(steps)})")
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {', '.join(q_vals)}),
+cand AS ({' UNION ALL '.join(cand_arms)}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term)
+  JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = tf.doc_id
+  JOIN dfreq d USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("boolean_topk", _boolean_sql(BOOLEAN_QUERIES))
+def boolean_topk_entry(spark, sf_dir):
+    """AND/OR/NOT set algebra over the tf relation, BM25-ranked over
+    positive terms (query/boolean.py — the classic fulltext query form
+    the reference's dense API cannot express)."""
+    from .query.boolean import boolean_topk
+
+    return boolean_topk(_docs(spark, sf_dir).select("doc_id", "text"),
+                        BOOLEAN_QUERIES)
+
+
 # ---- dedup family ----------------------------------------------------------
 
 

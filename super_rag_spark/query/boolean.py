@@ -1,0 +1,140 @@
+"""Boolean retrieval: AND / OR / NOT set algebra over postings,
+BM25-ranked — the classic fulltext query form the reference's
+dense-retrieval API cannot express (/root/reference/api/query.py).
+
+Grammar (deliberately minimal, Lucene-simplified): operands are single
+tokens; operators are the literal words AND, OR, NOT; evaluation is
+strictly LEFT-ASSOCIATIVE with no precedence or parentheses —
+``a AND b NOT c OR d`` means ``(((a AND b) NOT c) OR d)``. An implicit
+leading AND starts the chain. The SQL oracle mirrors the same shape
+with explicitly parenthesized INTERSECT / EXCEPT / UNION steps (SQL's
+native set-op precedence differs, so parens are load-bearing).
+
+Ranking: BM25 over the query's POSITIVE (non-NOT) terms, restricted to
+the boolean result set; corpus stats stay GLOBAL (same filtered-search
+semantics as P7 and phrase search). NOT terms contribute only set
+subtraction, never score.
+
+Scale shape: per term one tf-relation lookup (against the inverted
+index this is a bucket-pruned postings fetch); set steps are
+distinct-doc_id joins/unions — no stage ever touches a document that
+contains none of the query's terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import analysis
+
+_OPS = ("AND", "OR", "NOT")
+
+
+def parse_boolean(expr: str) -> list[tuple[str, str]]:
+    """'a AND b NOT c' -> [('AND', 'a'), ('AND', 'b'), ('NOT', 'c')].
+    Raises ValueError on dangling operators or multi-token operands."""
+    steps: list[tuple[str, str]] = []
+    op = "AND"
+    pending_op = False
+    for word in expr.split():
+        if word in _OPS:
+            if pending_op:
+                raise ValueError(f"two operators in a row near {word!r}")
+            op, pending_op = word, True
+            continue
+        toks = analysis.tokenize(word)
+        if len(toks) != 1:
+            raise ValueError(f"operand {word!r} is not a single token")
+        steps.append((op, toks[0]))
+        op, pending_op = "AND", False
+    if pending_op:
+        raise ValueError("query ends with a dangling operator")
+    if not steps:
+        raise ValueError("empty boolean query")
+    if steps[0][0] == "NOT":
+        raise ValueError("query cannot start with NOT")
+    return steps
+
+
+def boolean_sql_cand(steps: list[tuple[str, str]]) -> str:
+    """The candidate set as explicitly parenthesized SQL set ops over a
+    ``tf(doc_id, term, tf)`` relation (DuckDB oracle form)."""
+    def leaf(t: str) -> str:
+        return f"SELECT doc_id FROM tf WHERE term = '{t}'"
+
+    sql = leaf(steps[0][1])
+    for op, t in steps[1:]:
+        setop = {"AND": "INTERSECT", "OR": "UNION", "NOT": "EXCEPT"}[op]
+        sql = f"({sql}) {setop} ({leaf(t)})"
+    return sql
+
+
+def boolean_topk(docs_df: DataFrame, queries: list[tuple[int, str]],
+                 k: int = 10) -> DataFrame:
+    """Top-k BM25 over each boolean query's result set.
+
+    ``docs_df``: (doc_id, text). ``queries``: [(query_id, expr)].
+    Returns (query_id, rank, doc_id, score).
+    """
+    toks = docs_df.select(
+        "doc_id", F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                     lambda x: x != F.lit(""))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(st["n"]), float(st["avgdl"])
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def docs_with(term: str) -> DataFrame:
+        return tf.where(F.col("term") == term).select("doc_id")
+
+    cands = []
+    qrows = []
+    for qid, expr in queries:
+        steps = parse_boolean(expr)
+        cand = docs_with(steps[0][1])
+        for op, t in steps[1:]:
+            rhs = docs_with(t)
+            if op == "AND":
+                cand = cand.join(rhs, "doc_id", "left_semi")
+            elif op == "OR":
+                cand = cand.union(rhs).distinct()
+            else:  # NOT
+                cand = cand.join(rhs, "doc_id", "left_anti")
+        cands.append(cand.withColumn("query_id", F.lit(qid)))
+        for t in sorted({t for op, t in steps if op != "NOT"}):
+            qrows.append((qid, t))
+    all_cand = cands[0]
+    for c in cands[1:]:
+        all_cand = all_cand.unionByName(c)
+    qterms = docs_df.sparkSession.createDataFrame(
+        qrows, "query_id int, term string")
+
+    from .scoring import contribution_expr
+
+    contribs = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(all_cand, ["query_id", "doc_id"])
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib",
+                    contribution_expr(n_docs, avgdl, analysis.K1, analysis.B))
+    )
+    scored = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("term", "contrib"))).alias("parts"))
+        .withColumn("score", F.aggregate(
+            "parts", F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id",
+                F.round("score", 6).alias("score"))
+    )

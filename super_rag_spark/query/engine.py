@@ -520,6 +520,50 @@ class BM25Engine:
             arrays, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
 
+    # ------------------------------------------------------------ boolean
+    def boolean_topk(self, expr: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean retrieval on the driver: left-associative AND/OR/NOT
+        set algebra over decoded postings (query/boolean.py grammar),
+        BM25-ranked over the positive terms with global stats. NOT terms
+        subtract, never score. Needs no corpus access — pure index."""
+        import numpy as np
+
+        from .boolean import parse_boolean
+        from .wand import vectorized_topk_arrays
+
+        steps = parse_boolean(expr)
+        all_terms = sorted({t for _, t in steps})
+        arrays = self._load_term_arrays(all_terms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in self._load_term_blocks(all_terms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+
+        empty = np.empty(0, dtype=np.int64)
+
+        def leaf(t: str):
+            return arrays[t][1] if t in arrays else empty
+
+        cand = leaf(steps[0][1])
+        for op, t in steps[1:]:
+            if op == "AND":
+                cand = np.intersect1d(cand, leaf(t), assume_unique=True)
+            elif op == "OR":
+                cand = np.union1d(cand, leaf(t))
+            else:  # NOT
+                cand = np.setdiff1d(cand, leaf(t), assume_unique=True)
+        if not len(cand):
+            return []
+        positive = {t: arrays[t]
+                    for op, t in steps if op != "NOT" and t in arrays}
+        m = self.manifest
+        return vectorized_topk_arrays(
+            positive, int(m["n_docs"]), float(m["avgdl"]), k,
+            k1=float(m["k1"]), b=float(m["b"]), candidates=cand)
+
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:
         """Tombstone the docs for these urls; returns count tombstoned.

@@ -1,0 +1,80 @@
+"""Boolean retrieval semantics (query/boolean.py + engine path)."""
+
+import pytest
+
+from super_rag_spark.query.boolean import (boolean_sql_cand, boolean_topk,
+                                           parse_boolean)
+
+
+def test_parse_boolean():
+    assert parse_boolean("a AND b NOT c") == [
+        ("AND", "a"), ("AND", "b"), ("NOT", "c")]
+    assert parse_boolean("a b") == [("AND", "a"), ("AND", "b")]
+    assert parse_boolean("a OR B!") == [("AND", "a"), ("OR", "b")]
+    for bad in ["NOT a", "a AND", "a AND OR b", "", "a twoword-ok AND"]:
+        with pytest.raises(ValueError):
+            parse_boolean(bad)
+
+
+def test_boolean_sql_cand_parenthesizes():
+    sql = boolean_sql_cand(parse_boolean("a OR b NOT c"))
+    # left-assoc: ((a UNION b) EXCEPT c) — parens must force the order
+    assert sql.startswith("((SELECT")
+    assert ") EXCEPT (" in sql and ") UNION (" in sql.split("EXCEPT")[0] + "EXCEPT"
+
+
+def _mk_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "alpha gamma"),
+            (4, "beta gamma"),
+            (5, "delta only here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_boolean_set_semantics(spark):
+    docs = _mk_docs(spark)
+
+    def ids(expr):
+        return sorted(r["doc_id"] for r in
+                      boolean_topk(docs, [(0, expr)], k=10).collect())
+
+    assert ids("alpha AND beta") == [1, 2]
+    assert ids("alpha AND beta NOT delta") == [1]
+    assert ids("alpha OR delta") == [1, 2, 3, 5]
+    assert ids("alpha OR delta NOT beta") == [3, 5]
+    assert ids("gamma NOT alpha NOT beta") == []
+
+
+def test_engine_boolean_matches_dataframe_path(spark, tmp_path):
+    from super_rag_spark.index.build import doc_id_expr
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://b.example/{i}",
+             ["alpha beta gamma", "alpha beta delta", "alpha gamma",
+              "beta gamma filler", "delta lonely doc"][i % 5] + f" pad{i}")
+            for i in range(25)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "boolidx")).build(
+        docs, text_is_extracted=True)
+    with_ids = docs.withColumn("doc_id", doc_id_expr("url"))
+
+    for expr in ["alpha AND beta", "alpha AND beta NOT delta",
+                 "alpha OR delta NOT gamma"]:
+        got = eng.boolean_topk(expr, k=30)
+        exp = {r["doc_id"]: (r["rank"], r["score"]) for r in
+               boolean_topk(with_ids.select("doc_id", "text"),
+                            [(0, expr)], k=30).collect()}
+        assert len(got) == len(exp), expr
+        for rank, (doc_id, score) in enumerate(got, start=1):
+            assert exp[doc_id][0] == rank, expr
+            assert abs(exp[doc_id][1] - round(score, 6)) < 1e-6, expr
+    # NOT-everything and unknown terms
+    assert eng.boolean_topk("alpha NOT alpha") == []
+    assert eng.boolean_topk("zzznope AND alpha") == []
+    # alpha appears in 3 of every 5 doc templates -> 15 of 25 docs
+    assert len(eng.boolean_topk("zzznope OR alpha", k=30)) == 15
