@@ -38,6 +38,13 @@ def main() -> int:
                     help="eval-corpus parquet (doc_id, text); overlapping docs drop")
     ap.add_argument("--decontaminate-n", type=int, default=8)
     ap.add_argument("--pii-scrub", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="run as a Structured Streaming job: --input is "
+                         "a directory of document parquet drops; gates + "
+                         "within-batch near-dup per micro-batch, exact "
+                         "dedup across batches vs the sink")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (required with --stream)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -55,6 +62,23 @@ def main() -> int:
     spark = builder.getOrCreate()
     t0 = time.time()
     try:
+        if args.stream:
+            if not args.checkpoint:
+                ap.error("--stream requires --checkpoint")
+            from super_rag_spark.streaming import stream_clean
+
+            q = stream_clean(
+                spark, args.input, args.output, args.checkpoint,
+                min_tokens=args.min_tokens,
+                keep_langs=tuple(args.langs.split(",")),
+                jaccard_threshold=args.jaccard)
+            q.awaitTermination()
+            n_out = spark.read.parquet(
+                os.path.join(args.output, "batch=*")).count()
+            print(json.dumps({
+                "event": "stream_cleaned", "n_out": n_out,
+                "elapsed_sec": round(time.time() - t0, 3)}))
+            return 0
         docs = spark.read.parquet(args.input)
         n_in = docs.count()
         out = clean_corpus(docs, min_tokens=args.min_tokens,

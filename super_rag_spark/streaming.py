@@ -126,3 +126,73 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_SCHEMA_DDL = ("doc_id long, text string, lang string, "
+                   "source string, n_chars long")
+
+
+def stream_clean(spark: SparkSession, input_dir: str, output_dir: str,
+                 checkpoint_dir: str, *, min_tokens: int = 20,
+                 keep_langs: tuple = ("en", "de", "fr", "es"),
+                 jaccard_threshold: float = 0.5,
+                 max_files_per_trigger: int = 4,
+                 available_now: bool = True):
+    """Streaming training-data cleaner: the clean_corpus pipeline
+    (textops.py) as a continuously running job over a document feed.
+
+    Semantics per micro-batch:
+      - quality + language gates: stateless column predicates — they
+        ride the stream untouched.
+      - EXACT dedup: enforced ACROSS batches. Each batch's survivors
+        anti-join on md5(text) against everything already written to
+        the sink, so a document seen in any earlier batch never
+        re-emits. State lives in the sink itself (no unbounded
+        streaming state; at scale the sink is an Iceberg table and the
+        probe is a metadata-pruned hash-column scan).
+      - NEAR-DUP (MinHash-LSH) dedup: within-batch only. Cross-batch
+        near-dup discovery belongs to the periodic batch clean /
+        compaction job — the same division of labor Lucene-style
+        engines use between NRT flushes and background merges
+        (documented limit, not an accident).
+
+    Exactly-once: each batch writes mode("overwrite") into its own
+    ``batch=<id>`` subdirectory, so a replayed batch (crash between
+    sink write and checkpoint commit) overwrites its own output
+    instead of duplicating it. Readers consume ``output_dir/batch=*``.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .textops import clean_corpus
+
+    s = (spark.readStream.schema(DOCS_SCHEMA_DDL)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir))
+
+    def fold(batch_df, batch_id: int) -> None:
+        out = clean_corpus(batch_df, min_tokens=min_tokens,
+                           keep_langs=keep_langs,
+                           jaccard_threshold=jaccard_threshold)
+        # probe every PRIOR batch dir — excluding this batch's own (a
+        # replayed batch must not anti-join against its previous partial
+        # write, or the replay would emit an empty batch and lose docs)
+        prior = sorted(
+            _os.path.join(output_dir, d)
+            for d in (_os.listdir(output_dir)
+                      if _os.path.isdir(output_dir) else [])
+            if d.startswith("batch=") and d != f"batch={batch_id}")
+        if prior:
+            seen = (spark.read.parquet(*prior)
+                    .select(F.md5("text").alias("_h")).distinct())
+            out = (out.withColumn("_h", F.md5("text"))
+                   .join(seen, "_h", "left_anti").drop("_h"))
+        (out.write.mode("overwrite")
+            .parquet(_os.path.join(output_dir, f"batch={batch_id}")))
+
+    w = (s.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

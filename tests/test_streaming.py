@@ -114,3 +114,62 @@ def test_stream_with_compaction_cadence_bit_identical(spark, webtext_sf0001_path
     rows = lambda e: sorted(tuple(r) for r in
                             e.store.postings(spark).select(*cols).collect())
     assert rows(eng) == rows(want)
+
+
+def test_stream_clean_matches_sequential_batches(spark, tmp_path):
+    """stream_clean == applying clean_corpus batch-by-batch with
+    cross-batch exact dedup against everything already emitted (the
+    documented semantics: near-dup scope is within-batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from super_rag_spark.streaming import stream_clean
+    from super_rag_spark.textops import clean_corpus
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .orderBy("doc_id"))
+    rows = docs.collect()
+    # 3 feed files; plant a cross-batch EXACT dup: batch-2 re-sends a
+    # batch-0 doc under a new doc_id (must be dropped by the sink probe)
+    n = len(rows)
+    thirds = [rows[:n // 3], rows[n // 3:2 * n // 3], rows[2 * n // 3:]]
+    dup = thirds[0][0].asDict()
+    dup["doc_id"] = 10_000_000
+    thirds[2] = thirds[2] + [type(rows[0])(**dup)]
+
+    in_dir = str(tmp_path / "feed")
+    os.makedirs(in_dir)
+    for i, part in enumerate(thirds):
+        # flat single FILES (pq.write_table): the streaming file source
+        # does not recurse into Spark-style output directories
+        pdf = spark.createDataFrame(part, docs.schema).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+        _pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                        os.path.join(in_dir, f"f{i}.parquet"))
+    # one file per trigger -> 3 deterministic micro-batches, in order
+    # (file source picks up files by modification time; write order above)
+    out_dir = str(tmp_path / "clean_out")
+    q = stream_clean(spark, in_dir, out_dir, str(tmp_path / "ckpt"),
+                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = (spark.read.parquet(os.path.join(out_dir, "batch=*"))
+           .select("doc_id").collect())
+    got_ids = sorted(r["doc_id"] for r in got)
+
+    # sequential reference over the same 3 file-batches
+    seen_hashes: set = set()
+    exp_ids: list = []
+    for i in range(3):
+        bdf = spark.read.parquet(os.path.join(in_dir, f"f{i}.parquet"))
+        out = clean_corpus(bdf)
+        for r in out.withColumn("_h", F.md5("text")).collect():
+            if r["_h"] not in seen_hashes:
+                exp_ids.append(r["doc_id"])
+        seen_hashes |= {r["_h"] for r in
+                        out.select(F.md5("text").alias("_h")).collect()}
+    assert got_ids == sorted(exp_ids)
+    assert 10_000_000 not in got_ids  # the planted cross-batch dup died
+    assert len(got_ids) > 100  # non-vacuous
