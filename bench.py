@@ -193,6 +193,22 @@ def main() -> int:
             eng.topk(q["text"], q["k"], method="wand")
         comp["query_wand"] = round(time.time() - t0, 3)
 
+        # boolean retrieval (driver set-algebra path): derive
+        # deterministic AND/OR/NOT expressions from the reference
+        # query stream's own terms
+        bool_exprs = []
+        for i in range(0, 60, 2):
+            a = queries[i]["text"].split()[0]
+            rest = queries[i + 1]["text"].split()
+            b = rest[0]
+            c = rest[1] if len(rest) > 1 else a
+            bool_exprs.append(f"{a} AND {b} NOT {c}" if i % 4 == 0
+                              else f"{a} OR {b}")
+        t0 = time.time()
+        for expr in bool_exprs:
+            eng.boolean_topk(expr, k=10)
+        comp["query_boolean_30"] = round(time.time() - t0, 3)
+
         t0 = time.time()
         eng.query_batch_wand(queries, k=10).count()
         comp["query_batch_wand"] = round(time.time() - t0, 3)
