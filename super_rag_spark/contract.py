@@ -381,6 +381,30 @@ def bigram_pmi_entry(spark, sf_dir):
     return textops.bigram_pmi(_docs(spark, sf_dir))
 
 
+@_q("corpus_report", """
+WITH arr AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+per AS (SELECT len(ts)::BIGINT AS n_tokens FROM arr),
+tok AS (SELECT unnest(ts) AS t FROM arr),
+s AS (SELECT count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS n_toks,
+             round(avg(n_tokens), 6) AS avg_tokens,
+             min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+             round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+      FROM per),
+v AS (SELECT count(DISTINCT t)::BIGINT AS vocab FROM tok)
+SELECT n_docs, n_toks AS n_tokens, vocab,
+       round(vocab / n_toks::DOUBLE, 9) AS type_token_ratio,
+       avg_tokens, min_tokens, max_tokens, p50_tokens, p90_tokens
+FROM s CROSS JOIN v
+""")
+def corpus_report_entry(spark, sf_dir):
+    """One-row 'dataset card' stats pass (textops.corpus_report):
+    scale counts, vocabulary, TTR, token-length distribution."""
+    return textops.corpus_report(_docs(spark, sf_dir))
+
+
 @_q("token_counts", r"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::INT AS ws_tokens,

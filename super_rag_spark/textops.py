@@ -481,3 +481,36 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
             .orderBy(F.col("pmi").desc(), "t1", "t2")
             .limit(k)
             .select("t1", "t2", "c_ab", "pmi"))
+
+
+# --------------------------------------------------------------- corpus card
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary — the "dataset card" stats pass a
+    training-data pipeline publishes next to a release: scale counts,
+    vocabulary size, type-token ratio, token-length distribution.
+
+    Two aggregates over one tokenize pass (per-doc lengths shuffle
+    nothing — they fold map-side; the vocabulary count is the only
+    wide aggregate), so the report costs roughly one corpus scan at
+    any scale.
+    """
+    per_doc = (with_tokens(df, text_col)
+               .select(F.size("tokens").alias("n_tokens"), "tokens"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+    )
+    vocab = (per_doc.select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t").alias("vocab")))
+    return (stats.crossJoin(vocab)
+            .withColumn("type_token_ratio",
+                        F.round(F.col("vocab") / F.col("n_tokens"), 9))
+            .select("n_docs", "n_tokens", "vocab", "type_token_ratio",
+                    "avg_tokens", "min_tokens", "max_tokens",
+                    "p50_tokens", "p90_tokens"))
