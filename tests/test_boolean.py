@@ -78,3 +78,46 @@ def test_engine_boolean_matches_dataframe_path(spark, tmp_path):
     assert eng.boolean_topk("zzznope AND alpha") == []
     # alpha appears in 3 of every 5 doc templates -> 15 of 25 docs
     assert len(eng.boolean_topk("zzznope OR alpha", k=30)) == 15
+
+
+def test_engine_boolean_random_expressions(spark, tmp_path):
+    """Randomized expressions vs plain-Python set algebra over the same
+    corpus: the engine's candidate SET must match exactly for every
+    generated left-assoc chain (ranking correctness is covered above)."""
+    import random
+
+    from super_rag_spark.index.build import doc_id_expr
+    from super_rag_spark.query.engine import BM25Engine
+
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(2, 6))]
+        rows.append((f"https://r.example/{i}", " ".join(words + [f"pad{i}"])))
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "randidx")).build(
+        docs, text_is_extracted=True)
+
+    ids = {r["url"]: r["doc_id"] for r in
+           docs.withColumn("doc_id", doc_id_expr("url"))
+               .select("url", "doc_id").collect()}
+    has = {t: {ids[u] for u, txt in rows if t in txt.split()} for t in vocab}
+
+    for _ in range(40):
+        n_steps = rng.randint(1, 4)
+        terms = [rng.choice(vocab) for _ in range(n_steps)]
+        ops = ["AND"] + [rng.choice(["AND", "OR", "NOT"])
+                         for _ in range(n_steps - 1)]
+        expr = terms[0] + "".join(
+            f" {op} {t}" for op, t in zip(ops[1:], terms[1:]))
+        want = set(has[terms[0]])
+        for op, t in zip(ops[1:], terms[1:]):
+            if op == "AND":
+                want &= has[t]
+            elif op == "OR":
+                want |= has[t]
+            else:
+                want -= has[t]
+        got = {d for d, _ in eng.boolean_topk(expr, k=100)}
+        assert got == want, expr
