@@ -113,6 +113,11 @@ def _extract_elements_fast(html: str) -> list[dict] | None:
             is_end, name = False, tag
         if not name.isalnum():
             return None  # attributes / comments / PIs / self-closing
+        if not (name.isascii() and name[0].isalpha()):
+            # HTMLParser only opens a tag on '<[a-zA-Z]'; digit-leading
+            # or non-ASCII pseudo-tags ('<5>', '<日>') stay literal TEXT
+            # there — byte-identity demands the full parser decide
+            return None
         name = name.lower()
         if name in ("script", "style"):
             return None  # CDATA content rules need the real parser

@@ -78,8 +78,16 @@ def _wipe_foreign_epoch(store: IndexStorage, epoch: int, keep: str) -> None:
     epoch's postings dir and ALL phases' lineage so this run starts the
     epoch clean. Same-protocol resume (only ``keep`` commits present)
     is untouched — that's the supported crash-resume path."""
-    if not any(store.committed_buckets(ph, epoch)
-               for ph in _EPOCH_PHASES if ph != keep):
+    foreign_commits = any(store.committed_buckets(ph, epoch)
+                          for ph in _EPOCH_PHASES if ph != keep)
+    # zero commits ANYWHERE + an existing postings dir = a crash landed
+    # between a wave's parquet job commit and its lineage append; the
+    # protocol that wrote it is unknowable, so treat it as foreign too
+    # (merge_append's idempotent hardlink would otherwise keep it as-is)
+    orphan_dirs = (os.path.isdir(store.postings_dir_for(epoch))
+                   and not any(store.committed_buckets(ph, epoch)
+                               for ph in _EPOCH_PHASES))
+    if not (foreign_commits or orphan_dirs):
         return
     shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
     if os.path.isdir(store.lineage_dir):

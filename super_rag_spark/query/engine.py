@@ -509,10 +509,13 @@ class BM25Engine:
         pat = phrase_pattern(terms, slop)
         matcher = (F.col("jt").contains(pat) if slop == 0
                    else F.col("jt").rlike(pat))
-        verified = np.array(
-            sorted(r["doc_id"] for r in
-                   jt.where(matcher).select("doc_id").collect()),
-            dtype=np.int64)
+        # np.unique, not sorted(): duplicate doc_id rows in docs_df (a
+        # url ingested twice) must not break the sorted-UNIQUE contract
+        # of vectorized_topk_arrays' assume_unique isin
+        verified = np.unique(np.array(
+            [r["doc_id"] for r in
+             jt.where(matcher).select("doc_id").collect()],
+            dtype=np.int64))
         if not len(verified):
             return []
         m = self.manifest

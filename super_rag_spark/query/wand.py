@@ -15,6 +15,15 @@ Used two ways:
   candidate generation (the salt ranges partition the doc space, so each
   range holds a consistent slice of every term's posting list).
 
+Two implementations, asserted rank-identical in tests/test_wand.py:
+- wand_topk — range-vectorized (r4): elementary doc-ranges from block
+  boundaries carry the block-max bound; a theta-seeding pass over the
+  top-bound ranges plus one coalesced NumPy sweep over the survivors.
+  No per-posting Python; worst case degrades to the exhaustive
+  vectorized plan, best case decodes a single block.
+- wand_topk_cursor — the per-posting pivot/seek WAND kept as the
+  reference implementation (clearer invariants, used to cross-check).
+
 Safety margin: blocks are skipped only when the upper bound is below
 theta - 1e-9; exact score ties (which the rank order breaks by doc_id
 asc) therefore always get fully evaluated.
@@ -26,7 +35,7 @@ import heapq
 
 import numpy as np
 
-from ..analysis import B, K1, bm25_term_score
+from ..analysis import B, K1, bm25_term_score, idf
 from ..codec import decode_block, decode_blocks_batch
 
 _EPS = 1e-9
@@ -155,7 +164,206 @@ def wand_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
               doc_range: tuple[int, int] | None = None,
               allowed: np.ndarray | None = None,
               approx: float = 1.0) -> list[tuple[int, float]]:
-    """Exact block-max WAND.
+    """Exact block-max top-k, RANGE-VECTORIZED (r4).
+
+    Same contract as :func:`wand_topk_cursor` (the per-posting WAND it
+    replaced on the hot paths — kept as the reference implementation and
+    asserted rank-identical in tests/test_wand.py). Instead of stepping
+    per-posting cursors in Python (~676 ms/query at sf0.1, VERDICT r3
+    "What's wrong" note), the doc-id space is cut into the ELEMENTARY
+    RANGES induced by all terms' block boundaries; each range carries the
+    upper bound sum(per-term max block bound overlapping it) — exactly
+    the quantity block-max WAND skips on. Ranges are then evaluated in
+    DESCENDING upper-bound order with the fully NumPy-vectorized scorer
+    (same float order as vectorized_topk_arrays): theta (k-th best) only
+    grows, so the first range whose bound falls below theta - eps proves
+    every remaining doc does too — one comparison retires the whole
+    tail, and the blocks under it are never decoded. Worst case (theta
+    never prunes) equals the vectorized exhaustive path; best case
+    decodes one block. ``doc_range``/``allowed``/``approx`` behave as
+    documented below; skipped docs under ``approx`` F satisfy the same
+    < F * k-th-score bound (range bounds dominate per-doc bounds).
+    """
+    lo_w, hi_w = doc_range if doc_range is not None else (None, None)
+
+    # ---- per-(term, seg) runs with per-block bounds
+    runs: list[dict] = []
+    bounds: list[np.ndarray] = []
+    for t, (df, blks) in sorted(term_blocks.items()):
+        by_seg: dict[int, list[dict]] = {}
+        for blk in blks:
+            by_seg.setdefault(int(blk.get("seg", 0)), []).append(blk)
+        # math.log (analysis.idf), NOT np.log: the two differ in the
+        # last ulp for some arguments, and the driver paths assert
+        # bit-identical scores vs bm25_term_score-based bruteforce
+        idf_val = idf(n_docs, df)
+        for seg in sorted(by_seg):
+            run = sorted(by_seg[seg], key=lambda r: r["first_doc_id"])
+            if lo_w is not None:
+                run = [blk for blk in run if blk["last_doc_id"] >= lo_w
+                       and blk["first_doc_id"] < hi_w]
+            if not run:
+                continue
+            firsts = np.array([blk["first_doc_id"] for blk in run],
+                              dtype=np.int64)
+            lasts = np.array([blk["last_doc_id"] for blk in run],
+                             dtype=np.int64)
+            if lo_w is not None:
+                firsts = np.maximum(firsts, lo_w)
+                lasts = np.minimum(lasts, hi_w - 1)
+            ubs = np.array([
+                block_upper_bound(blk["block_max_tf"], blk["block_min_dl"],
+                                  idf_val, avgdl, k1, b) for blk in run])
+            runs.append({"term": t, "df": df, "idf": idf_val, "blocks": run,
+                         "firsts": firsts, "lasts": lasts, "ubs": ubs})
+            bounds.append(firsts)
+            bounds.append(lasts + 1)
+    if not runs:
+        return []
+
+    # ---- elementary ranges [edges[i], edges[i+1]) + per-range bounds
+    edges = np.unique(np.concatenate(bounds))
+    n_ranges = len(edges) - 1
+    if n_ranges <= 0:  # single doc id across all blocks
+        edges = np.array([edges[0], edges[0] + 1], dtype=np.int64)
+        n_ranges = 1
+    range_ub = np.zeros(n_ranges, dtype=np.float64)
+    term_runs: dict[str, list[dict]] = {}
+    for r in runs:
+        term_runs.setdefault(r["term"], []).append(r)
+    terms = sorted(term_runs)
+    for term in terms:
+        tarr = np.zeros(n_ranges, dtype=np.float64)
+        for run in term_runs[term]:
+            a_idx = np.searchsorted(edges, run["firsts"], side="right") - 1
+            b_idx = np.searchsorted(edges, run["lasts"], side="right") - 1
+            for i in range(len(run["blocks"])):
+                s = slice(a_idx[i], b_idx[i] + 1)
+                np.maximum(tarr[s], run["ubs"][i], out=tarr[s])
+        range_ub += tarr  # a doc gets ONE seg's posting per term -> max
+
+    # ---- two passes. Pass 1 seeds theta by fully evaluating the top-S
+    # ranges by bound (per-block decode cache — the top ranges are
+    # scattered, and several may land in the same head-term block).
+    # Pass 2 evaluates EVERY range not provably below theta in ONE
+    # vectorized sweep: surviving ranges coalesce into contiguous doc
+    # intervals, each run's overlapping block span batch-decodes once.
+    # Strong pruning -> pass 2 is tiny; no pruning -> pass 2 IS the
+    # exhaustive vectorized plan (the cost floor), never the per-range
+    # Python loop.
+    order = np.argsort(-range_ub, kind="stable")
+    order = order[range_ub[order] > 0.0]
+    theta = -np.inf
+    best = np.empty(0, dtype=np.float64)  # top-<=k scores so far
+    out_docs: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+
+    def _evaluate(per_term: list[tuple[np.ndarray, np.ndarray]]) -> None:
+        nonlocal theta, best
+        if not per_term:
+            return
+        all_docs = np.concatenate([d for d, _ in per_term])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        off = 0
+        for docs, contrib in per_term:  # term-ascending accumulation
+            np.add.at(scores, inv[off:off + len(docs)], contrib)
+            off += len(docs)
+        out_docs.append(uniq)
+        out_scores.append(scores)
+        best = np.concatenate([best, scores])
+        if len(best) > k:
+            best = np.partition(best, len(best) - k)[len(best) - k:]
+        if len(best) >= k:
+            theta = float(best.min())
+
+    def _contrib_of(term: str, parts) -> tuple[np.ndarray, np.ndarray] | None:
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts]).astype(np.float64)
+        dls = np.concatenate([p[2] for p in parts]).astype(np.float64)
+        if allowed is not None and len(docs):
+            keep = np.flatnonzero(np.isin(docs, allowed,
+                                          assume_unique=False))
+            if not len(keep):
+                return None
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        idf = term_runs[term][0]["idf"]
+        contrib = idf * (tfs * (k1 + 1.0)) / (
+            tfs + k1 * ((1.0 - b) + b * dls / avgdl))
+        return docs, contrib
+
+    def _gather(term: str, los_a: np.ndarray, his_a: np.ndarray) -> list:
+        """Slices of this term's postings inside each [los[j], his[j])
+        interval. Per run: the UNION of overlapping blocks batch-decodes
+        exactly once (the intervals are disjoint, but many can land in
+        one head-term block — per-interval decoding was the r4 proto's
+        3.4 s blow-up); interval slicing is then two vectorized
+        searchsorteds over the concatenated (sorted) union."""
+        parts = []
+        for run in term_runs[term]:
+            i0s = np.searchsorted(run["lasts"], los_a, side="left")
+            i1s = np.searchsorted(run["firsts"], his_a, side="left")
+            hits = np.flatnonzero(i1s > i0s)
+            if not len(hits):
+                continue
+            mask = np.zeros(len(run["blocks"]), dtype=bool)
+            for j in hits.tolist():
+                mask[i0s[j]:i1s[j]] = True
+            sel = np.flatnonzero(mask).tolist()
+            docs, tfs, dls, _ns = decode_blocks_batch(
+                [run["blocks"][i] for i in sel])
+            s0s = np.searchsorted(docs, los_a[hits], side="left")
+            s1s = np.searchsorted(docs, his_a[hits], side="left")
+            for s0, s1 in zip(s0s.tolist(), s1s.tolist()):
+                if s1 > s0:
+                    parts.append((docs[s0:s1], tfs[s0:s1], dls[s0:s1]))
+        return parts
+
+    def _eval_intervals(los_a: np.ndarray, his_a: np.ndarray) -> None:
+        per_term = []
+        for term in terms:  # ascending — the oracle's sum order
+            parts = _gather(term, los_a, his_a)
+            if parts and (pc := _contrib_of(term, parts)) is not None:
+                per_term.append(pc)
+        _evaluate(per_term)
+
+    # pass 1: top-S scattered ranges seed theta
+    seed_n = min(len(order), max(256, 4 * k))
+    seed = order[:seed_n]
+    _eval_intervals(edges[seed], edges[seed + 1])
+
+    # pass 2: one sweep over everything theta cannot retire (coalesced
+    # into contiguous intervals; seed ranges stay punched out — their
+    # docs are already evaluated)
+    rest = order[seed_n:]
+    if len(best) >= k:
+        rest = rest[range_ub[rest] > theta * approx - _EPS]
+    if len(rest):
+        rids = np.sort(rest)
+        brk = np.flatnonzero(np.diff(rids) != 1)
+        iv_s = np.concatenate([[0], brk + 1])
+        iv_e = np.concatenate([brk, [len(rids) - 1]])
+        _eval_intervals(edges[rids[iv_s]], edges[rids[iv_e] + 1])
+
+    if not out_docs:
+        return []
+    docs_all = np.concatenate(out_docs)  # ranges are disjoint -> unique
+    scores_all = np.concatenate(out_scores)
+    kk = min(k, len(docs_all))
+    kth = np.partition(scores_all, len(scores_all) - kk)[len(scores_all) - kk]
+    cand = np.flatnonzero(scores_all >= kth - _EPS)
+    ranked = sorted(cand.tolist(),
+                    key=lambda i: (-round(float(scores_all[i]), 9),
+                                   int(docs_all[i])))
+    return [(int(docs_all[i]), float(scores_all[i])) for i in ranked[:kk]]
+
+
+def wand_topk_cursor(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
+                     avgdl: float, k: int, k1: float = K1, b: float = B,
+                     doc_range: tuple[int, int] | None = None,
+                     allowed: np.ndarray | None = None,
+                     approx: float = 1.0) -> list[tuple[int, float]]:
+    """Exact block-max WAND (per-posting cursor reference implementation).
 
     term_blocks: {term: (df, [block rows])}. Blocks may span several
     SEGMENTS (seg column, Lucene-style append segments — index/merge.py

@@ -355,6 +355,13 @@ def test_fast_scanner_matches_full_parser():
         '<p></p><h1>  </h1>',
         '<p>a<span>b</span>c</p>',
         '<table><tr><th>h</th></tr><tr><td>1</td><td>2</td></tr></table>',
+        # r4 ADVICE: HTMLParser only opens tags on '<[a-zA-Z]'; these
+        # pseudo-tags are literal text there and must NOT be swallowed
+        # by the fast scanner ('ab' vs 'a<5>b' divergence)
+        '<p>a<5>b</p>',
+        '<1x>y</1x>',
+        '<p>a<日>b</p>',
+        '<p>price <3 and <42></p>',
     ]
     for h in tricky:
         assert extract_elements(h) == full(h), h

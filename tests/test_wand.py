@@ -7,7 +7,8 @@ from hypothesis import strategies as st
 
 from super_rag_spark.analysis import BLOCK_SIZE
 from super_rag_spark.codec import encode_block
-from super_rag_spark.query.wand import bruteforce_topk, vectorized_topk, wand_topk
+from super_rag_spark.query.wand import (bruteforce_topk, vectorized_topk,
+                                        wand_topk, wand_topk_cursor)
 
 
 def _blocks_for(doc_ids, tfs, dls, n_docs, avgdl, block_size=BLOCK_SIZE):
@@ -54,10 +55,46 @@ def test_wand_equals_bruteforce_random(data):
 
     k = data.draw(st.integers(1, 20))
     w = wand_topk(term_blocks, n_docs, avgdl, k)
+    c = wand_topk_cursor(term_blocks, n_docs, avgdl, k)
     b = bruteforce_topk(term_blocks, n_docs, avgdl, k)
     v = vectorized_topk(term_blocks, n_docs, avgdl, k)
     assert [(d, round(s, 9)) for d, s in w] == [(d, round(s, 9)) for d, s in b]
+    assert [(d, round(s, 9)) for d, s in c] == [(d, round(s, 9)) for d, s in b]
     assert [(d, round(s, 9)) for d, s in v] == [(d, round(s, 9)) for d, s in b]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_wand_vec_equals_cursor_with_range_and_allowed(data):
+    """r4: the range-vectorized wand_topk must match the per-posting
+    cursor reference under doc_range windows AND candidate (allowed)
+    masks — the exact modes the distributed per-salt-range WAND uses."""
+    rng = np.random.default_rng(data.draw(st.integers(0, 10_000)))
+    n_docs = data.draw(st.integers(50, 1500))
+    n_terms = data.draw(st.integers(1, 4))
+    all_docs = rng.choice(2**30, size=n_docs, replace=False)
+    dl_of = {int(d): int(rng.integers(20, 400)) for d in all_docs}
+    term_blocks = {}
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = rng.choice(all_docs, size=df, replace=False)
+        tfs = rng.integers(1, 12, size=df)
+        dls = np.array([dl_of[int(d)] for d in docs])
+        term_blocks[f"t{t}"] = _blocks_for(docs, tfs, dls, n_docs, 120.0,
+                                           block_size=16)
+    k = data.draw(st.integers(1, 15))
+    lo = data.draw(st.integers(0, 2**29))
+    hi = lo + data.draw(st.integers(1, 2**29))
+    allowed = None
+    if data.draw(st.booleans()):
+        allowed = np.unique(rng.choice(
+            all_docs, size=max(1, n_docs // 3), replace=False
+        ).astype(np.int64))
+    w = wand_topk(term_blocks, n_docs, 120.0, k, doc_range=(lo, hi),
+                  allowed=allowed)
+    c = wand_topk_cursor(term_blocks, n_docs, 120.0, k, doc_range=(lo, hi),
+                         allowed=allowed)
+    assert [(d, round(s, 9)) for d, s in w] == [(d, round(s, 9)) for d, s in c]
 
 
 def test_wand_ties_broken_by_doc_id():
@@ -74,32 +111,40 @@ def test_wand_ties_broken_by_doc_id():
 
 def test_wand_skips_blocks():
     """The pruning must actually skip: one high-scoring block at the end,
-    many low blocks before it; count decoded blocks via a probe."""
+    many low blocks before it; count decoded blocks via a probe on
+    decode_blocks_batch (the r4 vectorized path's only decode entry)."""
     from super_rag_spark.query import wand as wand_mod
 
-    n = 64 * 50
+    n = 64 * 600  # 600 blocks — well past the 256-range theta seed
     docs = np.arange(n)
     tfs = np.ones(n, dtype=np.int64)
     tfs[-64:] = 50  # last block has huge tf
     dls = np.full(n, 100)
     df, blocks = _blocks_for(docs, tfs, dls, n_docs=n, avgdl=100.0, block_size=64)
 
-    decoded_count = 0
-    orig = wand_mod.decode_block
+    decoded_blocks = 0
+    orig = wand_mod.decode_blocks_batch
 
-    def probe(*a, **kw):
-        nonlocal decoded_count
-        decoded_count += 1
-        return orig(*a, **kw)
+    def probe(blks):
+        nonlocal decoded_blocks
+        decoded_blocks += len(blks)
+        return orig(blks)
 
-    wand_mod.decode_block = probe
+    wand_mod.decode_blocks_batch = probe
     try:
         res = wand_topk({"t": (df, blocks)}, n, 100.0, 5)
     finally:
-        wand_mod.decode_block = orig
+        wand_mod.decode_blocks_batch = orig
     assert [d for d, _ in res] == list(range(n - 64, n - 59))
-    # k=5 fills from block 0; after threshold locks in, low blocks skip
-    assert decoded_count < len(blocks) * 3  # sanity: not decoding repeatedly
+    # the theta seed decodes <=257 top-bound blocks (the high block is
+    # bound-rank 1, so theta locks immediately); the other ~343 low
+    # blocks must then be retired WITHOUT decoding
+    assert decoded_blocks <= 300
+
+    # cursor reference agrees on the same input
+    res_c = wand_topk_cursor({"t": (df, blocks)}, n, 100.0, 5)
+    assert [(d, round(s, 9)) for d, s in res] == \
+        [(d, round(s, 9)) for d, s in res_c]
 
 
 def test_approx_wand_guarantee(built_index):
