@@ -1449,6 +1449,51 @@ def index_tiered_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
 
 
+def _map_index_ids(spark: SparkSession, eng, res):
+    """Map a distributed result frame's ENGINE doc_ids (sha1 of the
+    'doc://{table_id}' url) back to table doc_ids via doc_stats."""
+    ds = eng.store.doc_stats(spark).select(
+        "doc_id",
+        F.split("url", "doc://").getItem(1).cast("long").alias("tid"))
+    return (res.join(ds, "doc_id")
+            .select("query_id", "rank", F.col("tid").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
+@_q("boolean_topk_index", _boolean_sql(BOOLEAN_QUERIES))
+def boolean_topk_index(spark, sf_dir):
+    """Index-backed DISTRIBUTED boolean retrieval (r4,
+    query/boolean.py score_boolean_batch): the whole AND/OR/NOT batch is
+    one pruned-postings pass + one shuffle — membership is a per-doc
+    STEP-BITMASK predicate, scoring a term-ascending sum — and the plan
+    never touches the corpus. Same SQL oracle as boolean_topk."""
+    eng = _indexed_engine(spark, sf_dir)
+    return _map_index_ids(spark, eng, eng.boolean_batch(BOOLEAN_QUERIES, k=10))
+
+
+@_q("phrase_topk_index", _phrase_sql(PHRASE_QUERIES))
+def phrase_topk_index(spark, sf_dir):
+    """Index-backed DISTRIBUTED phrase search (r4, query/phrase.py
+    score_phrase_batch): conjunctive candidates come from decoded
+    postings (one shuffle); the corpus is touched only to verify
+    adjacency on candidates. Same SQL oracle as phrase_topk."""
+    eng = _indexed_engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    return _map_index_ids(
+        spark, eng, eng.phrase_batch(PHRASE_QUERIES, docs, k=10))
+
+
+@_q("phrase_topk_slop_index", _phrase_sql(PHRASE_SLOP_QUERIES, slop=1))
+def phrase_topk_slop_index(spark, sf_dir):
+    """Proximity (slop=1) variant of phrase_topk_index."""
+    eng = _indexed_engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    return _map_index_ids(
+        spark, eng, eng.phrase_batch(PHRASE_SLOP_QUERIES, docs, k=10, slop=1))
+
+
 _PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IP_SQL = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 

@@ -23,12 +23,13 @@ contains none of the query's terms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import analysis
 
 _OPS = ("AND", "OR", "NOT")
+_OUT_SCHEMA = "query_id int, rank int, doc_id long, score double"
 
 
 def parse_boolean(expr: str) -> list[tuple[str, str]]:
@@ -68,6 +69,124 @@ def boolean_sql_cand(steps: list[tuple[str, str]]) -> str:
         setop = {"AND": "INTERSECT", "OR": "UNION", "NOT": "EXCEPT"}[op]
         sql = f"({sql}) {setop} ({leaf(t)})"
     return sql
+
+
+def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str]],
+                        k: int = 10) -> DataFrame:
+    """Index-backed DISTRIBUTED boolean retrieval (r4 — replaces both
+    the driver-side set algebra of engine.boolean_topk at scale and the
+    corpus re-tokenize of the DataFrame path below).
+
+    The trick: left-associative AND/OR/NOT over doc-id SETS is a
+    POINTWISE function of per-term membership — doc ∈ result is decided
+    entirely by which of the query's terms the doc contains. So the
+    whole query batch needs exactly ONE pass over the (bucket- and
+    term-pruned) postings and ONE shuffle:
+
+      pruned postings scan -> mapInPandas block decode
+        -> broadcast join with (query, term) rows carrying a STEP
+           BITMASK (bit i = this term appears at chain position i)
+        -> groupBy(query_id, doc_id):
+             bit_or(step_mask)            = which steps the doc satisfies
+             sorted collect_list(contrib) = BM25 parts (positive terms)
+        -> per-query mask predicate (the chain folded into a Catalyst
+           boolean expression over the bitmask — built once, driver-side)
+        -> score = term-ascending sum, top-k window.
+
+    A doc no task ever decodes (contains none of the query's terms)
+    never exists in the plan; NOT terms ship their postings (set
+    subtraction needs them) but contribute no score. Ranking semantics
+    match boolean_topk/engine.boolean_topk exactly (tests assert).
+    """
+    import pandas as pd
+
+    from ..analysis import term_id_for
+    from .scoring import (DECODED_SCHEMA, contribution_expr,
+                          decode_postings_map_in_pandas, lookup_term_dfs,
+                          pruned_postings)
+
+    manifest = store.read_manifest()
+    n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n_buckets = int(manifest["n_buckets"])
+
+    parsed: dict[int, list[tuple[str, str]]] = {}
+    rows = []
+    for qid, expr in queries:
+        steps = parse_boolean(expr)
+        if len(steps) > 63:
+            raise ValueError("boolean chain exceeds 63 steps")
+        parsed[qid] = steps
+        per_term: dict[str, tuple[int, bool]] = {}
+        for i, (op, t) in enumerate(steps):
+            m, pos = per_term.get(t, (0, False))
+            per_term[t] = (m | (1 << i), pos or op != "NOT")
+        for t, (m, pos) in sorted(per_term.items()):
+            rows.append({"query_id": qid, "term": t,
+                         "term_id": term_id_for(t),
+                         "step_mask": m, "positive": pos})
+    qpdf = pd.DataFrame(rows)
+    if qpdf.empty:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    term_ids = sorted(qpdf["term_id"].unique().tolist())
+    dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
+    # OOV terms drop out: their membership bit just never sets, which is
+    # exactly the empty-set semantics of the set algebra
+    qpdf = qpdf[qpdf["term_id"].isin(dfs)].copy()
+    if qpdf.empty:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    qpdf["df"] = qpdf["term_id"].map(dfs).astype("int64")
+    qterms = spark.createDataFrame(qpdf)
+    term_ids = sorted(qpdf["term_id"].unique().tolist())
+
+    decoded = pruned_postings(spark, store, term_ids, n_buckets).mapInPandas(
+        decode_postings_map_in_pandas, schema=DECODED_SCHEMA)
+    tomb = store.tombstones(spark)
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    joined = (
+        decoded.join(F.broadcast(qterms), "term_id")
+        .withColumn("contrib", F.when(
+            F.col("positive"), contribution_expr(n_docs, avgdl, k1, b)))
+    )
+    agg = (
+        joined.groupBy("query_id", "doc_id")
+        .agg(F.bit_or("step_mask").alias("mask"),
+             F.sort_array(F.collect_list(
+                 F.struct("term", "contrib"))).alias("parts"))
+    )
+
+    def bit(i: int):
+        return F.shiftright(F.col("mask"), i).bitwiseAND(F.lit(1)) == F.lit(1)
+
+    keep = F.lit(False)
+    for qid, steps in parsed.items():
+        m = bit(0)
+        for i, (op, _t) in enumerate(steps):
+            if i == 0:
+                continue
+            if op == "AND":
+                m = m & bit(i)
+            elif op == "OR":
+                m = m | bit(i)
+            else:  # NOT
+                m = m & ~bit(i)
+        keep = F.when(F.col("query_id") == F.lit(qid), m).otherwise(keep)
+
+    scored = (
+        agg.where(keep)
+        .withColumn("score", F.aggregate(
+            F.filter("parts", lambda x: x["contrib"].isNotNull()),
+            F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def boolean_topk(docs_df: DataFrame, queries: list[tuple[int, str]],

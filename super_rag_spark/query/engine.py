@@ -118,6 +118,13 @@ class BM25Engine:
         self._dec_cache: "dict[tuple[int, str], tuple]" = {}
         self._dec_used = 0
         self._dec_budget = 16_000_000  # postings (~256 MB of int64/int32)
+        # driver-path guard (r4): a single query whose UNCACHED terms'
+        # Σdf exceeds this never decodes postings onto the driver — it
+        # falls back to the distributed plan instead. At 10^12 docs a
+        # head term has ~10^11 postings; the LRU budget above bounds
+        # RETENTION, this bounds a single LOAD.
+        self.driver_df_budget = 8_000_000
+        self.driver_fallbacks = 0  # observability + test hook
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
@@ -190,6 +197,30 @@ class BM25Engine:
         filters. Rank-identical to query_batch."""
         return score_query_batch_wand(self.spark, self.store, queries, k=k,
                                       candidates=candidates)
+
+    def boolean_batch(self, queries: list[tuple[int, str]],
+                      k: int = 10) -> DataFrame:
+        """Index-backed DISTRIBUTED boolean retrieval for a batch of
+        AND/OR/NOT expressions -> (query_id, rank, doc_id, score).
+        One pruned-postings pass + one shuffle for the whole batch; no
+        corpus access, no driver-side postings (query/boolean.py
+        score_boolean_batch). Rank-identical to boolean_topk."""
+        from .boolean import score_boolean_batch
+
+        return score_boolean_batch(self.spark, self.store, queries, k=k)
+
+    def phrase_batch(self, phrases: list[tuple[int, str]],
+                     docs_df: DataFrame, k: int = 10,
+                     slop: int = 0) -> DataFrame:
+        """Index-backed DISTRIBUTED phrase search for a batch ->
+        (query_id, rank, doc_id, score). Candidates come from the index
+        (conjunctive postings gate); ``docs_df`` is touched only to
+        verify adjacency on candidates (query/phrase.py
+        score_phrase_batch). Rank-identical to phrase_topk."""
+        from .phrase import score_phrase_batch
+
+        return score_phrase_batch(self.spark, self.store, docs_df,
+                                  phrases, k=k, slop=slop)
 
     def _load_term_blocks(self, terms: list[str]) -> dict[str, tuple[int, list[dict]]]:
         """Driver-side pruned postings read: only the parquet partitions
@@ -273,6 +304,22 @@ class BM25Engine:
                 self._dec_used -= len(self._dec_cache.pop(old_key)[1])
         return out
 
+    def _uncached_df_total(self, terms: list[str]) -> int:
+        """Σdf of the terms NOT already held by a driver cache — the
+        postings volume a driver-side load would actually pull. One
+        pyarrow term_stats read (O(query terms)), never a Spark job."""
+        from .scoring import lookup_term_dfs
+
+        epoch = int(self.manifest["epoch"])
+        missing = [t for t in terms
+                   if (epoch, t) not in self._dec_cache
+                   and (epoch, t) not in self._term_cache]
+        if not missing:
+            return 0
+        dfs = lookup_term_dfs(self.store, [term_id_for(t) for t in missing],
+                              int(self.manifest["n_buckets"]), epoch)
+        return sum(dfs.values())
+
     def _apply_tombstones(self, out: dict) -> dict:
         out = {t: v for t, v in out.items() if v[1]}
         tombs = self._tombstone_set()
@@ -337,6 +384,15 @@ class BM25Engine:
         if not terms:
             return []
         m = engine.manifest
+        if engine._uncached_df_total(terms) > engine.driver_df_budget:
+            # the query's head terms exceed what the driver may decode:
+            # route to the distributed WAND plan (rank-identical; the
+            # per-salt-range tasks decode only their own stripes)
+            engine.driver_fallbacks += 1
+            res = engine.query_batch_wand([{"query_id": 0, "text": qtext}],
+                                          k=k)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
         if approx != 1.0:
             if method != "wand":
                 raise ValueError("approx= requires method='wand'")
@@ -482,6 +538,16 @@ class BM25Engine:
         if not terms:
             return []
         uterms = sorted(set(terms))
+        if self._uncached_df_total(uterms) > self.driver_df_budget:
+            # a stop-word in the phrase would decode O(df) postings on
+            # the driver; run the index-backed distributed plan instead
+            self.driver_fallbacks += 1
+            from .phrase import score_phrase_batch
+
+            res = score_phrase_batch(self.spark, self.store, docs_df,
+                                     [(0, phrase)], k=k, slop=slop)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
         arrays = self._load_term_arrays(uterms)
         if arrays is None:  # pending tombstones -> masked block path
             from ..codec import decode_blocks_batch
@@ -536,6 +602,13 @@ class BM25Engine:
 
         steps = parse_boolean(expr)
         all_terms = sorted({t for _, t in steps})
+        if self._uncached_df_total(all_terms) > self.driver_df_budget:
+            # 'OR the' loads O(df) postings driver-side; run the
+            # index-backed distributed set algebra instead
+            self.driver_fallbacks += 1
+            res = self.boolean_batch([(0, expr)], k=k)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
         arrays = self._load_term_arrays(all_terms)
         if arrays is None:  # pending tombstones -> masked block path
             from ..codec import decode_blocks_batch

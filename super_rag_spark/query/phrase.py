@@ -66,6 +66,108 @@ def joined_tokens_expr(text_col: str = "text"):
     return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
 
 
+def score_phrase_batch(spark, store, docs_df: DataFrame,
+                       phrases: list[tuple[int, str]], k: int = 10,
+                       slop: int = 0) -> DataFrame:
+    """Index-backed DISTRIBUTED phrase search (r4): candidates come from
+    the INVERTED INDEX, not a corpus re-tokenize.
+
+      pruned postings scan -> mapInPandas block decode
+        -> broadcast join with the phrases' (query, term, df) rows
+        -> groupBy(query_id, doc_id): n_hit + sorted BM25 parts [1 shuffle]
+        -> conjunctive gate (n_hit == n_terms)     = the candidate set
+        -> adjacency / slop verify against docs_df = the ONLY corpus
+           touch (the index stores no forward text; candidates semi-join
+           into the scan, JVM string ops, no UDF)
+        -> score = term-ascending sum over parts, top-k window.
+
+    ``docs_df``: the source-of-truth corpus with (url|doc_id, text).
+    Ranking matches phrase_topk / engine.phrase_topk exactly (global
+    corpus stats, phrase terms only; tests assert)."""
+    import pandas as pd
+
+    from ..analysis import term_id_for
+    from ..index.build import doc_id_expr
+    from .scoring import (DECODED_SCHEMA, contribution_expr,
+                          decode_postings_map_in_pandas, lookup_term_dfs,
+                          pruned_postings)
+
+    out_schema = "query_id int, rank int, doc_id long, score double"
+    manifest = store.read_manifest()
+    n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n_buckets = int(manifest["n_buckets"])
+
+    qrows, prows = [], []
+    for qid, phrase in phrases:
+        terms = analysis.tokenize(phrase)
+        if not terms:
+            continue
+        uts = sorted(set(terms))
+        for t in uts:
+            qrows.append({"query_id": qid, "term": t,
+                          "term_id": term_id_for(t)})
+        prows.append((qid, phrase_pattern(terms, slop), len(uts)))
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qpdf = pd.DataFrame(qrows)
+    term_ids = sorted(qpdf["term_id"].unique().tolist())
+    dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
+    # an OOV phrase term can never satisfy n_hit == n_terms; dropping its
+    # row keeps the conjunctive gate correct with no special case
+    qpdf = qpdf[qpdf["term_id"].isin(dfs)].copy()
+    if qpdf.empty:
+        return spark.createDataFrame([], out_schema)
+    qpdf["df"] = qpdf["term_id"].map(dfs).astype("int64")
+    qterms = spark.createDataFrame(qpdf)
+    pats = spark.createDataFrame(prows, "query_id int, pat string, n_terms int")
+    term_ids = sorted(qpdf["term_id"].unique().tolist())
+
+    decoded = pruned_postings(spark, store, term_ids, n_buckets).mapInPandas(
+        decode_postings_map_in_pandas, schema=DECODED_SCHEMA)
+    tomb = store.tombstones(spark)
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    cand = (
+        decoded.join(F.broadcast(qterms), "term_id")
+        .withColumn("contrib", contribution_expr(n_docs, avgdl, k1, b))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"),
+             F.sort_array(F.collect_list(
+                 F.struct("term", "contrib"))).alias("parts"))
+        .join(F.broadcast(pats.select("query_id", "n_terms")), "query_id")
+        .where(F.col("n_hit") == F.col("n_terms"))
+    )
+
+    src = docs_df
+    if "doc_id" not in src.columns:
+        src = src.withColumn("doc_id", doc_id_expr("url"))
+    jt = src.select("doc_id", joined_tokens_expr("text").alias("jt"))
+    matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
+               else F.expr("rlike(jt, pat)"))
+    verified = (
+        cand.select("query_id", "doc_id")
+        .join(jt, "doc_id")
+        .join(F.broadcast(pats.select("query_id", "pat")), "query_id")
+        .where(matcher)
+        .select("query_id", "doc_id")
+    )
+
+    scored = (
+        cand.join(verified, ["query_id", "doc_id"], "left_semi")
+        .withColumn("score", F.aggregate(
+            "parts", F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def phrase_topk(docs_df: DataFrame, phrases: list[tuple[int, str]],
                 k: int = 10, slop: int = 0) -> DataFrame:
     """Top-k BM25 over documents containing each query phrase.

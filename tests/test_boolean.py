@@ -121,3 +121,82 @@ def test_engine_boolean_random_expressions(spark, tmp_path):
                 want -= has[t]
         got = {d for d, _ in eng.boolean_topk(expr, k=100)}
         assert got == want, expr
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_distributed_boolean_matches_driver(spark, tmp_path):
+    """r4: the index-backed DISTRIBUTED boolean plan (score_boolean_batch)
+    must rank exactly like the driver set-algebra path — and its plan
+    must read the index, never the corpus."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://b.example/{i}",
+             ["alpha beta gamma", "alpha beta delta", "alpha gamma",
+              "beta gamma filler", "delta lonely doc"][i % 5] + f" pad{i}")
+            for i in range(25)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "dboolidx")).build(
+        docs, text_is_extracted=True)
+
+    queries = [(0, "alpha AND beta"), (1, "alpha AND beta NOT delta"),
+               (2, "alpha OR delta NOT gamma"), (3, "gamma NOT gamma"),
+               (4, "zzznope OR alpha")]
+    dist = eng.boolean_batch(queries, k=30)
+    got = {}
+    for r in dist.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, expr in queries:
+        drv = [(i + 1, d, round(s, 9))
+               for i, (d, s) in enumerate(eng.boolean_topk(expr, k=30))]
+        assert sorted(got.get(qid, [])) == drv, expr
+
+
+def test_distributed_boolean_plan_reads_only_index(spark, built_index,
+                                                   webtext_sf0001_path):
+    """The boolean plan over a parquet-backed corpus index must scan
+    postings files only — no documents/corpus source anywhere in it."""
+    dist = built_index.boolean_batch([(0, "the OR data NOT spark")], k=10)
+    plan = _plan_of(dist)
+    assert "postings" in plan
+    assert ".fixtures" not in plan and "webtext" not in plan
+    assert dist.count() > 0  # and it actually runs
+
+
+def test_driver_df_budget_boolean_fallback(spark, tmp_path):
+    """driver_df_budget=0 forces every driver query through the
+    distributed plans; results must be rank-identical and the fallback
+    counter must fire."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://c.example/{i}",
+             ["alpha beta gamma", "alpha beta delta", "alpha gamma",
+              "beta gamma filler", "delta lonely doc"][i % 5] + f" pad{i}")
+            for i in range(25)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path / "budidx")
+    eng = BM25Engine(spark, idx).build(docs, text_is_extracted=True)
+    base_bool = eng.boolean_topk("alpha AND beta NOT delta", k=10)
+    base_topk = eng.topk("alpha beta", k=10)
+
+    eng2 = BM25Engine(spark, idx)  # fresh caches
+    eng2.driver_df_budget = 0
+    got_bool = eng2.boolean_topk("alpha AND beta NOT delta", k=10)
+    got_topk = eng2.topk("alpha beta", k=10)
+    assert eng2.driver_fallbacks == 2
+    assert [d for d, _ in got_bool] == [d for d, _ in base_bool]
+    assert [d for d, _ in got_topk] == [d for d, _ in base_topk]
+    for (d1, s1), (d2, s2) in zip(got_bool + got_topk,
+                                  base_bool + base_topk):
+        assert abs(s1 - s2) < 1e-9
+    # and the driver path itself stayed un-fallbacked
+    assert eng.driver_fallbacks == 0

@@ -112,3 +112,50 @@ def test_engine_phrase_topk_respects_tombstones(spark, tmp_path):
     eng.delete_urls(["https://x.example/0"])
     got = eng.phrase_topk("alpha beta", with_ids, k=10)
     assert len(got) == 3
+
+
+def test_distributed_phrase_matches_driver(spark, tmp_path):
+    """r4: the index-backed DISTRIBUTED phrase plan (score_phrase_batch)
+    must rank exactly like the driver postings-conjunction path, for
+    adjacency and slop variants."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://x.example/{i}",
+             f"alpha beta gamma doc{i} filler tokens here")
+            for i in range(20)]
+    rows += [(f"https://y.example/{i}",
+              f"alpha filler beta gamma doc{i} extra")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "dphidx")).build(
+        docs, text_is_extracted=True)
+
+    for phrase, slop in [("alpha beta", 0), ("alpha beta", 1),
+                         ("beta gamma", 0), ("alpha zzznope", 0)]:
+        dist = eng.phrase_batch([(7, phrase)], docs, k=30, slop=slop)
+        got = [(r["rank"], r["doc_id"], round(r["score"], 9))
+               for r in dist.orderBy("rank").collect()]
+        assert all(r["query_id"] == 7 for r in dist.collect())
+        drv = [(i + 1, d, round(s, 9)) for i, (d, s) in
+               enumerate(eng.phrase_topk(phrase, docs, k=30, slop=slop))]
+        assert got == drv, (phrase, slop)
+
+
+def test_driver_df_budget_phrase_fallback(spark, tmp_path):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://x.example/{i}",
+             f"alpha beta gamma doc{i} filler tokens here")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path / "pbudidx")
+    eng = BM25Engine(spark, idx).build(docs, text_is_extracted=True)
+    base = eng.phrase_topk("alpha beta", docs, k=10)
+
+    eng2 = BM25Engine(spark, idx)
+    eng2.driver_df_budget = 0
+    got = eng2.phrase_topk("alpha beta", docs, k=10)
+    assert eng2.driver_fallbacks == 1
+    assert [d for d, _ in got] == [d for d, _ in base]
+    for (_, s1), (_, s2) in zip(got, base):
+        assert abs(s1 - s2) < 1e-9
