@@ -201,7 +201,7 @@ def lsh_default_n_planes(n_rows: int, target_bucket: int = 1024) -> int:
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                     n_planes: int | None = None, n_tables: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    dim: int = 64) -> DataFrame:
+                    dim: int = 64, n_rows: int | None = None) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
     Each of ``n_tables`` independent plane sets yields a bucket key; a
@@ -214,9 +214,13 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 
     ``n_planes=None`` derives the plane count from the corpus size
     (lsh_default_n_planes: ~n/2^planes = 1024 rows per bucket) — the
-    occupancy, not the corpus, then bounds per-bucket re-rank cost."""
+    occupancy, not the corpus, then bounds per-bucket re-rank cost.
+    ``n_rows``: optional row-count hint so repeat callers skip the
+    derivation's count() job (r4 — a caller that already knows the
+    corpus size, e.g. from a manifest, should pass it)."""
     if n_planes is None:
-        n_planes = lsh_default_n_planes(embeddings.count())
+        n_planes = lsh_default_n_planes(
+            n_rows if n_rows is not None else embeddings.count())
     sigs = F.array(*[
         F.struct(F.lit(t).alias("table_id"),
                  lsh_signature_col(F.col(vec_col), _planes(dim, n_planes, t))

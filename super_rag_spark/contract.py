@@ -1494,30 +1494,57 @@ def phrase_topk_slop_index(spark, sf_dir):
         spark, eng, eng.phrase_batch(PHRASE_SLOP_QUERIES, docs, k=10, slop=1))
 
 
-_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_IP_SQL = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+def _pii_sql_pat(py_pat: str) -> str:
+    """Python regex literal -> single-quoted-SQL RE2 literal. DuckDB
+    single-quoted strings are escape-free, so the pattern passes
+    through verbatim (patterns are chosen to parse identically under
+    Java regex and RE2 and contain no single quotes)."""
+    assert "'" not in py_pat
+    return py_pat
+
+
+# deterministic per-doc plants: one of EVERY pii class plus an
+# out-of-range quad (999.x) that the octet-bounded IPv4 rule must SKIP
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
+              || (doc_id % 200)::VARCHAR || '.0.' || ((doc_id * 7) % 250)::VARCHAR
+              || ' ssn ' || (100 + doc_id % 900)::VARCHAR || '-'
+              || (10 + doc_id % 90)::VARCHAR || '-' || (1000 + doc_id % 9000)::VARCHAR
+              || ' call (' || (200 + doc_id % 800)::VARCHAR || ') '
+              || (200 + (doc_id * 3) % 800)::VARCHAR || '-'
+              || (1000 + (doc_id * 11) % 9000)::VARCHAR
+              || ' key sk_' || substr(md5(doc_id::VARCHAR), 1, 20)
+              || ' not an ip 999.' || (doc_id % 9)::VARCHAR || '.2.3' AS text
+  FROM documents
+"""
 
 
 @_q("pii_scrub", f"""
-WITH aug AS (
-  SELECT doc_id,
-         text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
-              || (doc_id % 200)::VARCHAR || '.0.' || ((doc_id * 7) % 250)::VARCHAR AS text
-  FROM documents
-)
+WITH aug AS ({_PII_AUG_SQL})
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))::INT AS n_emails,
-       len(regexp_extract_all(text, '{_PII_IP_SQL}'))::INT AS n_ips,
-       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
-                          '{_PII_IP_SQL}', '<IP>', 'g')) AS scrubbed_md5
+       len(regexp_extract_all(text, '{_pii_sql_pat(textops.EMAIL_RE)}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{_pii_sql_pat(textops.SSN_RE)}'))::INT AS n_ssns,
+       len(regexp_extract_all(text, '{_pii_sql_pat(textops.PHONE_RE)}'))::INT AS n_phones,
+       len(regexp_extract_all(text, '{_pii_sql_pat(textops.IPV4_RE)}'))::INT AS n_ips,
+       len(regexp_extract_all(text, '{_pii_sql_pat(textops.SECRET_RE)}'))::INT AS n_keys,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{_pii_sql_pat(textops.EMAIL_RE)}', '<EMAIL>', 'g'),
+               '{_pii_sql_pat(textops.SSN_RE)}', '<SSN>', 'g'),
+               '{_pii_sql_pat(textops.PHONE_RE)}', '<PHONE>', 'g'),
+               '{_pii_sql_pat(textops.IPV4_RE)}', '<IP>', 'g'),
+               '{_pii_sql_pat(textops.SECRET_RE)}', '<KEY>', 'g')) AS scrubbed_md5
 FROM aug
 """)
 def pii_scrub(spark, sf_dir):
-    """Training-data PII redaction (textops.pii_scrub): emails and IPv4
-    literals planted deterministically per doc (the raw corpus has
-    none — the augmentation makes the check non-vacuous, r1 lesson),
-    then scrubbed by pure Catalyst regexp exprs; the full scrubbed text
-    is hash-compared against DuckDB's regexp_replace(g)."""
+    """Training-data PII redaction (textops.pii_scrub, r4-hardened):
+    an email, SSN, phone, bounded IPv4, secret key AND an out-of-range
+    999.x quad (which the octet rule must leave alone) are planted
+    deterministically per doc (the raw corpus has none — the
+    augmentation makes the check non-vacuous, r1 lesson), then scrubbed
+    by pure Catalyst regexp exprs; per-class counts and the full
+    scrubbed text are hash-compared against DuckDB's RE2."""
     aug = _docs(spark, sf_dir).select(
         "doc_id",
         F.concat(
@@ -1525,6 +1552,16 @@ def pii_scrub(spark, sf_dir):
             F.col("doc_id").cast("string"), F.lit("@example.com or 10."),
             (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
             ((F.col("doc_id") * 7) % 250).cast("string"),
+            F.lit(" ssn "), (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit("-"), (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" call ("), (F.col("doc_id") % 800 + 200).cast("string"),
+            F.lit(") "), ((F.col("doc_id") * 3) % 800 + 200).cast("string"),
+            F.lit("-"), ((F.col("doc_id") * 11) % 9000 + 1000).cast("string"),
+            F.lit(" key sk_"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 20),
+            F.lit(" not an ip 999."), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".2.3"),
         ).alias("text"))
     return textops.pii_scrub(aug).drop("scrubbed")
 

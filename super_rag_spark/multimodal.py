@@ -6,13 +6,15 @@ metadata, exactly like the webtext ``html:binary`` column: all Spark
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
 real and tested.
 
-Codec policy (r3): formats with stdlib-decodable containers decode FOR
-REAL — BMP (24-bit uncompressed) and PPM/PGM images to NumPy arrays,
-WAV audio through the stdlib ``wave`` module. Entropy-coded formats
-(PNG/JPEG/MP4) still need absent libraries; for those `decode_image`
-raises unless ``deterministic_fake=True``, which derives a fake
-(width, height, n_channels, mean_luma) from the payload bytes so the
-distributed path stays exercisable end-to-end.
+Codec policy (r4): formats decodable with the stdlib decode FOR REAL —
+BMP (24-bit uncompressed), PPM/PGM, and PNG (zlib inflate + NumPy
+per-row unfilter incl. Paeth; 8-bit gray/RGB/palette/alpha,
+non-interlaced) to NumPy arrays, WAV audio through the stdlib ``wave``
+module. Entropy-coded formats with no stdlib codec (JPEG/MP4) still
+need absent libraries; for those `decode_image` raises unless
+``deterministic_fake=True``, which derives a fake (width, height,
+n_channels, mean_luma) from the payload bytes so the distributed path
+stays exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -93,6 +95,157 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array, pure stdlib zlib + NumPy (r4 — the most
+    common training-corpus image format decodes FOR REAL now; JPEG/MP4
+    stay documented stubs). Supports bit depth 8, color types
+    gray/RGB/palette/gray-alpha/RGBA, non-interlaced. Filters 0-4
+    (None/Sub/Up/Average/Paeth) unfilter per row: Sub is a lane-wise
+    cumsum; Average/Paeth walk pixels with the channel lanes
+    vectorized. Returns (H, W) for gray, (H, W, C) otherwise
+    (palette expands to RGB)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    width = height = bit_depth = color_type = interlace = None
+    idat: list[bytes] = []
+    plte = None
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel payload has the wrong length")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ft = int(scan[y, 0])
+        row = scan[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] -> lane cumsum
+            rec = np.cumsum(row.reshape(-1, ch), axis=0).reshape(-1)
+        elif ft == 2:  # Up
+            rec = row + prior
+        elif ft in (3, 4):
+            lanes = row.reshape(-1, ch)
+            pr = prior.reshape(-1, ch)
+            rec2 = np.zeros_like(lanes)
+            left = np.zeros(ch, dtype=np.int32)
+            if ft == 3:  # Average
+                for x in range(len(lanes)):
+                    left = (lanes[x] + ((left + pr[x]) >> 1)) & 0xFF
+                    rec2[x] = left
+            else:  # Paeth
+                upleft = np.zeros(ch, dtype=np.int32)
+                for x in range(len(lanes)):
+                    a, b_, c = left, pr[x], upleft
+                    p = a + b_ - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b_), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b_, c))
+                    left = (lanes[x] + pred) & 0xFF
+                    rec2[x] = left
+                    upleft = b_
+            rec = rec2.reshape(-1)
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        prior = rec & 0xFF
+        out[y] = prior
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[out.reshape(height, width)]
+    if ch == 1:
+        return out.reshape(height, width)
+    return out.reshape(height, width, ch)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | int = 0) -> bytes:
+    """uint8 gray (H, W) or (H, W, C in 1/2/3/4) -> PNG bytes, the exact
+    inverse of decode_png (test/synth aid). ``filters``: one filter type
+    for every row, or a list cycled per row — lets tests exercise all
+    five unfilter arms."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flist = [filters] * h if isinstance(filters, int) else [
+        filters[y % len(filters)] for y in range(h)]
+    rows = img.reshape(h, w * ch).astype(np.int32)
+    scan = bytearray()
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = rows[y]
+        ft = flist[y]
+        if ft == 0:
+            raw = row
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            raw = row - left
+        elif ft == 2:
+            raw = row - prior
+        elif ft == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            raw = row - ((left + prior) >> 1)
+        elif ft == 4:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int32),
+                                     prior[:-ch]])
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, upleft))
+            raw = row - pred
+        else:
+            raise ValueError(f"filter {ft}")
+        scan.append(ft)
+        scan.extend((raw & 0xFF).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b""))
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV (PCM16) -> (samples int16 array [n, channels], sample_rate)."""
     import io
@@ -128,6 +281,13 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
         arr, decoder = decode_bmp(payload), "bmp"
     elif payload[:2] in (b"P6", b"P5"):
         arr, decoder = decode_ppm(payload), "ppm"
+    elif payload[:8] == _PNG_SIG:
+        try:
+            arr, decoder = decode_png(payload), "png"
+        except NotImplementedError:
+            if not deterministic_fake:  # exotic PNG (16-bit / Adam7)
+                raise
+            arr = None
     if arr is not None:
         ch = 1 if arr.ndim == 2 else arr.shape[2]
         return {
@@ -223,12 +383,18 @@ def image_features(assets_df: DataFrame, resize_to: int | None = None) -> DataFr
                         arr = decode_bmp(payload)
                     elif payload[:2] in (b"P6", b"P5"):
                         arr = decode_ppm(payload)
+                    elif payload[:8] == _PNG_SIG:
+                        arr = decode_png(payload)
                     else:
                         continue
                 except (ValueError, NotImplementedError):
                     continue
                 if arr.ndim == 2:
                     arr = np.repeat(arr[:, :, None], 3, axis=2)
+                elif arr.shape[2] == 2:  # gray+alpha -> replicate luma
+                    arr = np.repeat(arr[:, :, :1], 3, axis=2)
+                elif arr.shape[2] == 4:  # drop alpha
+                    arr = arr[:, :, :3]
                 if resize_to:
                     arr = resize_nearest(arr, resize_to, resize_to)
                 luma = arr.mean(axis=2)
@@ -315,10 +481,10 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def synth_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic asset table for tests: every 4th asset is a REAL
-    decodable payload (BMP or WAV built by the encoders above);
-    the rest are opaque pseudo-PNG/JPEG/MP4 byte strings (no external
-    data anywhere)."""
+    """Deterministic asset table for tests: three of every four assets
+    are REAL decodable payloads (BMP, WAV, or — r4 — PNG with all five
+    row filters, built by the encoders above); the fourth is an opaque
+    pseudo-MP4 byte string (no external data anywhere)."""
     rows = []
     for i in range(n):
         seed = hashlib.sha1(f"asset{i}".encode()).digest()
@@ -332,9 +498,14 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
             wave_s = (3000 * np.sin(2 * np.pi * t * (100 + i) / 16000)).astype(np.int16)
             payload = encode_wav(wave_s)
             media = "audio/wav"
+        elif kind == 2:
+            rng = np.frombuffer((seed * 200)[: 24 * 16 * 3], dtype=np.uint8)
+            payload = encode_png(rng.reshape(16, 24, 3),
+                                 filters=[0, 1, 2, 3, 4])
+            media = "image/png"
         else:
             payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
-            media = ["image/png", "video/mp4"][kind - 2]
+            media = "video/mp4"
         rows.append((i, media, bytearray(payload)))
     return spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary")

@@ -385,25 +385,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # pragmatic training-corpus patterns (both Java regex and DuckDB RE2
 # accept them verbatim, so the contract oracle can mirror the exprs)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+# r4: octet-bounded (0-255 each) with word boundaries — the r3
+# \d{1,3} quad matched '1234.5.6.7' inside version-ish strings
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+IPV4_RE = rf"\b({_OCTET}\.){{3}}{_OCTET}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PHONE_RE = r"(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+SECRET_RE = r"\b((sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16})\b"
+
+# scrub order is load-bearing and mirrored verbatim by the SQL oracle:
+# emails first (the host part half-matches IP), SSN before phone (an
+# SSN is a proper sub-shape of the phone separators), IP after phone
+_PII_PASSES = [("email", EMAIL_RE, "<EMAIL>"), ("ssn", SSN_RE, "<SSN>"),
+               ("phone", PHONE_RE, "<PHONE>"), ("ip", IPV4_RE, "<IP>"),
+               ("key", SECRET_RE, "<KEY>")]
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Training-data PII redaction (emails -> <EMAIL>, IPv4 -> <IP>):
-    pure Catalyst regexp exprs, whole-stage codegen, no UDF — the same
-    shape web-scale cleaning pipelines run before tokenization. Emails
-    scrub FIRST (an address's host part would otherwise half-match the
-    IP pattern). Returns (doc_id, n_emails, n_ips, scrubbed_md5,
+    """Training-data PII redaction: emails, SSNs, phone numbers,
+    octet-bounded IPv4s, and secret-key shapes (sk_/api_/token_
+    prefixes, AWS AKIA ids) each replaced by a typed tag — pure
+    Catalyst regexp exprs, whole-stage codegen, no UDF — the same shape
+    web-scale cleaning pipelines run before tokenization. Returns
+    (doc_id, n_emails, n_ssns, n_phones, n_ips, n_keys, scrubbed_md5,
     scrubbed); at 100 TB this is a map-only pass, no shuffle."""
     c = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>")
+    scrubbed = c
+    counts = []
+    for name, pat, tag in _PII_PASSES:
+        counts.append(
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            .cast("int").alias(f"n_{name}s"))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
     return df.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
-        .cast("int").alias("n_emails"),
-        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), F.lit(0)))
-        .cast("int").alias("n_ips"),
+        "doc_id", *counts,
         F.md5(scrubbed).alias("scrubbed_md5"),
         scrubbed.alias("scrubbed"),
     )
