@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--extract-mode", choices=["html", "any"], default="html",
                     help="'any' dispatches extraction on the url extension "
                          "(all 11 reference formats); 'html' is the webtext default")
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the positional sidecar (r4): phrase"
+                         " queries run index-only, ~2x index size")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master")
@@ -72,7 +75,8 @@ def main() -> int:
     t0 = time.time()
     eng = BM25Engine(spark, args.index)
     eng.build(df, text_is_extracted=not args.from_html,
-              extract_mode=args.extract_mode, **kwargs)
+              extract_mode=args.extract_mode, positions=args.positions,
+              **kwargs)
     elapsed = time.time() - t0
     print(json.dumps({
         "event": "index_built", "index": args.index, "n_docs": n_docs,

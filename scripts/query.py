@@ -79,11 +79,14 @@ def main() -> int:
                                     "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None and args.phrase:
-        if not args.docs:
-            ap.error("--phrase requires --docs")
+        if not args.docs and not eng.store.has_positions():
+            ap.error("--phrase requires --docs (or an index built with"
+                     " --positions for the index-only path)")
         t0 = time.time()
-        hits = eng.phrase_topk(args.query, spark.read.parquet(args.docs),
-                               k=args.k, slop=args.slop)
+        hits = eng.phrase_topk(
+            args.query,
+            spark.read.parquet(args.docs) if args.docs else None,
+            k=args.k, slop=args.slop)
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"phrase": args.query, "slop": args.slop,
                           "latency_ms": round(ms, 2),

@@ -119,6 +119,45 @@ def decode_block(doc_enc: bytes, tf_enc: bytes, dl_enc: bytes, n: int):
     )
 
 
+def encode_positions_block(doc_ids: np.ndarray, counts: np.ndarray,
+                           flat_positions: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """Encode one POSITIONS block (r4 opt-in positional index).
+
+    doc_ids: sorted ascending; counts[i] = number of positions for
+    doc i (== tf, always >= 1); flat_positions = concatenation of each
+    doc's ascending token positions. Streams: docs delta-varint (first
+    absolute), counts plain varint, positions delta-varint with the
+    delta RESET to absolute at each doc's first position (so any doc's
+    run decodes standalone given the counts)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    flat = np.asarray(flat_positions, dtype=np.int64)
+    gaps = np.empty_like(flat)
+    if len(flat):
+        gaps[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        gaps[starts] = flat[starts]
+    return (encode_varint(delta_encode(doc_ids)),
+            encode_varint(counts),
+            encode_varint(gaps))
+
+
+def decode_positions_block(docs_enc: bytes, cnt_enc: bytes, pos_enc: bytes,
+                           n: int):
+    """Inverse of encode_positions_block ->
+    (doc_ids, counts, flat_positions) int64 arrays."""
+    docs = delta_decode(decode_varint(docs_enc, n))
+    counts = decode_varint(cnt_enc, n)
+    total = int(counts.sum())
+    gaps = decode_varint(pos_enc, total)
+    c = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offsets = np.where(starts > 0, c[starts - 1], 0)
+    flat = c - np.repeat(offsets, counts)
+    return docs, counts, flat
+
+
 def decode_blocks_batch(blocks: list[dict]):
     """Decode MANY blocks in one vectorized pass.
 

@@ -1289,6 +1289,13 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
         eng.build(docs, n_buckets=8, salt_df_threshold=200)
+    if not eng.store.has_positions():  # r4 sidecar (also upgrades a
+        # cached pre-r4 index in place — same corpus, same epoch)
+        from .index.positions import build_positions
+
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+        build_positions(spark, docs, idx_dir)
     _INDEX_CACHE[key] = eng
     return eng
 
@@ -1492,6 +1499,26 @@ def phrase_topk_slop_index(spark, sf_dir):
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
     return _map_index_ids(
         spark, eng, eng.phrase_batch(PHRASE_SLOP_QUERIES, docs, k=10, slop=1))
+
+
+@_q("phrase_topk_positions", _phrase_sql(PHRASE_QUERIES))
+def phrase_topk_positions(spark, sf_dir):
+    """INDEX-ONLY distributed phrase search (r4 positional sidecar,
+    index/positions.py): adjacency is chain-matched against stored
+    delta-varint position runs — the corpus is never opened. Same SQL
+    oracle as phrase_topk/phrase_topk_index."""
+    eng = _indexed_engine(spark, sf_dir)
+    return _map_index_ids(
+        spark, eng, eng.phrase_batch(PHRASE_QUERIES, None, k=10))
+
+
+@_q("phrase_topk_slop_positions", _phrase_sql(PHRASE_SLOP_QUERIES, slop=1))
+def phrase_topk_slop_positions(spark, sf_dir):
+    """Proximity (slop=1) variant of phrase_topk_positions: each gap
+    admits <=1 extra token, i.e. position delta in [1, 2]."""
+    eng = _indexed_engine(spark, sf_dir)
+    return _map_index_ids(
+        spark, eng, eng.phrase_batch(PHRASE_SLOP_QUERIES, None, k=10, slop=1))
 
 
 def _pii_sql_pat(py_pat: str) -> str:

@@ -54,6 +54,14 @@ POSTINGS_SCHEMA = (
 
 TERM_STATS_SCHEMA = "term_id long, df long, bucket int"
 
+# r4 opt-in positional sidecar (index/positions.py): per-(term, doc)
+# token positions, blocked like postings. counts[i] == tf; the pos
+# stream delta-resets at each doc (codec.encode_positions_block).
+POSITIONS_SCHEMA = (
+    "term_id long, block_id int, n int, first_doc_id long, last_doc_id long, "
+    "docs_enc binary, cnt_enc binary, pos_enc binary, bucket int"
+)
+
 LINEAGE_SCHEMA = (
     "bucket int, phase string, n_terms long, n_blocks long, n_postings long, "
     "status string, epoch int"
@@ -115,6 +123,17 @@ class IndexStorage:
 
     def tombstones_dir_for(self, epoch: int) -> str:
         return os.path.join(self.root, f"tombstones_e{epoch}")
+
+    def positions_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"positions_e{epoch}")
+
+    def has_positions(self, epoch: int | None = None) -> bool:
+        """True iff the positional sidecar exists for this epoch.
+        Merges/compactions create a NEW epoch without positions, so a
+        stale sidecar never serves — phrase queries just degrade to
+        match-then-verify until build_positions runs again."""
+        d = self.positions_dir_for(self.epoch() if epoch is None else epoch)
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
 
     @property
     def postings_dir(self) -> str:

@@ -127,8 +127,18 @@ class BM25Engine:
         self.driver_fallbacks = 0  # observability + test hook
 
     # ------------------------------------------------------------- build
-    def build(self, docs_df: DataFrame, **kwargs) -> "BM25Engine":
+    def build(self, docs_df: DataFrame, positions: bool = False,
+              **kwargs) -> "BM25Engine":
+        """``positions=True`` (r4) also builds the positional sidecar
+        (index/positions.py) so phrase queries run index-only."""
         build_index(self.spark, docs_df, self.store.root, **kwargs)
+        if positions:
+            from ..index.positions import build_positions
+
+            build_positions(
+                self.spark, docs_df, self.store.root,
+                text_is_extracted=kwargs.get("text_is_extracted", True),
+                extract_mode=kwargs.get("extract_mode", "html"))
         self._manifest = None
         self._ds_cache.clear()
         self._term_cache.clear()
@@ -516,19 +526,22 @@ class BM25Engine:
         return out.orderBy("rank")
 
     # ------------------------------------------------------------- phrase
-    def phrase_topk(self, phrase: str, docs_df: DataFrame, k: int = 10,
-                    slop: int = 0) -> list[tuple[int, float]]:
-        """Index-accelerated phrase search (match-then-verify).
+    def phrase_topk(self, phrase: str, docs_df: DataFrame | None = None,
+                    k: int = 10, slop: int = 0) -> list[tuple[int, float]]:
+        """Index-accelerated phrase search.
 
         Candidates come from the INVERTED INDEX: the decoded postings of
         the phrase's terms intersect rarest-first (conjunction — the
         only docs that can contain the phrase), so no corpus scan ever
         happens. Adjacency (or ``slop``-bounded proximity) is then
-        verified against ``docs_df`` — the source-of-truth (url|doc_id,
-        text) table; the index stores no forward text — and survivors
-        are BM25-ranked over the phrase's terms with GLOBAL corpus
-        stats, exactly like query/phrase.phrase_topk's DataFrame path
-        (equality asserted in tests/test_phrase.py)."""
+        verified either against ``docs_df`` — the source-of-truth
+        (url|doc_id, text) table (match-then-verify, the default
+        index carries no positions) — or, with ``docs_df=None`` and a
+        positional sidecar present (r4, index/positions.py), against
+        the stored position runs: fully INDEX-ONLY, no corpus access.
+        Survivors are BM25-ranked over the phrase's terms with GLOBAL
+        corpus stats, exactly like query/phrase.phrase_topk's DataFrame
+        path (equality asserted in tests)."""
         import numpy as np
 
         from .phrase import joined_tokens_expr, phrase_pattern
@@ -537,6 +550,11 @@ class BM25Engine:
         terms = tokenize(phrase)
         if not terms:
             return []
+        if docs_df is None and not self.store.has_positions():
+            raise ValueError(
+                "phrase_topk without docs_df needs the positional sidecar"
+                " — build with positions=True / run build_positions, or"
+                " pass the source corpus for match-then-verify")
         uterms = sorted(set(terms))
         if self._uncached_df_total(uterms) > self.driver_df_budget:
             # a stop-word in the phrase would decode O(df) postings on
@@ -565,29 +583,101 @@ class BM25Engine:
             if not len(cand):
                 return []
 
-        src = docs_df
-        if "doc_id" not in src.columns:
-            src = src.withColumn("doc_id", doc_id_expr("url"))
-        cdf = self.spark.createDataFrame(
-            [(int(d),) for d in cand.tolist()], "doc_id long")
-        jt = (src.join(F.broadcast(cdf), "doc_id")
-              .select("doc_id", joined_tokens_expr("text").alias("jt")))
-        pat = phrase_pattern(terms, slop)
-        matcher = (F.col("jt").contains(pat) if slop == 0
-                   else F.col("jt").rlike(pat))
-        # np.unique, not sorted(): duplicate doc_id rows in docs_df (a
-        # url ingested twice) must not break the sorted-UNIQUE contract
-        # of vectorized_topk_arrays' assume_unique isin
-        verified = np.unique(np.array(
-            [r["doc_id"] for r in
-             jt.where(matcher).select("doc_id").collect()],
-            dtype=np.int64))
+        if docs_df is None:
+            # index-only verify against the positional sidecar: no
+            # Spark job, no corpus — pyarrow-pruned position runs of
+            # the phrase terms, chain-matched per candidate
+            verified = self._verify_positions_driver(terms, cand, slop)
+        else:
+            src = docs_df
+            if "doc_id" not in src.columns:
+                src = src.withColumn("doc_id", doc_id_expr("url"))
+            cdf = self.spark.createDataFrame(
+                [(int(d),) for d in cand.tolist()], "doc_id long")
+            jt = (src.join(F.broadcast(cdf), "doc_id")
+                  .select("doc_id", joined_tokens_expr("text").alias("jt")))
+            pat = phrase_pattern(terms, slop)
+            matcher = (F.col("jt").contains(pat) if slop == 0
+                       else F.col("jt").rlike(pat))
+            # np.unique, not sorted(): duplicate doc_id rows in docs_df
+            # (a url ingested twice) must not break the sorted-UNIQUE
+            # contract of vectorized_topk_arrays' assume_unique isin
+            verified = np.unique(np.array(
+                [r["doc_id"] for r in
+                 jt.where(matcher).select("doc_id").collect()],
+                dtype=np.int64))
         if not len(verified):
             return []
         m = self.manifest
         return vectorized_topk_arrays(
             arrays, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
+
+    def _verify_positions_driver(self, terms: list[str], cand,
+                                 slop: int):
+        """Chain-verify the phrase against the positional sidecar for
+        the candidate docs (sorted unique int64 array). Reads only the
+        phrase terms' position blocks (bucket-dir + term_id row-group
+        pruning, pyarrow — no Spark job), decodes only blocks whose
+        doc range intersects the candidates, returns the verified
+        sorted-unique doc_id array."""
+        import numpy as np
+
+        from ..codec import decode_positions_block
+        from ..index.storage import POSITIONS_SCHEMA  # noqa: F401 (doc)
+
+        epoch = int(self.manifest["epoch"])
+        n_buckets = int(self.manifest["n_buckets"])
+        base = self.store.positions_dir_for(epoch)
+        ids = {term_id_for(t): t for t in set(terms)}
+        by_bucket: dict[int, list[int]] = {}
+        for tid in ids:
+            by_bucket.setdefault(bucket_of_term_id(tid, n_buckets),
+                                 []).append(tid)
+        lo, hi = int(cand[0]), int(cand[-1])
+        # {term: (docs array, [positions arrays aligned with docs])}
+        runs: dict[str, tuple] = {t: ([], []) for t in ids.values()}
+        cols = ["term_id", "n", "first_doc_id", "last_doc_id",
+                "docs_enc", "cnt_enc", "pos_enc"]
+        for bkt, tids in by_bucket.items():
+            p = os.path.join(base, f"bucket={bkt}")
+            if not os.path.isdir(p):
+                continue
+            tbl = ds.dataset(p, format="parquet").to_table(
+                filter=(ds.field("term_id").isin(tids)
+                        & (ds.field("last_doc_id") >= lo)
+                        & (ds.field("first_doc_id") <= hi)),
+                columns=cols)
+            for row in tbl.to_pylist():
+                docs, counts, flat = decode_positions_block(
+                    row["docs_enc"], row["cnt_enc"], row["pos_enc"],
+                    int(row["n"]))
+                keep = np.isin(docs, cand, assume_unique=True)
+                if not keep.any():
+                    continue
+                lists = np.split(flat, np.cumsum(counts)[:-1])
+                t = ids[row["term_id"]]
+                runs[t][0].append(docs[keep])
+                runs[t][1].extend(
+                    ls for ls, k in zip(lists, keep) if k)
+        from ..index.positions import chain_match
+
+        per_term: dict[str, dict[int, np.ndarray]] = {}
+        for t, (dchunks, plists) in runs.items():
+            if not dchunks:
+                return np.empty(0, dtype=np.int64)
+            docs = np.concatenate(dchunks)
+            per_term[t] = dict(zip(docs.tolist(), plists))
+        out = []
+        for d in cand.tolist():
+            try:
+                pos_lists = [per_term[t][d] for t in terms]
+            except KeyError:
+                continue  # term missing in this doc (shouldn't happen
+                # for conjunctive candidates; guards stale sidecars)
+            if chain_match(pos_lists, slop):
+                out.append(d)
+        return np.array(out, dtype=np.int64)
 
     # ------------------------------------------------------------ boolean
     def boolean_topk(self, expr: str, k: int = 10) -> list[tuple[int, float]]:

@@ -66,7 +66,7 @@ def joined_tokens_expr(text_col: str = "text"):
     return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
 
 
-def score_phrase_batch(spark, store, docs_df: DataFrame,
+def score_phrase_batch(spark, store, docs_df: DataFrame | None,
                        phrases: list[tuple[int, str]], k: int = 10,
                        slop: int = 0) -> DataFrame:
     """Index-backed DISTRIBUTED phrase search (r4): candidates come from
@@ -76,14 +76,18 @@ def score_phrase_batch(spark, store, docs_df: DataFrame,
         -> broadcast join with the phrases' (query, term, df) rows
         -> groupBy(query_id, doc_id): n_hit + sorted BM25 parts [1 shuffle]
         -> conjunctive gate (n_hit == n_terms)     = the candidate set
-        -> adjacency / slop verify against docs_df = the ONLY corpus
-           touch (the index stores no forward text; candidates semi-join
-           into the scan, JVM string ops, no UDF)
+        -> adjacency / slop verify: against docs_df (match-then-verify,
+           the ONLY corpus touch — candidates semi-join into the scan,
+           JVM string ops, no UDF), or with ``docs_df=None`` against the
+           POSITIONAL SIDECAR (r4, index/positions.py): pruned position
+           blocks decode distributed and candidates chain-match
+           per (query, doc) — fully index-only
         -> score = term-ascending sum over parts, top-k window.
 
-    ``docs_df``: the source-of-truth corpus with (url|doc_id, text).
-    Ranking matches phrase_topk / engine.phrase_topk exactly (global
-    corpus stats, phrase terms only; tests assert)."""
+    ``docs_df``: the source-of-truth corpus with (url|doc_id, text),
+    or None to use the positional sidecar (must exist for the current
+    epoch). Ranking matches phrase_topk / engine.phrase_topk exactly
+    (global corpus stats, phrase terms only; tests assert)."""
     import pandas as pd
 
     from ..analysis import term_id_for
@@ -140,19 +144,23 @@ def score_phrase_batch(spark, store, docs_df: DataFrame,
         .where(F.col("n_hit") == F.col("n_terms"))
     )
 
-    src = docs_df
-    if "doc_id" not in src.columns:
-        src = src.withColumn("doc_id", doc_id_expr("url"))
-    jt = src.select("doc_id", joined_tokens_expr("text").alias("jt"))
-    matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
-               else F.expr("rlike(jt, pat)"))
-    verified = (
-        cand.select("query_id", "doc_id")
-        .join(jt, "doc_id")
-        .join(F.broadcast(pats.select("query_id", "pat")), "query_id")
-        .where(matcher)
-        .select("query_id", "doc_id")
-    )
+    if docs_df is None:
+        verified = _verified_by_positions(spark, store, phrases, cand,
+                                          qpdf, slop)
+    else:
+        src = docs_df
+        if "doc_id" not in src.columns:
+            src = src.withColumn("doc_id", doc_id_expr("url"))
+        jt = src.select("doc_id", joined_tokens_expr("text").alias("jt"))
+        matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
+                   else F.expr("rlike(jt, pat)"))
+        verified = (
+            cand.select("query_id", "doc_id")
+            .join(jt, "doc_id")
+            .join(F.broadcast(pats.select("query_id", "pat")), "query_id")
+            .where(matcher)
+            .select("query_id", "doc_id")
+        )
 
     scored = (
         cand.join(verified, ["query_id", "doc_id"], "left_semi")
@@ -166,6 +174,69 @@ def score_phrase_batch(spark, store, docs_df: DataFrame,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def _verified_by_positions(spark, store, phrases, cand: DataFrame,
+                           qpdf, slop: int) -> DataFrame:
+    """Distributed index-only verify (r4): the candidates' position
+    runs decode from the positional sidecar (bucket + term_id pruned),
+    group per (query, doc), and chain-match against each phrase's
+    ordered term sequence. Returns (query_id, doc_id) survivors."""
+    from ..index.positions import (DECODED_POSITIONS_SCHEMA, chain_match,
+                                   decode_positions_map_in_pandas)
+    from ..index.storage import POSITIONS_SCHEMA, bucket_of_term_id
+
+    manifest = store.read_manifest()
+    epoch = int(manifest["epoch"])
+    n_buckets = int(manifest["n_buckets"])
+    if not store.has_positions(epoch):
+        raise ValueError(
+            "positional sidecar absent for the current epoch — run"
+            " build_positions, or pass docs_df for match-then-verify")
+    term_ids = sorted(qpdf["term_id"].unique().tolist())
+    buckets = sorted({bucket_of_term_id(t, n_buckets) for t in term_ids})
+    blocks = (spark.read.schema(POSITIONS_SCHEMA)
+              .parquet(store.positions_dir_for(epoch))
+              .where(F.col("bucket").isin(buckets))
+              .where(F.col("term_id").isin(term_ids)))
+    decoded = blocks.mapInPandas(decode_positions_map_in_pandas,
+                                 schema=DECODED_POSITIONS_SCHEMA)
+    qterms = spark.createDataFrame(qpdf[["query_id", "term", "term_id"]])
+    seqs = spark.createDataFrame(
+        [(qid, analysis.tokenize(p)) for qid, p in phrases
+         if analysis.tokenize(p)],
+        "query_id int, phrase_terms array<string>")
+    tp = (decoded.join(F.broadcast(qterms), "term_id")
+          .join(cand.select("query_id", "doc_id"),
+                ["query_id", "doc_id"], "left_semi")
+          .groupBy("query_id", "doc_id")
+          .agg(F.collect_list(F.struct("term", "positions")).alias("tp"))
+          .join(F.broadcast(seqs), "query_id"))
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            keep_q, keep_d = [], []
+            for row in pdf.itertuples(index=False):
+                got = {}
+                for e in row.tp:
+                    t, p = ((e["term"], e["positions"])
+                            if isinstance(e, dict) else (e[0], e[1]))
+                    got[t] = np.asarray(p, dtype=np.int64)
+                try:
+                    pls = [got[t] for t in row.phrase_terms]
+                except KeyError:
+                    continue
+                if chain_match(pls, slop):
+                    keep_q.append(row.query_id)
+                    keep_d.append(row.doc_id)
+            yield pd.DataFrame({
+                "query_id": np.array(keep_q, dtype="int32"),
+                "doc_id": np.array(keep_d, dtype="int64")})
+
+    return tp.mapInPandas(verify, schema="query_id int, doc_id long")
 
 
 def phrase_topk(docs_df: DataFrame, phrases: list[tuple[int, str]],
