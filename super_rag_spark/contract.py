@@ -525,6 +525,48 @@ def ngram_jaccard_lsh_verified(spark, sf_dir):
     return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.3, candidates=cand)
 
 
+@_q("dedup_clusters", f"""
+WITH RECURSIVE {_AUG_SQL}, {_AUG_SHINGLES_SQL}, {_minhash_aug_sql_parts()},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+edges AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.3
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM aug
+  UNION
+    SELECT u.b, reach.r FROM reach JOIN und u ON reach.doc_id = u.a
+),
+lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
+""")
+def dedup_clusters_entry(spark, sf_dir):
+    """Transitive near-dup clustering (textops.dedup_clusters): LSH
+    candidates -> exact-Jaccard edges -> connected components by
+    iterative min-label propagation; oracled against a DuckDB recursive
+    CTE computing full reachability over the SAME edge relation. The
+    planted doubled-text variants cluster with their bases, so the
+    check is non-vacuous (clusters of size >= 2 exist)."""
+    docs = _docs_aug(spark, sf_dir)
+    cand = textops.minhash_lsh_candidates(docs)
+    edges = textops.ngram_jaccard_pairs(docs, n=3, threshold=0.3,
+                                        candidates=cand)
+    return textops.dedup_clusters(docs, edges=edges)
+
+
 @_q("clean_corpus_pipeline", f"""
 WITH {_AUG_SQL},
 tokn AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM aug),

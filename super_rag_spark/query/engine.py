@@ -125,6 +125,12 @@ class BM25Engine:
         # RETENTION, this bounds a single LOAD.
         self.driver_df_budget = 8_000_000
         self.driver_fallbacks = 0  # observability + test hook
+        # decoded POSITIONS LRU (r4, index-only phrase path): first
+        # touch of a term pays the sidecar read + varint decode,
+        # repeats verify in-memory — same budget device as _dec_cache
+        self._pos_cache: "dict[tuple[int, str], tuple]" = {}
+        self._pos_used = 0
+        self._pos_budget = 32_000_000  # positions (~256 MB of int64)
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, positions: bool = False,
@@ -144,6 +150,8 @@ class BM25Engine:
         self._term_cache.clear()
         self._dec_cache.clear()
         self._dec_used = 0
+        self._pos_cache.clear()
+        self._pos_used = 0
         return self
 
     @property
@@ -178,11 +186,13 @@ class BM25Engine:
         working set is the right prefetch list."""
         hot = [t for (e, t) in self._dec_cache if e == old_epoch]
         self._ds_cache = {k: v for k, v in self._ds_cache.items()
-                          if k[0] != old_epoch}
+                          if (k[1] if k[0] == "pos" else k[0]) != old_epoch}
         for key in [k for k in self._term_cache if k[0] == old_epoch]:
             del self._term_cache[key]
         for key in [k for k in self._dec_cache if k[0] == old_epoch]:
             self._dec_used -= len(self._dec_cache.pop(key)[1])
+        for key in [k for k in self._pos_cache if k[0] == old_epoch]:
+            self._pos_used -= len(self._pos_cache.pop(key)[2])
         if hot:
             try:
                 self._load_term_arrays(hot)  # refill under the new epoch
@@ -585,9 +595,34 @@ class BM25Engine:
 
         if docs_df is None:
             # index-only verify against the positional sidecar: no
-            # Spark job, no corpus — pyarrow-pruned position runs of
-            # the phrase terms, chain-matched per candidate
-            verified = self._verify_positions_driver(terms, cand, slop)
+            # Spark job, no corpus. LAZY, score-ordered: rank ALL
+            # candidates by BM25 first (scores need no verify), then
+            # chain-verify in descending-score batches and stop as soon
+            # as k survive — a selective batch decodes only the position
+            # blocks its docs land in (pre-decode searchsorted skip),
+            # so frequent phrases never decode the head terms' full
+            # position lists
+            from .wand import accumulate_scores
+
+            m = self.manifest
+            uniqc, sc = accumulate_scores(
+                arrays, int(m["n_docs"]), float(m["avgdl"]),
+                k1=float(m["k1"]), b=float(m["b"]), candidates=cand)
+            order = np.lexsort((uniqc, -np.round(sc, 9)))
+            rd, rs = uniqc[order], sc[order]
+            out: list[tuple[int, float]] = []
+            step = max(4 * k, 64)
+            for i in range(0, len(rd), step):
+                batch = np.sort(rd[i:i + step])
+                ver = set(self._verify_positions_driver(
+                    terms, batch, slop).tolist())
+                out.extend((int(d), float(s))
+                           for d, s in zip(rd[i:i + step].tolist(),
+                                           rs[i:i + step].tolist())
+                           if int(d) in ver)
+                if len(out) >= k:
+                    break
+            return out[:k]
         else:
             src = docs_df
             if "doc_id" not in src.columns:
@@ -613,70 +648,101 @@ class BM25Engine:
             arrays, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
 
-    def _verify_positions_driver(self, terms: list[str], cand,
-                                 slop: int):
-        """Chain-verify the phrase against the positional sidecar for
-        the candidate docs (sorted unique int64 array). Reads only the
-        phrase terms' position blocks (bucket-dir + term_id row-group
-        pruning, pyarrow — no Spark job), decodes only blocks whose
-        doc range intersects the candidates, returns the verified
-        sorted-unique doc_id array."""
+    def _load_positions_term(self, term: str):
+        """Decoded position run of one term through the positions LRU:
+        (docs sorted array, off, flat) with doc i's positions =
+        flat[off[i]:off[i+1]], or None for a term with no positions.
+        Like the decoded-postings LRU, the first touch of a term pays
+        the parquet read + varint decode; repeats are in-memory (phrase
+        streams repeat their vocabulary just like BM25 streams do —
+        doc ids are content hashes, so block ranges carry no candidate
+        locality and partial reads don't pay off)."""
         import numpy as np
 
         from ..codec import decode_positions_block
-        from ..index.storage import POSITIONS_SCHEMA  # noqa: F401 (doc)
 
         epoch = int(self.manifest["epoch"])
+        key = (epoch, term)
+        hit = self._pos_cache.pop(key, None)
+        if hit is not None:
+            self._pos_cache[key] = hit  # LRU re-insert
+            return hit
         n_buckets = int(self.manifest["n_buckets"])
-        base = self.store.positions_dir_for(epoch)
-        ids = {term_id_for(t): t for t in set(terms)}
-        by_bucket: dict[int, list[int]] = {}
-        for tid in ids:
-            by_bucket.setdefault(bucket_of_term_id(tid, n_buckets),
-                                 []).append(tid)
-        lo, hi = int(cand[0]), int(cand[-1])
-        # {term: (docs array, [positions arrays aligned with docs])}
-        runs: dict[str, tuple] = {t: ([], []) for t in ids.values()}
-        cols = ["term_id", "n", "first_doc_id", "last_doc_id",
-                "docs_enc", "cnt_enc", "pos_enc"]
-        for bkt, tids in by_bucket.items():
-            p = os.path.join(base, f"bucket={bkt}")
-            if not os.path.isdir(p):
-                continue
-            tbl = ds.dataset(p, format="parquet").to_table(
-                filter=(ds.field("term_id").isin(tids)
-                        & (ds.field("last_doc_id") >= lo)
-                        & (ds.field("first_doc_id") <= hi)),
-                columns=cols)
-            for row in tbl.to_pylist():
-                docs, counts, flat = decode_positions_block(
-                    row["docs_enc"], row["cnt_enc"], row["pos_enc"],
-                    int(row["n"]))
-                keep = np.isin(docs, cand, assume_unique=True)
-                if not keep.any():
-                    continue
-                lists = np.split(flat, np.cumsum(counts)[:-1])
-                t = ids[row["term_id"]]
-                runs[t][0].append(docs[keep])
-                runs[t][1].extend(
-                    ls for ls, k in zip(lists, keep) if k)
+        tid = term_id_for(term)
+        bkt = bucket_of_term_id(tid, n_buckets)
+        p = os.path.join(self.store.positions_dir_for(epoch),
+                         f"bucket={bkt}")
+        if not os.path.isdir(p):
+            return None
+        dataset = self._ds_cache.get(("pos", epoch, bkt))
+        if dataset is None:
+            dataset = ds.dataset(p, format="parquet")
+            self._ds_cache[("pos", epoch, bkt)] = dataset
+        tbl = dataset.to_table(
+            filter=ds.field("term_id") == tid,
+            columns=["block_id", "n", "first_doc_id",
+                     "docs_enc", "cnt_enc", "pos_enc"])
+        if not tbl.num_rows:
+            return None
+        rows = sorted(tbl.to_pylist(), key=lambda r: r["first_doc_id"])
+        dchunks, cchunks, fchunks = [], [], []
+        for row in rows:
+            docs, counts, flat = decode_positions_block(
+                row["docs_enc"], row["cnt_enc"], row["pos_enc"],
+                int(row["n"]))
+            dchunks.append(docs)
+            cchunks.append(counts)
+            fchunks.append(flat)
+        docs = np.concatenate(dchunks)
+        counts = np.concatenate(cchunks)
+        flat = np.concatenate(fchunks)
+        off = np.concatenate(([0], np.cumsum(counts)))
+        entry = (docs, off, flat)
+        self._pos_cache[key] = entry
+        self._pos_used += len(flat)
+        while (self._pos_used > self._pos_budget
+               and len(self._pos_cache) > 1):
+            old = next(iter(self._pos_cache))
+            if old == key:
+                break
+            self._pos_used -= len(self._pos_cache.pop(old)[2])
+        return entry
+
+    def _verify_positions_driver(self, terms: list[str], cand,
+                                 slop: int):
+        """Chain-verify the phrase against the positional sidecar for
+        the candidate docs (sorted unique int64 array); position runs
+        come from the decoded-positions LRU (no Spark job). Returns the
+        verified sorted-unique doc_id array."""
+        import numpy as np
+
         from ..index.positions import chain_match
 
-        per_term: dict[str, dict[int, np.ndarray]] = {}
-        for t, (dchunks, plists) in runs.items():
-            if not dchunks:
+        per: dict[str, tuple] = {}
+        for t in set(terms):
+            ent = self._load_positions_term(t)
+            if ent is None:
                 return np.empty(0, dtype=np.int64)
-            docs = np.concatenate(dchunks)
-            per_term[t] = dict(zip(docs.tolist(), plists))
+            per[t] = ent
+        # per term: locate every candidate in the term's doc run once
+        # (vectorized searchsorted); a miss anywhere kills the doc
+        locs: dict[str, np.ndarray] = {}
+        alive = np.ones(len(cand), dtype=bool)
+        for t, (docs, off, flat) in per.items():
+            i = np.searchsorted(docs, cand)
+            ok = (i < len(docs))
+            ok[ok] = docs[i[ok]] == cand[ok]
+            alive &= ok
+            locs[t] = i
         out = []
-        for d in cand.tolist():
-            try:
-                pos_lists = [per_term[t][d] for t in terms]
-            except KeyError:
-                continue  # term missing in this doc (shouldn't happen
-                # for conjunctive candidates; guards stale sidecars)
+        for j in np.flatnonzero(alive).tolist():
+            pos_lists = []
+            for t in terms:
+                docs, off, flat = per[t]
+                i = int(locs[t][j])
+                pos_lists.append(flat[off[i]:off[i + 1]])
             if chain_match(pos_lists, slop):
-                out.append(d)
+                out.append(int(cand[j]))
         return np.array(out, dtype=np.int64)
 
     # ------------------------------------------------------------ boolean

@@ -477,6 +477,42 @@ def vectorized_topk(term_blocks: dict[str, tuple[int, list[dict]]], n_docs: int,
     return vectorized_topk_arrays(arrays, n_docs, avgdl, k, k1=k1, b=b)
 
 
+def accumulate_scores(term_arrays: dict[str, tuple], n_docs: int,
+                      avgdl: float, k1: float = K1, b: float = B,
+                      candidates: np.ndarray | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """The scoring core of vectorized_topk_arrays WITHOUT the final
+    ranking: returns (uniq_doc_ids, scores) as arrays (r4 — callers
+    that rank lazily, e.g. the score-ordered phrase verify, avoid the
+    per-tuple Python sort). Accumulation order matches the oracle
+    (term-ascending, one contribution per (term, doc))."""
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for term in sorted(term_arrays):
+        df, docs, tfs, dls = term_arrays[term]
+        if candidates is not None and len(docs):
+            keep = np.flatnonzero(
+                np.isin(docs, candidates, assume_unique=True))
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        if not len(docs):
+            continue
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * dls / avgdl))
+        per_term.append((docs, contrib))
+    if not per_term:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=np.float64)
+    all_docs = np.concatenate([d for d, _ in per_term])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    off = 0
+    for docs, contrib in per_term:  # term-ascending accumulation order
+        np.add.at(scores, inv[off:off + len(docs)], contrib)
+        off += len(docs)
+    return uniq, scores
+
+
 def vectorized_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
                            avgdl: float, k: int, k1: float = K1,
                            b: float = B,
@@ -491,31 +527,10 @@ def vectorized_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
     ``candidates``: optional sorted unique doc_id array — only these
     docs are scored (P7 filtered-search / phrase-verify semantics; df
     and corpus stats stay GLOBAL)."""
-    per_term: list[tuple[np.ndarray, np.ndarray]] = []  # (doc_ids, contribs)
-    for term in sorted(term_arrays):
-        df, docs, tfs, dls = term_arrays[term]
-        if candidates is not None and len(docs):
-            keep = np.flatnonzero(
-                np.isin(docs, candidates, assume_unique=True))
-            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        if not len(docs):
-            continue
-        tfs = tfs.astype(np.float64)
-        dls = dls.astype(np.float64)
-        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
-        contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * dls / avgdl))
-        per_term.append((docs, contrib))
-
-    if not per_term:
+    uniq, scores = accumulate_scores(term_arrays, n_docs, avgdl, k1, b,
+                                     candidates)
+    if not len(uniq):
         return []
-    all_docs = np.concatenate([d for d, _ in per_term])
-    uniq, inv = np.unique(all_docs, return_inverse=True)
-    scores = np.zeros(len(uniq), dtype=np.float64)
-    off = 0
-    for docs, contrib in per_term:  # term-ascending accumulation order
-        np.add.at(scores, inv[off:off + len(docs)], contrib)
-        off += len(docs)
-
     kk = min(k, len(uniq))
     if kk == 0:
         return []

@@ -106,6 +106,64 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
+def dedup_clusters(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                   text_col: str = "text",
+                   edges: DataFrame | None = None,
+                   max_iterations: int = 20) -> DataFrame:
+    """Transitive near-dup CLUSTERING (r4): the step every at-scale
+    dedup pipeline needs after pair generation — near-duplication is
+    transitive in practice (A~B, B~C => keep one of {A,B,C}), so
+    keeping one doc per *pair* over-deletes and under-deletes.
+
+    verified similarity edges (default: MinHash-LSH candidates ->
+    exact n-gram-Jaccard >= threshold) -> CONNECTED COMPONENTS ->
+    (doc_id, cluster_id, cluster_size, is_canonical) for every input
+    doc (singletons form their own cluster). cluster_id = min doc_id
+    in the component (deterministic, order-independent).
+
+    Components run as iterative min-label propagation: each round every
+    doc takes the min of its own label and its neighbors' labels (two
+    broadcast-sized joins + a hash agg per round), converging in
+    O(component diameter) rounds — near-dup clusters are shallow
+    (star-ish around a template), so 3-5 rounds typical. The loop stops
+    at the first round with zero label changes. At 10^12 docs with
+    adversarially long chains the textbook upgrade is the large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce"), which this loop's join shape extends to directly.
+    """
+    if edges is None:
+        edges = ngram_jaccard_pairs(
+            df, n=n, threshold=threshold, text_col=text_col,
+            candidates=minhash_lsh_candidates(df, n=n, text_col=text_col))
+    e = edges.select("doc_a", "doc_b")
+    und = e.unionByName(e.select(F.col("doc_b").alias("doc_a"),
+                                 F.col("doc_a").alias("doc_b")))
+    labels = df.select("doc_id").withColumn("label", F.col("doc_id"))
+    for _ in range(max_iterations):
+        nbr = (und.join(labels,
+                        und["doc_b"] == labels["doc_id"])
+               .groupBy(und["doc_a"].alias("doc_id"))
+               .agg(F.min("label").alias("nbr_min")))
+        merged = (labels.alias("l")
+                  .join(nbr.alias("n"), "doc_id", "left")
+                  .select("doc_id",
+                          F.col("l.label").alias("old"),
+                          F.least(F.col("l.label"),
+                                  F.coalesce(F.col("n.nbr_min"),
+                                             F.col("l.label")))
+                          .alias("label")))
+        merged = merged.persist()
+        changed = merged.where(F.col("label") != F.col("old")).count()
+        labels = merged.select("doc_id", "label")
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (labels.select("doc_id", F.col("label").alias("cluster_id"))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("cluster_id")))
+
+
 def _minhash_cols(n_perms: int):
     """Permutation i = lexicographic min of md5(i || ':' || shingle).
     md5 hex is identical in Spark, DuckDB, and Python — the signature is

@@ -427,3 +427,34 @@ def test_lsh_n_rows_hint_skips_count(spark):
     derived = lsh_cosine_topk(emb, [0, 1], k=3).collect()
     assert sorted(map(tuple, hinted)) == sorted(map(tuple, derived))
     assert lsh_default_n_planes(10**12) == 24  # clamp at web scale
+
+
+def test_dedup_clusters_transitive(spark):
+    """r4: A~B and B~C must cluster {A,B,C} together even when A!~C
+    directly (the transitive case pairwise dedup gets wrong), via
+    explicit edges; the default pipeline clusters the planted near-dups
+    with their bases and keeps singletons alone."""
+    from super_rag_spark.textops import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z"), (6, "z")],
+        "doc_id long, text string")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in
+           dedup_clusters(docs, edges=edges).collect()}
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+    assert out[5]["cluster_id"] == 5 and out[6]["cluster_id"] == 5
+    assert [out[i]["is_canonical"] for i in (1, 2, 3, 4, 5, 6)] == \
+        [True, False, False, True, True, False]
+    assert out[1]["cluster_size"] == 3 and out[6]["cluster_size"] == 2
+
+    # a long chain exercises multi-round propagation (diameter 5)
+    chain_docs = spark.createDataFrame(
+        [(i, "c") for i in range(10, 16)], "doc_id long, text string")
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 15)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           dedup_clusters(chain_docs, edges=chain_edges).collect()}
+    assert all(v == 10 for v in got.values())
