@@ -141,6 +141,19 @@ def main() -> int:
                             "tombstones pending) instead of the full rebuild")
     p_cmp.add_argument("--master", default=None)
 
+    p_pos = sub.add_parser(
+        "positions",
+        help="(re)build the positional sidecar for the CURRENT epoch "
+             "(merges/compactions create a new epoch without it; run "
+             "this over the merged corpus to restore index-only phrase)")
+    p_pos.add_argument("--index", required=True)
+    p_pos.add_argument("--input", required=True,
+                       help="the full current corpus parquet (url, text|html)")
+    p_pos.add_argument("--from-html", action="store_true")
+    p_pos.add_argument("--extract-mode", choices=["html", "any"],
+                       default="html")
+    p_pos.add_argument("--master", default=None)
+
     p_st = sub.add_parser(
         "stats", help="index health/metrics snapshot (no Spark job)")
     p_st.add_argument("--index", required=True)
@@ -171,6 +184,19 @@ def main() -> int:
             n = BM25Engine(spark, args.index).delete_urls(args.url)
             print(json.dumps({"event": "deleted", "n_tombstoned": n,
                               "elapsed_sec": round(time.time() - t0, 3)}))
+        elif args.cmd == "positions":
+            from super_rag_spark.index.positions import build_positions
+
+            docs = spark.read.parquet(args.input)
+            store = build_positions(
+                spark, docs.select("url", "html" if args.from_html
+                                   else "text"),
+                args.index, text_is_extracted=not args.from_html,
+                extract_mode=args.extract_mode)
+            print(json.dumps({
+                "event": "positions_built",
+                "epoch": store.read_manifest()["epoch"],
+                "elapsed_sec": round(time.time() - t0, 3)}))
         else:
             from super_rag_spark.index.merge import compact_index, compact_tail
 
