@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--langs", default="en,de,fr,es")
     ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--max-top-2gram", type=float, default=None,
+                    help="Gopher-style repetition gate: drop docs whose "
+                         "most frequent bigram exceeds this fraction of "
+                         "all bigram occurrences (e.g. 0.2)")
     ap.add_argument("--decontaminate", default=None,
                     help="eval-corpus parquet (doc_id, text); overlapping docs drop")
     ap.add_argument("--decontaminate-n", type=int, default=8)
@@ -59,6 +63,12 @@ def main() -> int:
              .config("spark.task.maxFailures", "4"))
     if args.master:
         builder = builder.master(args.master)
+        cores = args.master.split("[")[-1].rstrip("]")
+        if cores.isdigit():
+            # the 200-partition default is a cluster setting; locally it
+            # schedules ~40 empty tasks per shuffle on small corpora
+            # (AQE coalesces the big ones but pays planning per stage)
+            builder = builder.config("spark.sql.shuffle.partitions", cores)
     spark = builder.getOrCreate()
     t0 = time.time()
     try:
@@ -83,7 +93,8 @@ def main() -> int:
         n_in = docs.count()
         out = clean_corpus(docs, min_tokens=args.min_tokens,
                            keep_langs=tuple(args.langs.split(",")),
-                           jaccard_threshold=args.jaccard)
+                           jaccard_threshold=args.jaccard,
+                           max_top_2gram_frac=args.max_top_2gram)
         if args.decontaminate:
             bench = spark.read.parquet(args.decontaminate)
             out = textops.decontaminate(out, bench, n=args.decontaminate_n)

@@ -769,6 +769,41 @@ def quality_metrics(spark, sf_dir):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+@_q("repetition_metrics", """
+WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+            FROM documents),
+g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                                            i -> array_to_string(ts[i:i+1], ' '))) AS g
+       FROM tk WHERE len(ts) >= 2),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id,
+              round(max(c)::DOUBLE / sum(c), 6) AS top_2gram_frac,
+              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_2gram_frac
+       FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                                            i -> array_to_string(ts[i:i+2], ' '))) AS g
+       FROM tk WHERE len(ts) >= 3),
+c3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY doc_id, g),
+a3 AS (SELECT doc_id,
+              round(max(c)::DOUBLE / sum(c), 6) AS top_3gram_frac,
+              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_3gram_frac
+       FROM c3 GROUP BY doc_id)
+SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+       coalesce(a2.top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(a2.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+       coalesce(a3.top_3gram_frac, 0.0) AS top_3gram_frac,
+       coalesce(a3.dup_3gram_frac, 0.0) AS dup_3gram_frac
+FROM tk t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+""")
+def repetition_metrics_entry(spark, sf_dir):
+    """Gopher/C4-style repetition quality features
+    (textops.repetition_metrics): most-frequent- and duplicated-n-gram
+    occurrence fractions per doc, the boilerplate/spam signal
+    token-level stats miss."""
+    out = textops.repetition_metrics(_docs(spark, sf_dir))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
 @_q("doc_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')) AS fingerprint

@@ -328,15 +328,68 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style REPETITION quality features (r4) — the filter
+    family that catches boilerplate and spam pages n-gram-level
+    statistics see but token-level stats miss:
+
+      top_{2,3}gram_frac — occurrences of the single most frequent
+        word n-gram over total n-gram occurrences (Gopher table A1
+        thresholds: e.g. drop if top 2-gram > 0.20);
+      dup_{2,3}gram_frac — fraction of n-gram occurrences whose n-gram
+        occurs more than once in the doc.
+
+    Shape at 100 TB: per n one explode + one (doc, gram) hash agg +
+    one per-doc agg — map-side partial combine throughout, no joins
+    wider than the doc's own grams. Docs shorter than n tokens report
+    0.0 (nothing to repeat)."""
+    toks = with_tokens(df, text_col).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tokens"))
+
+    def frac_cols(n: int) -> DataFrame:
+        grams = (
+            toks.where(F.col("n_tokens") >= n)
+            .select("doc_id", F.explode(F.expr(
+                f"transform(sequence(0, size(tokens) - {n}),"
+                f" i -> concat_ws(' ', slice(tokens, i + 1, {n})))"
+            )).alias("g"))
+            .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        )
+        return (grams.groupBy("doc_id").agg(
+            F.sum("c").alias("total"), F.max("c").alias("top"),
+            F.sum(F.when(F.col("c") > 1, F.col("c"))
+                  .otherwise(F.lit(0))).alias("dup"))
+            .select(
+                "doc_id",
+                F.round(F.col("top") / F.col("total"), 6)
+                .alias(f"top_{n}gram_frac"),
+                F.round(F.col("dup") / F.col("total"), 6)
+                .alias(f"dup_{n}gram_frac")))
+
+    out = toks.select("doc_id", "n_tokens")
+    for n in (2, 3):
+        out = out.join(frac_cols(n), "doc_id", "left")
+    return out.select(
+        "doc_id", "n_tokens",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+          for c in ("top_2gram_frac", "dup_2gram_frac",
+                    "top_3gram_frac", "dup_3gram_frac")])
+
+
 def clean_corpus(df: DataFrame, min_tokens: int = 20,
                  keep_langs: tuple = ("en", "de", "fr", "es"),
                  jaccard_threshold: float = 0.5,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 max_top_2gram_frac: float | None = None) -> DataFrame:
     """The composed training-data cleaning pipeline, one DataFrame in ->
     one clean DataFrame out (the shape a 100 TB pretraining-data job
     actually runs):
 
       1. quality gate    — drop docs under ``min_tokens``
+      1b. repetition gate (opt-in, r4) — drop docs whose most frequent
+                           bigram exceeds ``max_top_2gram_frac`` of all
+                           bigram occurrences (Gopher's boilerplate
+                           rule; one extra explode+agg, semi-join)
       2. language gate   — keep ``keep_langs`` (marker-word lang_id)
       3. exact dedup     — md5(text) groups, lowest doc_id survives
       4. near-dup dedup  — MinHash-LSH candidates (banded bucket join,
@@ -360,6 +413,11 @@ def clean_corpus(df: DataFrame, min_tokens: int = 20,
              .where((F.col("n_tokens") >= min_tokens)
                     & F.col("pred_lang").isin(list(keep_langs)))
              .select("doc_id", text_col, "pred_lang", "n_tokens"))
+    if max_top_2gram_frac is not None:
+        keep = (repetition_metrics(df, text_col)
+                .where(F.col("top_2gram_frac") <= max_top_2gram_frac)
+                .select("doc_id"))
+        gated = gated.join(keep, "doc_id", "left_semi")
     canon = gated.withColumn(
         "_canonical",
         F.min("doc_id").over(Window.partitionBy(F.md5(F.col(text_col)))))

@@ -458,3 +458,31 @@ def test_dedup_clusters_transitive(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in
            dedup_clusters(chain_docs, edges=chain_edges).collect()}
     assert all(v == 10 for v in got.values())
+
+
+def test_repetition_metrics_and_gate(spark):
+    """r4: Gopher-style repetition features — a boilerplate doc (one
+    bigram everywhere) scores near 1.0, varied text scores low, short
+    docs report 0.0; the opt-in clean_corpus gate drops the spammy doc
+    and keeps the varied one."""
+    from super_rag_spark.textops import clean_corpus, repetition_metrics
+
+    spam = "buy now " * 30                      # top bigram 'buy now'
+    varied = " ".join(f"w{i} the and of to is it for on w{i+1}"
+                      for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, spam.strip()), (2, varied), (3, "too short")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert out[1]["top_2gram_frac"] > 0.45      # 'buy now' dominates
+    assert out[1]["dup_2gram_frac"] > 0.95      # every bigram repeats
+    assert out[2]["top_2gram_frac"] < 0.25
+    assert out[3]["n_tokens"] == 2
+    assert out[3]["top_3gram_frac"] == 0.0      # < 3 tokens -> 0.0
+    # n-gram accounting: 59 tokens -> 58 bigrams for doc 1
+    assert out[1]["n_tokens"] == 60
+
+    survivors = {r["doc_id"] for r in clean_corpus(
+        docs, min_tokens=5, keep_langs=("en", "und"),
+        max_top_2gram_frac=0.2).collect()}
+    assert 2 in survivors and 1 not in survivors
