@@ -170,6 +170,21 @@ def build_positions(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         docs_df = (extract(docs_df) if extract_mode == "html"
                    else extract_any(docs_df))
     toks = tokens_from_text(docs_df)
+    # duplicate-url guard, SAME deterministic survivor as build_index
+    # (build.py): without it a url ingested twice would merge BOTH
+    # copies' positions into one doc_id — phantom index-only phrase
+    # matches the postings (which kept one copy) can never produce.
+    # The check rides one cheap agg; the dedup shuffle runs only when a
+    # duplicate actually exists.
+    st = toks.agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("doc_id").alias("u")).collect()[0]
+    if int(st["n"]) != int(st["u"]):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.md5(F.concat_ws(" ", "tokens")).desc(), F.desc("dl"))
+        toks = (toks.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
     pos = (
         toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
         .select("doc_id", "pos", term_id_expr("term").alias("term_id"))

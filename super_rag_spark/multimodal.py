@@ -113,24 +113,31 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    width = height = bit_depth = color_type = interlace = None
-    idat: list[bytes] = []
-    plte = None
-    pos = 8
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
-        pos += 12 + length  # len + type + data + crc
-        if ctype == b"IHDR":
-            (width, height, bit_depth, color_type, _comp, _filt,
-             interlace) = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
+    # malformed-data errors (truncated chunks, corrupt deflate, bad
+    # palette indexes) must surface as ValueError: the distributed
+    # feature extractors skip ValueError per-asset — one corrupt PNG
+    # in a 100 TB corpus must never kill the job
+    try:
+        width = height = bit_depth = color_type = interlace = None
+        idat: list[bytes] = []
+        plte = None
+        pos = 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            pos += 12 + length  # len + type + data + crc
+            if ctype == b"IHDR":
+                (width, height, bit_depth, color_type, _comp, _filt,
+                 interlace) = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+    except (struct.error, ValueError) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
     if width is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
     if bit_depth != 8:
@@ -141,7 +148,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG deflate stream: {e}") from e
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel payload has the wrong length")
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -184,7 +194,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
-        return plte[out.reshape(height, width)]
+        idx = out.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     if ch == 1:
         return out.reshape(height, width)
     return out.reshape(height, width, ch)
@@ -284,8 +297,11 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
     elif payload[:8] == _PNG_SIG:
         try:
             arr, decoder = decode_png(payload), "png"
-        except NotImplementedError:
-            if not deterministic_fake:  # exotic PNG (16-bit / Adam7)
+        except (NotImplementedError, ValueError):
+            # exotic (16-bit / Adam7) or malformed PNG: degrade to the
+            # deterministic fake (metadata pipelines must survive a
+            # corrupt asset), or raise on the strict path
+            if not deterministic_fake:
                 raise
             arr = None
     if arr is not None:

@@ -598,10 +598,11 @@ class BM25Engine:
             # Spark job, no corpus. LAZY, score-ordered: rank ALL
             # candidates by BM25 first (scores need no verify), then
             # chain-verify in descending-score batches and stop as soon
-            # as k survive — a selective batch decodes only the position
-            # blocks its docs land in (pre-decode searchsorted skip),
-            # so frequent phrases never decode the head terms' full
-            # position lists
+            # as k survive. Position runs load per TERM through the
+            # decoded-positions LRU (doc ids are content hashes, so
+            # batches have no block locality — the first touch of a
+            # term pays its full sidecar read, repeats are in-memory);
+            # the batching bounds the chain_match work, not the I/O
             from .wand import accumulate_scores
 
             m = self.manifest

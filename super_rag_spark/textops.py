@@ -139,6 +139,8 @@ def dedup_clusters(df: DataFrame, n: int = 3, threshold: float = 0.5,
     und = e.unionByName(e.select(F.col("doc_b").alias("doc_a"),
                                  F.col("doc_a").alias("doc_b")))
     labels = df.select("doc_id").withColumn("label", F.col("doc_id"))
+    prev_persisted = None
+    changed = -1
     for _ in range(max_iterations):
         nbr = (und.join(labels,
                         und["doc_b"] == labels["doc_id"])
@@ -154,9 +156,19 @@ def dedup_clusters(df: DataFrame, n: int = 3, threshold: float = 0.5,
                           .alias("label")))
         merged = merged.persist()
         changed = merged.where(F.col("label") != F.col("old")).count()
+        if prev_persisted is not None:  # materialized above -> safe
+            prev_persisted.unpersist()
+        prev_persisted = merged
         labels = merged.select("doc_id", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # falling through silently would return labels violating the
+        # 'cluster_id = component min' contract for long chains
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} "
+            "rounds (component diameter exceeds it); raise "
+            "max_iterations or switch to large-star/small-star")
     w = Window.partitionBy("cluster_id")
     return (labels.select("doc_id", F.col("label").alias("cluster_id"))
             .withColumn("cluster_size", F.count(F.lit(1)).over(w))
@@ -328,7 +340,8 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       ns: tuple = (2, 3)) -> DataFrame:
     """Gopher/C4-style REPETITION quality features (r4) — the filter
     family that catches boilerplate and spam pages n-gram-level
     statistics see but token-level stats miss:
@@ -342,7 +355,9 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     Shape at 100 TB: per n one explode + one (doc, gram) hash agg +
     one per-doc agg — map-side partial combine throughout, no joins
     wider than the doc's own grams. Docs shorter than n tokens report
-    0.0 (nothing to repeat)."""
+    0.0 (nothing to repeat). ``ns``: which gram sizes to compute —
+    callers gating on one size (clean_corpus) pass ``ns=(2,)`` and
+    skip the other explode+agg leg entirely."""
     toks = with_tokens(df, text_col).select(
         "doc_id", "tokens", F.size("tokens").alias("n_tokens"))
 
@@ -367,13 +382,13 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
                 .alias(f"dup_{n}gram_frac")))
 
     out = toks.select("doc_id", "n_tokens")
-    for n in (2, 3):
+    for n in ns:
         out = out.join(frac_cols(n), "doc_id", "left")
     return out.select(
         "doc_id", "n_tokens",
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c)
-          for c in ("top_2gram_frac", "dup_2gram_frac",
-                    "top_3gram_frac", "dup_3gram_frac")])
+          for n in ns
+          for c in (f"top_{n}gram_frac", f"dup_{n}gram_frac")])
 
 
 def clean_corpus(df: DataFrame, min_tokens: int = 20,
@@ -414,7 +429,7 @@ def clean_corpus(df: DataFrame, min_tokens: int = 20,
                     & F.col("pred_lang").isin(list(keep_langs)))
              .select("doc_id", text_col, "pred_lang", "n_tokens"))
     if max_top_2gram_frac is not None:
-        keep = (repetition_metrics(df, text_col)
+        keep = (repetition_metrics(df, text_col, ns=(2,))
                 .where(F.col("top_2gram_frac") <= max_top_2gram_frac)
                 .select("doc_id"))
         gated = gated.join(keep, "doc_id", "left_semi")
@@ -506,7 +521,12 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
 IPV4_RE = rf"\b({_OCTET}\.){{3}}{_OCTET}\b"
 SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
-PHONE_RE = r"(\+?1[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b"
+# start is anchored too (\b digits, or a literal paren group): the r4
+# review caught the unanchored form scrubbing the TAIL of longer ids
+# ('ISBN 4123-456-7890' -> 'ISBN 4<PHONE>'); RE2 has no lookbehind, so
+# the word boundary / paren alternation is the portable anchor
+PHONE_RE = (r"(\+?1[-. ])?(\([0-9]{3}\)|\b[0-9]{3})"
+            r"[-. ][0-9]{3}[-. ][0-9]{4}\b")
 SECRET_RE = r"\b((sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16})\b"
 
 # scrub order is load-bearing and mirrored verbatim by the SQL oracle:

@@ -486,3 +486,70 @@ def test_repetition_metrics_and_gate(spark):
         docs, min_tokens=5, keep_langs=("en", "und"),
         max_top_2gram_frac=0.2).collect()}
     assert 2 in survivors and 1 not in survivors
+
+
+def test_png_malformed_payloads_degrade_not_crash(spark):
+    """r4 review: corrupt PNG-signature payloads must raise ValueError
+    (skipped per-asset by the extractors), never zlib/struct/IndexError
+    that would kill a distributed job."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from super_rag_spark.multimodal import (decode_image, decode_png,
+                                            encode_png, image_features)
+
+    good = encode_png(np.zeros((4, 5, 3), dtype=np.uint8))
+    corrupt_idat = good[:-30] + bytes(30)           # trash the stream
+    short_ihdr = (b"\x89PNG\r\n\x1a\n"
+                  + struct.pack(">I", 4) + b"IHDR" + b"\x00" * 8)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc))
+
+    bad_palette = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+                   + chunk(b"PLTE", bytes(3))       # 1 entry
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x00\x07"))  # idx 7
+                   + chunk(b"IEND", b""))
+    for payload in (corrupt_idat, short_ihdr, bad_palette):
+        with pytest.raises(ValueError):
+            decode_png(payload)
+        meta = decode_image(payload, deterministic_fake=True)
+        assert meta["decoder"] == "fake"            # degraded, not dead
+    # and the distributed extractor drops them without failing the job
+    assets = spark.createDataFrame(
+        [(1, "image/png", bytearray(good)),
+         (2, "image/png", bytearray(corrupt_idat)),
+         (3, "image/png", bytearray(bad_palette))],
+        "asset_id long, media_type string, payload binary")
+    feats = image_features(assets).collect()
+    assert [r["asset_id"] for r in feats] == [1]
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    from super_rag_spark.textops import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "c") for i in range(10, 16)], "doc_id long, text string")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 15)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, edges=chain, max_iterations=2)
+
+
+def test_pii_phone_start_anchor():
+    """r4 review: the phone pattern must not scrub the TAIL of longer
+    ids (ISBNs, version strings)."""
+    import re
+
+    from super_rag_spark.textops import PHONE_RE
+
+    assert re.search(PHONE_RE, "call (415) 555-0134 now")
+    assert re.search(PHONE_RE, "+1 415-555-0199")
+    assert re.search(PHONE_RE, "415.555.0199 ok")
+    assert not re.search(PHONE_RE, "ISBN 4123-456-7890")
+    assert not re.search(PHONE_RE, "part 98123.456.7890")
