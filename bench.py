@@ -276,6 +276,32 @@ def main() -> int:
     finally:
         spark.stop()
 
+    # --- query-throughput N vs 4N (r4): the north rule's scaling
+    # criterion applies to the ENGINE, not just the build — run the
+    # same 100-query distributed-WAND batch at 1 and 4 cores on the
+    # just-built index (min-of-2 after a warm-up batch per session)
+    if os.environ.get("SPARK_GRAFT_QSCALING",
+                      "1" if DO_SCALING else "0") != "0":
+        qbest: dict[int, float] = {}
+        for cores in (1, 4):
+            sp = make_session(cores)
+            try:
+                e = BM25Engine(sp, idx_dir)
+                e.warm()
+                e.query_batch_wand(queries[:10], k=10).count()  # warm up
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    e.query_batch_wand(queries, k=10).count()
+                    best = min(best, time.time() - t0)
+                qbest[cores] = best
+            finally:
+                sp.stop()
+        comp["query_scale1"] = round(qbest[1], 3)
+        comp["query_scale4"] = round(qbest[4], 3)
+        extra["query_scaling_efficiency"] = round(
+            qbest[1] / (4.0 * qbest[4]), 3)
+
     total = round(sum(comp.values()), 3)
     print(json.dumps({
         "metric": "bm25_engine_suite",
