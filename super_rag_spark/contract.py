@@ -769,6 +769,37 @@ def quality_metrics(spark, sf_dir):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+@_q("hash_sample", f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('sample:' || doc_id::VARCHAR), 1, 8)
+      < '{textops._hash_frac_hex(0.25)}'
+ORDER BY doc_id
+""")
+def hash_sample_entry(spark, sf_dir):
+    """Deterministic content-hash sampling (textops.hash_sample,
+    rate 0.25): the sampled SET must be identical across engines —
+    the md5-prefix threshold compare is the whole decision."""
+    return (textops.hash_sample(_docs(spark, sf_dir), 0.25)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@_q("stratified_sample", f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('mix:' || doc_id::VARCHAR), 1, 8)
+      < CASE lang WHEN 'en' THEN '{textops._hash_frac_hex(0.5)}'
+                  WHEN 'de' THEN '{textops._hash_frac_hex(0.2)}'
+                  ELSE '00000000' END
+ORDER BY doc_id
+""")
+def stratified_sample_entry(spark, sf_dir):
+    """Per-stratum deterministic sampling / data mixing
+    (textops.stratified_hash_sample): 50% of en, 20% of de, drop the
+    rest — the per-language mix weights of a pretraining data recipe."""
+    return (textops.stratified_hash_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.2}, salt="mix")
+        .select("doc_id", "lang").orderBy("doc_id"))
+
+
 @_q("repetition_metrics", """
 WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
             FROM documents),

@@ -340,6 +340,48 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _hash_frac_hex(rate: float) -> str:
+    """rate in [0, 1] -> the 8-hex-digit threshold such that
+    P(md5-prefix < threshold) == rate for a uniform hash. Lowercase
+    hex strings of equal length compare lexicographically the same as
+    numerically, in Spark, DuckDB, and Python alike — the whole
+    sampling decision is one string compare."""
+    return format(max(0, min(int(rate * 16**8), 16**8 - 1)), "08x")
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Deterministic content-hash sampling (r4): keep a row iff the
+    first 8 hex chars of md5(salt:key) fall below the rate threshold.
+    How web-scale pipelines downsample — no RNG state, reproducible
+    across runs/engines/partitionings, a doc's fate is a pure function
+    of its key, and changing ``salt`` draws an independent sample. At
+    100 TB this is a map-only predicate fused into the scan."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        1, 8)
+    return df.where(h < F.lit(_hash_frac_hex(rate)))
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict,
+                           strat_col: str = "lang",
+                           key_col: str = "doc_id",
+                           salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling — the DATA-MIXING primitive
+    (e.g. keep 50% of en, 10% of the rest-of-web slice when composing
+    a training mix). Strata absent from ``rates`` are dropped. Same
+    hash device as hash_sample; the per-stratum threshold folds into
+    one CASE column, still a map-only scan predicate."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        1, 8)
+    thr = F.lit("00000000")
+    for v, r in sorted(rates.items()):
+        thr = F.when(F.col(strat_col) == v,
+                     F.lit(_hash_frac_hex(r))).otherwise(thr)
+    return df.where(h < thr)
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        ns: tuple = (2, 3)) -> DataFrame:
     """Gopher/C4-style REPETITION quality features (r4) — the filter

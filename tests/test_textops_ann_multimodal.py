@@ -553,3 +553,30 @@ def test_pii_phone_start_anchor():
     assert re.search(PHONE_RE, "415.555.0199 ok")
     assert not re.search(PHONE_RE, "ISBN 4123-456-7890")
     assert not re.search(PHONE_RE, "part 98123.456.7890")
+
+
+def test_hash_sampling_deterministic_and_stratified(spark):
+    """r4: sampling is a pure function of (salt, key) — identical sets
+    across repeated runs and partitionings; stratified rates apply per
+    stratum and unknown strata drop; disjoint salts draw independent
+    samples."""
+    from super_rag_spark.textops import hash_sample, stratified_hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(600)],
+        "doc_id long, lang string")
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(7), 0.3).collect()}
+    assert a == b and 100 < len(a) < 260  # deterministic, ~0.3 rate
+    c = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="other").collect()}
+    assert c != a  # independent draw
+    sub = {r["doc_id"] for r in hash_sample(docs, 0.1).collect()}
+    assert sub <= a  # nested thresholds -> nested samples
+
+    strat = stratified_hash_sample(docs, {"en": 1.0, "de": 0.5})
+    rows = strat.collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "de"}  # fr absent from rates -> dropped
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert n_en == 200  # rate 1.0 keeps every en doc
