@@ -33,6 +33,9 @@ def main() -> int:
     ap.add_argument("--positions", action="store_true",
                     help="also build the positional sidecar (r4): phrase"
                          " queries run index-only, ~2x index size")
+    ap.add_argument("--vocab", action="store_true",
+                    help="also build the vocabulary sidecar (r4):"
+                         " enables typo-tolerant --fuzzy queries")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master")
@@ -76,7 +79,7 @@ def main() -> int:
     eng = BM25Engine(spark, args.index)
     eng.build(df, text_is_extracted=not args.from_html,
               extract_mode=args.extract_mode, positions=args.positions,
-              **kwargs)
+              vocab=args.vocab, **kwargs)
     elapsed = time.time() - t0
     print(json.dumps({
         "event": "index_built", "index": args.index, "n_docs": n_docs,

@@ -154,6 +154,18 @@ def main() -> int:
                        default="html")
     p_pos.add_argument("--master", default=None)
 
+    p_voc = sub.add_parser(
+        "vocab",
+        help="(re)build the vocabulary sidecar for the CURRENT epoch "
+             "(enables typo-tolerant --fuzzy queries; merges drop it)")
+    p_voc.add_argument("--index", required=True)
+    p_voc.add_argument("--input", required=True,
+                       help="the full current corpus parquet (url, text|html)")
+    p_voc.add_argument("--from-html", action="store_true")
+    p_voc.add_argument("--extract-mode", choices=["html", "any"],
+                       default="html")
+    p_voc.add_argument("--master", default=None)
+
     p_st = sub.add_parser(
         "stats", help="index health/metrics snapshot (no Spark job)")
     p_st.add_argument("--index", required=True)
@@ -195,6 +207,19 @@ def main() -> int:
                 extract_mode=args.extract_mode)
             print(json.dumps({
                 "event": "positions_built",
+                "epoch": store.read_manifest()["epoch"],
+                "elapsed_sec": round(time.time() - t0, 3)}))
+        elif args.cmd == "vocab":
+            from super_rag_spark.index.vocab import build_vocab
+
+            docs = spark.read.parquet(args.input)
+            store = build_vocab(
+                spark, docs.select("url", "html" if args.from_html
+                                   else "text"),
+                args.index, text_is_extracted=not args.from_html,
+                extract_mode=args.extract_mode)
+            print(json.dumps({
+                "event": "vocab_built",
                 "epoch": store.read_manifest()["epoch"],
                 "elapsed_sec": round(time.time() - t0, 3)}))
         else:

@@ -38,6 +38,10 @@ def main() -> int:
                     help="treat --query as a boolean expression "
                          "(left-assoc AND/OR/NOT over single tokens); "
                          "pure index, no corpus needed")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="typo-tolerant: correct each term to its "
+                         "nearest vocabulary term within one edit "
+                         "(needs an index built with --vocab)")
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query as an exact phrase (match-then-"
                          "verify: postings conjunction + adjacency check "
@@ -106,6 +110,13 @@ def main() -> int:
                           "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
                                     "score": round(r["score"], 6)}
                                    for r in rows]}))
+    elif args.query is not None and args.fuzzy:
+        t0 = time.time()
+        hits = eng.fuzzy_topk(args.query, args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"fuzzy": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None:
         t0 = time.time()
         hits = eng.topk(args.query, args.k,

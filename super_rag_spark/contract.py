@@ -1404,6 +1404,12 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
         build_positions(spark, docs, idx_dir)
+    if not eng.store.has_vocab():  # r4 fuzzy-matching sidecar
+        from .index.vocab import build_vocab
+
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+        build_vocab(spark, docs, idx_dir)
     _INDEX_CACHE[key] = eng
     return eng
 
@@ -1562,6 +1568,89 @@ def index_tiered_topk(spark, sf_dir):
         for rank, (d, s) in enumerate(hits, start=1)
     ]
     return spark.createDataFrame(rows, "query_id int, rank int, doc_id long, score double")
+
+
+def _typo(term: str) -> str:
+    """Deterministic ONE-edit typo (a last-two-char swap is distance 2
+    under classic Levenshtein — the r4 first draft's mistake): long
+    terms lose their last char (deletion), mid-length get it replaced
+    (substitution), short ones gain one (insertion) — all three edit
+    classes exercised across the query set."""
+    if len(term) >= 6:
+        return term[:-1]
+    if len(term) >= 4:
+        return term[:-1] + "x"
+    return term + "x"
+
+
+FUZZY_QUERIES = [(qid, " ".join(_typo(t) for t in text.split()))
+                 for qid, text in BM25_QUERIES]
+
+
+def _fuzzy_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """SymSpell-correction + BM25 oracle: the misspelled query terms'
+    deletion neighborhoods equi-join the vocabulary's, levenshtein<=1
+    verifies, the (distance, df DESC, term) winner per term feeds the
+    standard BM25 tail. Mirrors engine.fuzzy_topk / index/vocab.py."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, qtext in queries
+                     for t in sorted(set(analysis.tokenize(qtext))))
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, qterm) AS (VALUES {vals}),
+qv AS (SELECT query_id, qterm,
+              unnest(list_append(list_transform(range(1, length(qterm) + 1),
+                     i -> substr(qterm, 1, i - 1) || substr(qterm, i + 1)),
+                     qterm)) AS variant
+       FROM q),
+vv AS (SELECT term, df,
+              unnest(list_append(list_transform(range(1, length(term) + 1),
+                     i -> substr(term, 1, i - 1) || substr(term, i + 1)),
+                     term)) AS variant
+       FROM dfreq),
+fcand AS (SELECT DISTINCT query_id, qterm, term, df FROM qv JOIN vv USING (variant)),
+okc AS (SELECT query_id, qterm, term, df, levenshtein(qterm, term) AS dist
+        FROM fcand WHERE levenshtein(qterm, term) <= 1),
+best AS (SELECT query_id, term FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                    ORDER BY dist, df DESC, term) AS rn FROM okc)
+         WHERE rn = 1),
+cq AS (SELECT DISTINCT query_id, term FROM best),
+contrib AS (
+  SELECT cq.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM cq JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("fuzzy_topk", _fuzzy_sql(FUZZY_QUERIES))
+def fuzzy_topk_entry(spark, sf_dir):
+    """Typo-tolerant search (engine.fuzzy_topk over the vocabulary
+    sidecar): every reference query's terms get a deterministic
+    one-edit typo (transpose last two chars / append 'x'); the
+    SymSpell deletion-neighborhood join + levenshtein verify must pick
+    the same corrections as the oracle and the corrected BM25 top-k
+    must hash-match."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, qtext in FUZZY_QUERIES:
+        for rank, (d, s) in enumerate(eng.fuzzy_topk(qtext, k=10), start=1):
+            rows.append((qid, rank, int(doc_stats[d].split("doc://")[1]),
+                         round(s, 6)))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
 
 
 def _map_index_ids(spark: SparkSession, eng, res):

@@ -127,6 +127,16 @@ class IndexStorage:
     def positions_dir_for(self, epoch: int) -> str:
         return os.path.join(self.root, f"positions_e{epoch}")
 
+    def vocab_dir_for(self, epoch: int) -> str:
+        return os.path.join(self.root, f"vocab_e{epoch}")
+
+    def has_vocab(self, epoch: int | None = None) -> bool:
+        """True iff the vocabulary sidecar (index/vocab.py — fuzzy term
+        matching) exists for this epoch. Same lifecycle as the
+        positional sidecar: merges create a new epoch without it."""
+        d = self.vocab_dir_for(self.epoch() if epoch is None else epoch)
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
     def has_positions(self, epoch: int | None = None) -> bool:
         """True iff the positional sidecar exists for this epoch.
         Merges/compactions create a NEW epoch without positions, so a

@@ -1,0 +1,166 @@
+"""Opt-in VOCABULARY sidecar: typo-tolerant (fuzzy) term matching.
+
+The postings pipeline is keyed on int64 term_id hashes — deliberately
+string-free (memory: ~3x build cost otherwise) — which means the index
+alone cannot answer "what terms are CLOSE to this misspelled one".
+This sidecar stores the SymSpell-style deletion neighborhood of the
+corpus vocabulary: for every vocab term, one row per single-character
+DELETION variant (plus the term itself). Two strings within Levenshtein
+distance 1 always share a variant (equal / insert / delete directly;
+substitution through the deletion at the differing position), so fuzzy
+lookup is a plain EQUI-JOIN on the variant string followed by an exact
+levenshtein verify — no all-pairs scan, no fragile first-letter
+blocking, the same device SymSpell/industrial spell-correctors use.
+
+Size: |vocab| x (avg term length + 1) rows of short strings — the
+vocabulary is tiny next to the corpus (even web-scale vocab ~10^8-10^9
+rows is an ordinary table). Partitioned by bucket =
+term_id(variant) % n_buckets and variant-sorted within files, so a
+driver lookup prunes buckets and row groups exactly like postings.
+
+Lifecycle mirrors the positions sidecar: built per epoch
+(build_vocab after build_index / `build_index.py --vocab`), dropped by
+merges/compactions (has_vocab() turns false, fuzzy queries raise a
+clear error), rebuilt over the merged corpus via
+`ingest.py vocab`-style re-runs of build_vocab.
+
+No reference analog (super-rag's dense retrieval gets fuzziness from
+embeddings); this is the sparse-engine equivalent of Lucene's fuzzy
+term queries, re-expressed as Spark joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import extract, extract_any, term_id_expr, tokens_from_text
+from .storage import IndexStorage
+
+VOCAB_SCHEMA = "variant string, term string, df long, bucket int"
+
+
+def deletion_variants_expr(col: str):
+    """term -> array of the term plus every single-char deletion
+    (deduped). Pure Catalyst (transform over sequence + substring)."""
+    return F.expr(
+        f"array_union(array({col}), "
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col})))))"
+    )
+
+
+def deletion_variants(term: str) -> list[str]:
+    """Python mirror of deletion_variants_expr (driver-side lookups)."""
+    out = [term] + [term[:i] + term[i + 1:] for i in range(len(term))]
+    seen: set[str] = set()
+    uniq = []
+    for v in out:
+        if v not in seen:
+            seen.add(v)
+            uniq.append(v)
+    return uniq
+
+
+def build_vocab(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
+                text_is_extracted: bool = True,
+                extract_mode: str = "html") -> IndexStorage:
+    """Build the vocabulary sidecar for the CURRENT epoch of an
+    existing index. ``docs_df`` must be the corpus build_index saw;
+    df(term) here equals the index's term_stats df (same duplicate-url
+    survivor guard as build_index/build_positions)."""
+    store = IndexStorage(index_dir)
+    manifest = store.read_manifest()
+    n_buckets = int(manifest["n_buckets"])
+    epoch = int(manifest["epoch"])
+
+    if not text_is_extracted:
+        docs_df = (extract(docs_df) if extract_mode == "html"
+                   else extract_any(docs_df))
+    toks = tokens_from_text(docs_df)
+    st = toks.agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("doc_id").alias("u")).collect()[0]
+    if int(st["n"]) != int(st["u"]):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.md5(F.concat_ws(" ", "tokens")).desc(), F.desc("dl"))
+        toks = (toks.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+    vocab = (
+        toks.select("doc_id",
+                    F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    variants = (
+        vocab.select(
+            "term", "df",
+            F.explode(deletion_variants_expr("term")).alias("variant"))
+        .withColumn("bucket",
+                    F.pmod(term_id_expr("variant"),
+                           F.lit(n_buckets)).cast("int"))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("variant")
+        .select("variant", "term", "df", "bucket")
+    )
+    variants.write.mode("overwrite").partitionBy("bucket").parquet(
+        store.vocab_dir_for(epoch))
+    return store
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein (no transposition) — must agree with Spark's
+    F.levenshtein and DuckDB's levenshtein() (tests cross-check)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ai != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def correct_terms_batch(spark: SparkSession, store: IndexStorage,
+                        terms: list[str]) -> DataFrame:
+    """DISTRIBUTED correction for a term batch: explode the query
+    terms' deletion variants, equi-join the sidecar's variant rows
+    (bucket + variant pruned), levenshtein<=1 verify, pick the best
+    candidate per term by (distance, df DESC, term). Returns
+    (qterm, term, dist, df) — one row per correctable input term."""
+    from pyspark.sql import Window
+
+    from .storage import bucket_of_term_id
+
+    manifest = store.read_manifest()
+    epoch = int(manifest["epoch"])
+    n_buckets = int(manifest["n_buckets"])
+    if not store.has_vocab(epoch):
+        raise ValueError(
+            "vocabulary sidecar absent for the current epoch — build "
+            "with vocab=True / run build_vocab")
+    from ..analysis import term_id_for
+
+    qrows = [(t, v) for t in sorted(set(terms))
+             for v in deletion_variants(t)]
+    qv = spark.createDataFrame(qrows, "qterm string, variant string")
+    buckets = sorted({bucket_of_term_id(term_id_for(v), n_buckets)
+                      for _, v in qrows})
+    vv = (spark.read.schema(VOCAB_SCHEMA)
+          .parquet(store.vocab_dir_for(epoch))
+          .where(F.col("bucket").isin(buckets)))
+    cand = (vv.join(F.broadcast(qv), "variant")
+            .select("qterm", "term", "df").distinct()
+            .withColumn("dist", F.levenshtein("qterm", "term"))
+            .where(F.col("dist") <= 1))
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))

@@ -134,14 +134,23 @@ class BM25Engine:
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, positions: bool = False,
-              **kwargs) -> "BM25Engine":
+              vocab: bool = False, **kwargs) -> "BM25Engine":
         """``positions=True`` (r4) also builds the positional sidecar
-        (index/positions.py) so phrase queries run index-only."""
+        (index/positions.py) so phrase queries run index-only;
+        ``vocab=True`` builds the vocabulary sidecar (index/vocab.py)
+        enabling typo-tolerant fuzzy_topk."""
         build_index(self.spark, docs_df, self.store.root, **kwargs)
         if positions:
             from ..index.positions import build_positions
 
             build_positions(
+                self.spark, docs_df, self.store.root,
+                text_is_extracted=kwargs.get("text_is_extracted", True),
+                extract_mode=kwargs.get("extract_mode", "html"))
+        if vocab:
+            from ..index.vocab import build_vocab
+
+            build_vocab(
                 self.spark, docs_df, self.store.root,
                 text_is_extracted=kwargs.get("text_is_extracted", True),
                 extract_mode=kwargs.get("extract_mode", "html"))
@@ -186,7 +195,8 @@ class BM25Engine:
         working set is the right prefetch list."""
         hot = [t for (e, t) in self._dec_cache if e == old_epoch]
         self._ds_cache = {k: v for k, v in self._ds_cache.items()
-                          if (k[1] if k[0] == "pos" else k[0]) != old_epoch}
+                          if (k[1] if k[0] in ("pos", "voc")
+                              else k[0]) != old_epoch}
         for key in [k for k in self._term_cache if k[0] == old_epoch]:
             del self._term_cache[key]
         for key in [k for k in self._dec_cache if k[0] == old_epoch]:
@@ -796,6 +806,65 @@ class BM25Engine:
         return vectorized_topk_arrays(
             positive, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]), candidates=cand)
+
+    # -------------------------------------------------------------- fuzzy
+    def _correct_term(self, term: str, max_dist: int = 1) -> str | None:
+        """Driver-side SymSpell lookup against the vocabulary sidecar:
+        read the rows whose variant matches one of the term's deletion
+        variants (bucket-dir + variant row-group pruned, pyarrow — no
+        Spark job), levenshtein-verify, pick (distance, df DESC, term)
+        best. Returns None when nothing is within ``max_dist``. An
+        in-vocab term returns itself (distance 0 always wins)."""
+        from ..index.storage import POSITIONS_SCHEMA  # noqa: F401
+        from ..index.vocab import deletion_variants, levenshtein
+
+        epoch = int(self.manifest["epoch"])
+        n_buckets = int(self.manifest["n_buckets"])
+        base = self.store.vocab_dir_for(epoch)
+        variants = deletion_variants(term)
+        by_bucket: dict[int, list[str]] = {}
+        for v in variants:
+            b = bucket_of_term_id(term_id_for(v), n_buckets)
+            by_bucket.setdefault(b, []).append(v)
+        best: tuple | None = None
+        for bkt, vs in by_bucket.items():
+            p = os.path.join(base, f"bucket={bkt}")
+            if not os.path.isdir(p):
+                continue
+            dataset = self._ds_cache.get(("voc", epoch, bkt))
+            if dataset is None:
+                dataset = ds.dataset(p, format="parquet")
+                self._ds_cache[("voc", epoch, bkt)] = dataset
+            tbl = dataset.to_table(filter=ds.field("variant").isin(vs),
+                                   columns=["term", "df"])
+            for cand, df_c in zip(tbl["term"].to_pylist(),
+                                  tbl["df"].to_pylist()):
+                dist = levenshtein(term, cand)
+                if dist > max_dist:
+                    continue
+                key = (dist, -int(df_c), cand)
+                if best is None or key < best:
+                    best = key
+        return best[2] if best is not None else None
+
+    def fuzzy_topk(self, query: str, k: int = 10, max_dist: int = 1,
+                   method: str = "vectorized") -> list[tuple[int, float]]:
+        """Typo-tolerant top-k: every query term is corrected to its
+        nearest vocabulary term within ``max_dist`` edits (SymSpell
+        deletion-neighborhood against the vocab sidecar; in-vocab terms
+        pass through at distance 0; uncorrectable terms drop), then the
+        corrected terms run the normal BM25 path. Needs an index built
+        with ``vocab=True``."""
+        if not self.store.has_vocab():
+            raise ValueError(
+                "fuzzy_topk needs the vocabulary sidecar — build with"
+                " vocab=True / run build_vocab")
+        terms = sorted(set(tokenize(query)))
+        corrected = sorted({c for t in terms
+                            if (c := self._correct_term(t, max_dist))})
+        if not corrected:
+            return []
+        return self.topk(" ".join(corrected), k, method=method)
 
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:

@@ -1,0 +1,112 @@
+"""r4 fuzzy search: SymSpell deletion-neighborhood correction against
+the vocabulary sidecar — lev implementations agree across engines, the
+neighborhood join finds exactly the distance<=1 candidates, and the
+driver + distributed correctors pick identical winners."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from super_rag_spark.index.vocab import deletion_variants, levenshtein
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_levenshtein_and_neighborhood_property(data):
+    """python lev == classic DP; and the SymSpell invariant: two
+    strings share a deletion variant IFF ... distance<=1 implies a
+    shared variant (the join's recall guarantee)."""
+    alpha = "abc"
+    a = "".join(data.draw(st.lists(st.sampled_from(alpha), min_size=0,
+                                   max_size=6)))
+    b = "".join(data.draw(st.lists(st.sampled_from(alpha), min_size=0,
+                                   max_size=6)))
+    d = levenshtein(a, b)
+    # reference DP (independent implementation)
+    la, lb = len(a), len(b)
+    dp = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        dp[i][0] = i
+    for j in range(lb + 1):
+        dp[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                           dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    assert d == dp[la][lb]
+    if d <= 1:  # recall guarantee of the deletion-neighborhood join
+        assert set(deletion_variants(a)) & set(deletion_variants(b))
+
+
+def test_levenshtein_matches_spark_and_duckdb(spark):
+    import duckdb
+
+    pairs = [("hello", "hallo"), ("cat", "cats"), ("abc", "acb"),
+             ("", "x"), ("same", "same"), ("kitten", "sitting")]
+    sdf = spark.createDataFrame(pairs, "a string, b string")
+    got_spark = [r["d"] for r in
+                 sdf.selectExpr("levenshtein(a, b) AS d").collect()]
+    con = duckdb.connect()
+    got_duck = [con.execute("SELECT levenshtein(?, ?)", list(p)).fetchone()[0]
+                for p in pairs]
+    got_py = [levenshtein(a, b) for a, b in pairs]
+    assert got_py == got_spark == got_duck
+
+
+@pytest.fixture(scope="module")
+def fuzzy_engine(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://f.example/{i}",
+             ["alpha beta gamma common", "alpha delta common zz",
+              "gamma epsilon common qq"][i % 3] + f" pad{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("fuzzidx") / "idx")
+    return BM25Engine(spark, idx).build(docs, vocab=True,
+                                        text_is_extracted=True)
+
+
+def test_fuzzy_correction_semantics(spark, fuzzy_engine):
+    eng = fuzzy_engine
+    # in-vocab term passes through (distance 0 wins)
+    assert eng._correct_term("alpha") == "alpha"
+    # one-edit typos correct: substitution, deletion, insertion
+    assert eng._correct_term("alpja") == "alpha"
+    assert eng._correct_term("alph") == "alpha"
+    assert eng._correct_term("alphaa") == "alpha"
+    # hopeless strings return None
+    assert eng._correct_term("zzzzzzz") is None
+    # tie-break: higher-df term wins at equal distance ('common' occurs
+    # in every doc; craft a typo equidistant to two vocab terms)
+    # 'gamm' -> gamma (dist 1); 'bet' vs 'beta'... use explicit check:
+    assert eng._correct_term("gamm") == "gamma"
+
+    # fuzzy_topk == exact topk on the corrected text
+    exact = eng.topk("alpha beta", k=10)
+    fuzzy = eng.fuzzy_topk("alpja betx", k=10)
+    assert fuzzy == exact
+    # uncorrectable-only query -> empty
+    assert eng.fuzzy_topk("qwxyzzz", k=5) == []
+
+
+def test_fuzzy_driver_equals_distributed(spark, fuzzy_engine):
+    from super_rag_spark.index.vocab import correct_terms_batch
+
+    terms = ["alpha", "alpja", "gamm", "commn", "zzzzzzz", "padd1"]
+    dist = {r["qterm"]: r["term"] for r in
+            correct_terms_batch(spark, fuzzy_engine.store, terms).collect()}
+    for t in terms:
+        assert dist.get(t) == fuzzy_engine._correct_term(t), t
+
+
+def test_fuzzy_requires_vocab_sidecar(spark, tmp_path):
+    from super_rag_spark.query.engine import BM25Engine
+
+    docs = spark.createDataFrame(
+        [("https://nv.example/1", "alpha beta")], "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "novoc")).build(
+        docs, text_is_extracted=True)
+    with pytest.raises(ValueError, match="vocabulary sidecar"):
+        eng.fuzzy_topk("alpja", k=5)
