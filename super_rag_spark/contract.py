@@ -1653,6 +1653,66 @@ def fuzzy_topk_entry(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+def _snippet_sql(queries: list[tuple[int, str]], width: int = 20,
+                 k: int = 10) -> str:
+    """BM25 top-k hits -> best query-term window per hit (anchor at a
+    match; max occurrences in [pos, pos+width), earliest on ties)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, qtext in queries
+        for t in sorted(set(analysis.tokenize(qtext))))
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {vals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored),
+hits AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {k}),
+tk AS (SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS ts
+       FROM documents d JOIN (SELECT DISTINCT doc_id FROM hits) h USING (doc_id)),
+pt AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS pos, unnest(ts) AS term
+       FROM tk),
+m AS (SELECT h.query_id, p.doc_id, p.pos
+      FROM pt p JOIN q USING (term)
+      JOIN hits h ON h.doc_id = p.doc_id AND h.query_id = q.query_id),
+wnd AS (SELECT a.query_id, a.doc_id, a.pos, count(*)::BIGINT AS n_matches
+        FROM m a JOIN m b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+                          AND b.pos >= a.pos AND b.pos < a.pos + {width}
+        GROUP BY a.query_id, a.doc_id, a.pos),
+best AS (SELECT query_id, doc_id, pos, n_matches FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                     ORDER BY n_matches DESC, pos) AS rn FROM wnd)
+         WHERE rn = 1)
+SELECT b.query_id, b.doc_id, b.n_matches,
+       array_to_string(t.ts[b.pos:b.pos + {width - 1}], ' ') AS snippet
+FROM best b JOIN tk t USING (doc_id)
+"""
+
+
+@_q("search_snippets", _snippet_sql(BM25_QUERIES[:3]))
+def search_snippets(spark, sf_dir):
+    """Result highlighting (query/snippet.snippets): for each BM25
+    top-10 hit, the 20-token window with the most query-term
+    occurrences (earliest on ties) — the excerpt a user-facing search
+    API returns with each hit. String-hash-compared against the SQL
+    oracle's window selection."""
+    from .query.snippet import snippets
+
+    qs = BM25_QUERIES[:3]
+    hits = _bm25_scored(spark, sf_dir, qs, k=10)
+    return snippets(_docs(spark, sf_dir).select("doc_id", "text"),
+                    hits, qs, width=20)
+
+
 def _map_index_ids(spark: SparkSession, eng, res):
     """Map a distributed result frame's ENGINE doc_ids (sha1 of the
     'doc://{table_id}' url) back to table doc_ids via doc_stats."""

@@ -1,0 +1,74 @@
+"""Search-result SNIPPETS: the best query-term window per hit.
+
+Every user-facing fulltext engine returns a highlighted excerpt with
+each hit; the reference returns raw chunk content
+(/root/reference/api/query.py response shape), leaving excerpting to
+the caller. This operator computes, per (query, hit-doc), the
+``width``-token window containing the MOST query-term occurrences
+(earliest window on ties — deterministic), using the classic
+anchor-at-a-match reduction: some optimal window starts at a match
+position, so only match positions are scored as window anchors.
+
+Plan shape (100 TB-safe): the corpus is touched ONLY for the hit docs
+(semi-join pushes into the scan); matches per doc are at most the
+query terms' occurrences, so the anchor self-join is bounded by
+(hits x matches-per-doc^2) — top-k-sized, never corpus-sized. Pure
+Catalyst: posexplode + broadcast join + one bounded self-join + a
+window argmax + slice/array_join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import analysis
+from ..index.build import doc_id_expr, tokens_expr
+
+
+def snippets(docs_df: DataFrame, hits_df: DataFrame,
+             queries: list[tuple[int, str]], width: int = 20) -> DataFrame:
+    """(query_id, doc_id, n_matches, snippet) for every hit row.
+
+    ``docs_df``: (url|doc_id, text) source corpus. ``hits_df``: result
+    rows with (query_id, doc_id) — e.g. a top-k frame. ``width``:
+    snippet length in tokens. Hits whose doc contains no query term
+    (possible under filtered/boolean retrieval) are omitted."""
+    spark = docs_df.sparkSession
+    qrows = [(qid, t) for qid, text in queries
+             for t in sorted(set(analysis.tokenize(text)))]
+    q = spark.createDataFrame(qrows, "query_id int, term string")
+    src = docs_df
+    if "doc_id" not in src.columns:
+        src = src.withColumn("doc_id", doc_id_expr("url"))
+    cand = hits_df.select("query_id", "doc_id").distinct()
+
+    toked = (src.join(cand.select("doc_id").distinct(), "doc_id",
+                      "left_semi")
+             .select("doc_id", tokens_expr("text").alias("ts")))
+    pt = (toked.select(
+        "doc_id", F.posexplode("ts").alias("pos0", "term"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term"))
+    m = (pt.join(F.broadcast(q), "term")
+         .join(cand, ["query_id", "doc_id"], "left_semi")
+         .select("query_id", "doc_id", "pos"))
+
+    a, b = m.alias("a"), m.alias("b")
+    anchored = (
+        a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+               & (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("b.pos") >= F.col("a.pos"))
+               & (F.col("b.pos") < F.col("a.pos") + width))
+        .groupBy(F.col("a.query_id").alias("query_id"),
+                 F.col("a.doc_id").alias("doc_id"),
+                 F.col("a.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_matches"), F.asc("pos"))
+    best = (anchored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    return (best.join(toked, "doc_id")
+            .select("query_id", "doc_id", "n_matches",
+                    F.array_join(F.slice("ts", F.col("pos"), F.lit(width)),
+                                 " ").alias("snippet")))

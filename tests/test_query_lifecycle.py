@@ -171,3 +171,29 @@ def test_filtered_wand_matches_exhaustive(built_index, docs_meta, queries100):
     key2 = lambda rows: [(r["doc_id"], round(r["score"], 9))
                          for r in sorted(rows, key=lambda r: r["rank"])]
     assert key2(a) == key2(b)
+
+
+def test_snippets_pick_densest_window(spark):
+    """r4: the snippet is the width-token window with the MOST query
+    term occurrences, earliest on ties; hits without any match drop."""
+    from super_rag_spark.query.snippet import snippets
+
+    docs = spark.createDataFrame(
+        [(1, "aa x x x x x x x x x x x x x x x x x x x x x "
+             "aa y aa aa z tail tail"),      # dense cluster late
+         (2, "plain filler aa filler end"),  # single match
+         (3, "no match here at all")],
+        "doc_id long, text string")
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "query_id int, doc_id long")
+    out = {r["doc_id"]: r for r in
+           snippets(docs, hits, [(0, "aa")], width=5).collect()}
+    # doc 1: the window at the late cluster holds 3 occurrences
+    assert out[1]["n_matches"] == 3
+    assert out[1]["snippet"].split()[0] == "aa"
+    assert out[1]["snippet"].split().count("aa") == 3
+    # doc 2: single match, window anchored at it
+    assert out[2]["n_matches"] == 1
+    assert out[2]["snippet"].startswith("aa filler end")
+    # doc 3: no query term -> omitted
+    assert 3 not in out
