@@ -464,7 +464,9 @@ class BM25Engine:
     def search(self, query: str, k: int = 10, *, method: str = "vectorized",
                docs_meta: DataFrame | None = None, where=None,
                exclude_fields: list[str] | None = None,
-               driver_filter_max: int = 10_000) -> DataFrame:
+               driver_filter_max: int = 10_000,
+               snippet_docs: DataFrame | None = None,
+               snippet_width: int = 20) -> DataFrame:
         """Full query lifecycle (SURVEY.md §3.2): route -> retrieve ->
         filter -> materialize -> project.
 
@@ -482,7 +484,12 @@ class BM25Engine:
           optionally ``docs_meta`` (J-joins in SURVEY.md §2.3).
         - ``exclude_fields``: P8 projection
           (/root/reference/api/query.py:12-16).
-        Returns a DataFrame (rank, doc_id, score, url, *meta).
+        - ``snippet_docs`` (r4): pass the source corpus to attach a
+          best-window excerpt per hit (query/snippet.py; n_matches +
+          snippet columns; hits whose doc lacks every query term get
+          null columns).
+        Returns a DataFrame (rank, doc_id, score, url, *meta
+        [, n_matches, snippet]).
         """
         import numpy as np
 
@@ -543,6 +550,14 @@ class BM25Engine:
             out = out.where(F.trim(F.col("content")) != "")
         if exclude_fields:
             out = out.drop(*exclude_fields)
+        if snippet_docs is not None:
+            from .snippet import snippets
+
+            snip = snippets(
+                snippet_docs,
+                out.select(F.lit(0).alias("query_id"), "doc_id"),
+                [(0, qtext)], width=snippet_width).drop("query_id")
+            out = out.join(snip, "doc_id", "left")
         return out.orderBy("rank")
 
     # ------------------------------------------------------------- phrase

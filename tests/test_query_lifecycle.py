@@ -197,3 +197,18 @@ def test_snippets_pick_densest_window(spark):
     assert out[2]["snippet"].startswith("aa filler end")
     # doc 3: no query term -> omitted
     assert 3 not in out
+
+
+def test_search_attaches_snippets(spark, built_index, webtext_sf0001_path):
+    """r4: search(snippet_docs=) returns an excerpt per hit containing
+    at least one query term."""
+    from super_rag_spark.index.build import extract
+
+    docs = extract(spark.read.parquet(webtext_sf0001_path))
+    out = built_index.search("semudo muro", k=5,
+                             snippet_docs=docs).collect()
+    assert out and all("snippet" in r.asDict() for r in out)
+    for r in out:
+        toks = set(r["snippet"].split())
+        assert r["n_matches"] >= 1
+        assert toks & {"semudo", "muro"}, r["snippet"]
