@@ -278,10 +278,17 @@ def main() -> int:
 
     # --- query-throughput N vs 4N (r4): the north rule's scaling
     # criterion applies to the ENGINE, not just the build — run the
-    # same 100-query distributed-WAND batch at 1 and 4 cores on the
-    # just-built index (min-of-2 after a warm-up batch per session)
+    # same distributed-WAND batch at 1 and 4 cores on the just-built
+    # index (min-of-2 after a warm-up batch per session). The batch is
+    # the 100 reference queries x3 (300 distinct query_ids): a 100-query
+    # batch finishes in ~5 s at 1 core, so the ~1-1.5 s fixed job cost
+    # distorts the ratio (measured 0.65 at 100 vs 0.88+ once amortized —
+    # same Amdahl reasoning as the sf0.3 build legs).
     if os.environ.get("SPARK_GRAFT_QSCALING",
                       "1" if DO_SCALING else "0") != "0":
+        big_batch = [{"query_id": i * 1000 + q["query_id"],
+                      "text": q["text"]}
+                     for i in range(3) for q in queries]
         qbest: dict[int, float] = {}
         for cores in (1, 4):
             sp = make_session(cores)
@@ -292,13 +299,14 @@ def main() -> int:
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.time()
-                    e.query_batch_wand(queries, k=10).count()
+                    e.query_batch_wand(big_batch, k=10).count()
                     best = min(best, time.time() - t0)
                 qbest[cores] = best
             finally:
                 sp.stop()
         comp["query_scale1"] = round(qbest[1], 3)
         comp["query_scale4"] = round(qbest[4], 3)
+        extra["query_scale_batch"] = len(big_batch)
         extra["query_scaling_efficiency"] = round(
             qbest[1] / (4.0 * qbest[4]), 3)
 
