@@ -42,6 +42,10 @@ def main() -> int:
                     help="typo-tolerant: correct each term to its "
                          "nearest vocabulary term within one edit "
                          "(needs an index built with --vocab)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="treat --query as a PREFIX and return the "
+                         "top-k vocabulary completions by df "
+                         "(needs an index built with --vocab)")
     ap.add_argument("--phrase", action="store_true",
                     help="treat --query as an exact phrase (match-then-"
                          "verify: postings conjunction + adjacency check "
@@ -110,6 +114,13 @@ def main() -> int:
                           "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
                                     "score": round(r["score"], 6)}
                                    for r in rows]}))
+    elif args.query is not None and args.suggest:
+        t0 = time.time()
+        comps = eng.suggest(args.query, args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"suggest": args.query, "latency_ms": round(ms, 2),
+                          "completions": [{"term": t, "df": d}
+                                          for t, d in comps]}))
     elif args.query is not None and args.fuzzy:
         t0 = time.time()
         hits = eng.fuzzy_topk(args.query, args.k)

@@ -1653,6 +1653,32 @@ def fuzzy_topk_entry(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+SUGGEST_PREFIXES = [(0, "ta"), (1, "s"), (2, "c"), (3, "b")]
+
+
+@_q("suggest_topk", f"""
+WITH {_TOKS_SQL},
+p(prefix_id, prefix) AS (VALUES {", ".join(f"({i}, '{s}')" for i, s in SUGGEST_PREFIXES)}),
+cand AS (SELECT p.prefix_id, d.term, d.df
+         FROM dfreq d JOIN p ON d.term LIKE p.prefix || '%'),
+ranked AS (SELECT prefix_id, term, df,
+                  row_number() OVER (PARTITION BY prefix_id
+                                     ORDER BY df DESC, term) AS rank
+           FROM cand)
+SELECT prefix_id, rank::INT AS rank, term, df
+FROM ranked WHERE rank <= 10
+""")
+def suggest_topk_entry(spark, sf_dir):
+    """Prefix autocomplete (index/vocab.suggest_batch over the
+    vocabulary sidecar's identity rows): top-10 vocabulary completions
+    per prefix by document frequency — the suggest-as-you-type surface.
+    df and ranking must hash-match the corpus-derived oracle."""
+    from .index.vocab import suggest_batch
+
+    eng = _indexed_engine(spark, sf_dir)
+    return suggest_batch(spark, eng.store, SUGGEST_PREFIXES, k=10)
+
+
 def _snippet_sql(queries: list[tuple[int, str]], width: int = 20,
                  k: int = 10) -> str:
     """BM25 top-k hits -> best query-term window per hit (anchor at a

@@ -128,6 +128,38 @@ def levenshtein(a: str, b: str) -> int:
     return prev[lb]
 
 
+def suggest_batch(spark: SparkSession, store: IndexStorage,
+                  prefixes: list[tuple[int, str]], k: int = 10) -> DataFrame:
+    """Prefix AUTOCOMPLETE over the vocabulary sidecar: for each
+    (prefix_id, prefix), the top-``k`` vocabulary terms starting with
+    it, ranked by df DESC then term — the suggest-as-you-type surface
+    every search box needs. The sidecar's identity rows
+    (variant == term) ARE the vocabulary, so this is one filtered scan
+    + a per-prefix window; at web scale a prefix-ordered vocabulary
+    copy would serve point lookups, which this layout supports by
+    re-sorting once. Returns (prefix_id, rank, term, df)."""
+    from pyspark.sql import Window
+
+    manifest = store.read_manifest()
+    epoch = int(manifest["epoch"])
+    if not store.has_vocab(epoch):
+        raise ValueError(
+            "vocabulary sidecar absent for the current epoch — build "
+            "with vocab=True / run build_vocab")
+    p = spark.createDataFrame(prefixes, "prefix_id int, prefix string")
+    vocab = (spark.read.schema(VOCAB_SCHEMA)
+             .parquet(store.vocab_dir_for(epoch))
+             .where(F.col("variant") == F.col("term"))
+             .select("term", "df"))
+    cand = vocab.join(
+        F.broadcast(p), F.col("term").startswith(F.col("prefix")))
+    w = Window.partitionBy("prefix_id").orderBy(
+        F.col("df").desc(), F.col("term").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("prefix_id", "rank", "term", "df"))
+
+
 def correct_terms_batch(spark: SparkSession, store: IndexStorage,
                         terms: list[str]) -> DataFrame:
     """DISTRIBUTED correction for a term batch: explode the query

@@ -862,6 +862,38 @@ class BM25Engine:
                     best = key
         return best[2] if best is not None else None
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Prefix autocomplete on the driver: top-k vocabulary terms
+        starting with ``prefix``, by (df DESC, term) — pyarrow scan of
+        the sidecar's identity rows, no Spark job. Needs vocab=True."""
+        if not self.store.has_vocab():
+            raise ValueError(
+                "suggest needs the vocabulary sidecar — build with"
+                " vocab=True / run build_vocab")
+        epoch = int(self.manifest["epoch"])
+        base = self.store.vocab_dir_for(epoch)
+        matches: list[tuple[str, int]] = []
+        for name in sorted(os.listdir(base)):
+            if not name.startswith("bucket="):
+                continue
+            key = ("voc", epoch, int(name.split("=")[1]))
+            dataset = self._ds_cache.get(key)
+            if dataset is None:
+                dataset = ds.dataset(os.path.join(base, name),
+                                     format="parquet")
+                self._ds_cache[key] = dataset
+            tbl = dataset.to_table(
+                filter=((ds.field("variant") == ds.field("term"))
+                        & (ds.field("term") >= prefix)
+                        & (ds.field("term") < prefix + "\U0010FFFF")),
+                columns=["term", "df"])
+            matches.extend(
+                (t, int(d)) for t, d in zip(tbl["term"].to_pylist(),
+                                            tbl["df"].to_pylist())
+                if t.startswith(prefix))
+        matches.sort(key=lambda x: (-x[1], x[0]))
+        return matches[:k]
+
     def fuzzy_topk(self, query: str, k: int = 10, max_dist: int = 1,
                    method: str = "vectorized") -> list[tuple[int, float]]:
         """Typo-tolerant top-k: every query term is corrected to its

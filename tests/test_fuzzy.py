@@ -110,3 +110,21 @@ def test_fuzzy_requires_vocab_sidecar(spark, tmp_path):
         docs, text_is_extracted=True)
     with pytest.raises(ValueError, match="vocabulary sidecar"):
         eng.fuzzy_topk("alpja", k=5)
+
+
+def test_suggest_prefix_autocomplete(spark, fuzzy_engine):
+    """r4: driver suggest == distributed suggest_batch; df-desc
+    ranking; prefix semantics."""
+    from super_rag_spark.index.vocab import suggest_batch
+
+    drv = fuzzy_engine.suggest("al", k=5)
+    assert drv and all(t.startswith("al") for t, _ in drv)
+    assert drv[0][0] == "alpha"  # highest-df 'al' term in the corpus
+    dfs = [d for _, d in drv]
+    assert dfs == sorted(dfs, reverse=True)
+
+    dist = [(r["term"], r["df"]) for r in
+            suggest_batch(spark, fuzzy_engine.store, [(0, "al")], k=5)
+            .orderBy("rank").collect()]
+    assert dist == drv
+    assert fuzzy_engine.suggest("zzz", k=5) == []
