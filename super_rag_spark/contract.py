@@ -1830,21 +1830,24 @@ _PII_AUG_SQL = """
 """
 
 
+def _pii_progressive_cols() -> str:
+    """SQL mirror of textops.pii_scrub's PROGRESSIVE counting (ADVICE
+    r4): class i is counted on the text after passes 1..i-1 replaced,
+    so each n_* equals the tags that pass actually inserted; the final
+    nested chain is the scrubbed text itself."""
+    cols, cur = [], "text"
+    for name, pat, tag in textops._PII_PASSES:
+        cols.append(f"len(regexp_extract_all({cur}, "
+                    f"'{_pii_sql_pat(pat)}'))::INT AS n_{name}s")
+        cur = f"regexp_replace({cur}, '{_pii_sql_pat(pat)}', '{tag}', 'g')"
+    cols.append(f"md5({cur}) AS scrubbed_md5")
+    return ",\n       ".join(cols)
+
+
 @_q("pii_scrub", f"""
 WITH aug AS ({_PII_AUG_SQL})
 SELECT doc_id,
-       len(regexp_extract_all(text, '{_pii_sql_pat(textops.EMAIL_RE)}'))::INT AS n_emails,
-       len(regexp_extract_all(text, '{_pii_sql_pat(textops.SSN_RE)}'))::INT AS n_ssns,
-       len(regexp_extract_all(text, '{_pii_sql_pat(textops.PHONE_RE)}'))::INT AS n_phones,
-       len(regexp_extract_all(text, '{_pii_sql_pat(textops.IPV4_RE)}'))::INT AS n_ips,
-       len(regexp_extract_all(text, '{_pii_sql_pat(textops.SECRET_RE)}'))::INT AS n_keys,
-       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               text,
-               '{_pii_sql_pat(textops.EMAIL_RE)}', '<EMAIL>', 'g'),
-               '{_pii_sql_pat(textops.SSN_RE)}', '<SSN>', 'g'),
-               '{_pii_sql_pat(textops.PHONE_RE)}', '<PHONE>', 'g'),
-               '{_pii_sql_pat(textops.IPV4_RE)}', '<IP>', 'g'),
-               '{_pii_sql_pat(textops.SECRET_RE)}', '<KEY>', 'g')) AS scrubbed_md5
+       {_pii_progressive_cols()}
 FROM aug
 """)
 def pii_scrub(spark, sf_dir):

@@ -93,6 +93,16 @@ def build_vocab(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                     F.explode(F.array_distinct("tokens")).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
+    write_vocab_table(vocab, store, epoch, n_buckets)
+    return store
+
+
+def write_vocab_table(vocab: DataFrame, store: IndexStorage, epoch: int,
+                      n_buckets: int) -> None:
+    """(term, df) -> the sidecar's variant table for ``epoch``: explode
+    deletion variants, bucket by term_id(variant), variant-sorted files
+    (pyarrow point lookups prune buckets + row groups). Shared by the
+    fresh build and the incremental merge fold (index/sidecars.py)."""
     variants = (
         vocab.select(
             "term", "df",
@@ -106,7 +116,6 @@ def build_vocab(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     )
     variants.write.mode("overwrite").partitionBy("bucket").parquet(
         store.vocab_dir_for(epoch))
-    return store
 
 
 def levenshtein(a: str, b: str) -> int:

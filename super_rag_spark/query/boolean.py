@@ -89,8 +89,15 @@ def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str
         -> groupBy(query_id, doc_id):
              bit_or(step_mask)            = which steps the doc satisfies
              sorted collect_list(contrib) = BM25 parts (positive terms)
-        -> per-query mask predicate (the chain folded into a Catalyst
-           boolean expression over the bitmask — built once, driver-side)
+        -> per-query mask predicate: the chain is DATA, not expression —
+           a broadcast (query_id, steps) table joins in and a single
+           higher-order F.aggregate folds the steps over the bitmask at
+           runtime, so the Catalyst tree stays CONSTANT-DEPTH no matter
+           how many queries the batch carries or how long each chain is
+           (r5 — the r4 form chained one F.when per query, whose
+           expression depth grew linearly with batch size: fine at 30
+           queries, thousands of tree nodes at the 300-1000-query
+           batches the scaling leg targets)
         -> score = term-ascending sum, top-k window.
 
     A doc no task ever decodes (contains none of the query's terms)
@@ -157,25 +164,32 @@ def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str
                  F.struct("term", "contrib"))).alias("parts"))
     )
 
-    def bit(i: int):
-        return F.shiftright(F.col("mask"), i).bitwiseAND(F.lit(1)) == F.lit(1)
+    # the left-associative fold as DATA: one row per query with its
+    # step chain [(op, bit), ...] for steps 1..n-1 (step 0 is always
+    # the implicit-AND seed, bit 1). op codes: 0=AND, 1=OR, 2=NOT.
+    _OPCODE = {"AND": 0, "OR": 1, "NOT": 2}
+    srows = [(qid, [(_OPCODE[op], 1 << i)
+                    for i, (op, _t) in enumerate(steps) if i > 0])
+             for qid, steps in parsed.items()]
+    steps_df = spark.createDataFrame(
+        srows, "query_id int, steps array<struct<op:int,b:long>>")
 
-    keep = F.lit(False)
-    for qid, steps in parsed.items():
-        m = bit(0)
-        for i, (op, _t) in enumerate(steps):
-            if i == 0:
-                continue
-            if op == "AND":
-                m = m & bit(i)
-            elif op == "OR":
-                m = m | bit(i)
-            else:  # NOT
-                m = m & ~bit(i)
-        keep = F.when(F.col("query_id") == F.lit(qid), m).otherwise(keep)
+    def _hit(s):
+        # outer-row reference inside the lambda is supported; mask is
+        # the bit_or aggregate of this (query, doc)'s term memberships
+        return F.col("mask").bitwiseAND(s["b"]) != F.lit(0)
+
+    accept = F.aggregate(
+        "steps",
+        F.col("mask").bitwiseAND(F.lit(1)) != F.lit(0),  # seed: step 0
+        lambda acc, s: (F.when(s["op"] == F.lit(0), acc & _hit(s))
+                        .when(s["op"] == F.lit(1), acc | _hit(s))
+                        .otherwise(acc & ~_hit(s))))
 
     scored = (
-        agg.where(keep)
+        agg.join(F.broadcast(steps_df), "query_id")
+        .where(accept)
+        .drop("steps")
         .withColumn("score", F.aggregate(
             F.filter("parts", lambda x: x["contrib"].isNotNull()),
             F.lit(0.0), lambda a, x: a + x["contrib"]))

@@ -131,6 +131,15 @@ class BM25Engine:
         self._pos_cache: "dict[tuple[int, str], tuple]" = {}
         self._pos_used = 0
         self._pos_budget = 32_000_000  # positions (~256 MB of int64)
+        # (epoch, term) -> df from term_stats (r5): the budget probe
+        # (_uncached_df_total) runs on EVERY topk before the caches
+        # warm, and the r4 form re-opened a pyarrow dataset per bucket
+        # per cold query — it nearly doubled the cold-stream p50
+        # (BENCH r4 58 ms vs r3 32 ms). df values are a few bytes, so
+        # this cache is effectively free; datasets reuse _ds_cache
+        # under ("ts", epoch, bucket) keys.
+        self._df_cache: "dict[tuple[int, str], int]" = {}
+        self._df_cache_max = 65536
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, positions: bool = False,
@@ -161,6 +170,7 @@ class BM25Engine:
         self._dec_used = 0
         self._pos_cache.clear()
         self._pos_used = 0
+        self._df_cache.clear()
         return self
 
     @property
@@ -195,10 +205,12 @@ class BM25Engine:
         working set is the right prefetch list."""
         hot = [t for (e, t) in self._dec_cache if e == old_epoch]
         self._ds_cache = {k: v for k, v in self._ds_cache.items()
-                          if (k[1] if k[0] in ("pos", "voc")
+                          if (k[1] if k[0] in ("pos", "voc", "ts")
                               else k[0]) != old_epoch}
         for key in [k for k in self._term_cache if k[0] == old_epoch]:
             del self._term_cache[key]
+        for key in [k for k in self._df_cache if k[0] == old_epoch]:
+            del self._df_cache[key]
         for key in [k for k in self._dec_cache if k[0] == old_epoch]:
             self._dec_used -= len(self._dec_cache.pop(key)[1])
         for key in [k for k in self._pos_cache if k[0] == old_epoch]:
@@ -334,21 +346,63 @@ class BM25Engine:
                 self._dec_used -= len(self._dec_cache.pop(old_key)[1])
         return out
 
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term from the term_stats table, through the driver df
+        cache (OOV terms cache as 0). Cache misses read via pyarrow with
+        dataset handles held in _ds_cache — O(query terms), never a
+        Spark job, and a repeat term never re-opens a dataset."""
+        epoch = int(self.manifest["epoch"])
+        out: dict[str, int] = {}
+        missing = []
+        for t in terms:
+            v = self._df_cache.get((epoch, t))
+            if v is not None:
+                out[t] = v
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        n_buckets = int(self.manifest["n_buckets"])
+        ids = {term_id_for(t): t for t in missing}
+        by_bucket: dict[int, list[int]] = {}
+        for tid in ids:
+            by_bucket.setdefault(
+                bucket_of_term_id(tid, n_buckets), []).append(tid)
+        for b, tids in by_bucket.items():
+            key = ("ts", epoch, b)
+            dataset = self._ds_cache.get(key)
+            if dataset is None:
+                p = os.path.join(
+                    self.store.term_stats_dir_for(epoch), f"bucket={b}")
+                if not os.path.isdir(p):
+                    continue
+                dataset = ds.dataset(p, format="parquet")
+                self._ds_cache[key] = dataset
+            tbl = dataset.to_table(
+                filter=ds.field("term_id").isin(tids),
+                columns=["term_id", "df"])
+            for tid, dfv in zip(tbl["term_id"].to_pylist(),
+                                tbl["df"].to_pylist()):
+                out[ids[tid]] = int(dfv)
+        for t in missing:
+            out.setdefault(t, 0)
+            if len(self._df_cache) >= self._df_cache_max:
+                self._df_cache.pop(next(iter(self._df_cache)))
+            self._df_cache[(epoch, t)] = out[t]
+        return out
+
     def _uncached_df_total(self, terms: list[str]) -> int:
         """Σdf of the terms NOT already held by a driver cache — the
-        postings volume a driver-side load would actually pull. One
-        pyarrow term_stats read (O(query terms)), never a Spark job."""
-        from .scoring import lookup_term_dfs
-
+        postings volume a driver-side load would actually pull. Served
+        from the df cache; a miss is one pyarrow term_stats row-group
+        read (O(query terms)), never a Spark job."""
         epoch = int(self.manifest["epoch"])
         missing = [t for t in terms
                    if (epoch, t) not in self._dec_cache
                    and (epoch, t) not in self._term_cache]
         if not missing:
             return 0
-        dfs = lookup_term_dfs(self.store, [term_id_for(t) for t in missing],
-                              int(self.manifest["n_buckets"]), epoch)
-        return sum(dfs.values())
+        return sum(self._term_dfs(missing).values())
 
     def _apply_tombstones(self, out: dict) -> dict:
         out = {t: v for t, v in out.items() if v[1]}
@@ -406,9 +460,18 @@ class BM25Engine:
         All three methods return identical rankings (asserted in tests).
         ``approx`` > 1.0 (wand only) enables bounded-error early
         termination: skipped docs provably score < approx * the
-        returned k-th score."""
+        returned k-th score. Queries whose terms exceed the driver df
+        budget run the EXACT distributed plan instead — ``approx`` is
+        ignored there (early termination is a driver-path device)."""
         if use_wand is not None:  # back-compat boolean switch
             method = "wand" if use_wand else "bruteforce"
+        # argument validation BEFORE the budget fallback (ADVICE r4):
+        # an invalid combination must raise identically whether or not
+        # the query happens to exceed the driver budget
+        if approx != 1.0 and method != "wand":
+            raise ValueError("approx= requires method='wand'")
+        if method not in _TOPK_METHODS:
+            raise ValueError(f"unknown topk method: {method!r}")
         engine, qtext = self._route(query)
         terms = sorted(set(tokenize(qtext)))
         if not terms:
@@ -424,8 +487,6 @@ class BM25Engine:
             return [(int(r["doc_id"]), float(r["score"]))
                     for r in res.orderBy("rank").collect()]
         if approx != 1.0:
-            if method != "wand":
-                raise ValueError("approx= requires method='wand'")
             blocks = engine._load_term_blocks(terms)
             if not blocks:
                 return []
@@ -579,7 +640,7 @@ class BM25Engine:
         path (equality asserted in tests)."""
         import numpy as np
 
-        from .phrase import joined_tokens_expr, phrase_pattern
+        from .phrase import joined_tokens_expr, phrase_pattern, plan_barrier
         from .wand import vectorized_topk_arrays
 
         terms = tokenize(phrase)
@@ -655,8 +716,13 @@ class BM25Engine:
                 src = src.withColumn("doc_id", doc_id_expr("url"))
             cdf = self.spark.createDataFrame(
                 [(int(d),) for d in cand.tolist()], "doc_id long")
+            # plan_barrier: without it Catalyst substitutes jt into the
+            # contains/rlike filter and pushes it BELOW the broadcast
+            # join — re-tokenizing the whole corpus (see phrase.py)
             jt = (src.join(F.broadcast(cdf), "doc_id")
-                  .select("doc_id", joined_tokens_expr("text").alias("jt")))
+                  .select("doc_id",
+                          plan_barrier(joined_tokens_expr("text"))
+                          .alias("jt")))
             pat = phrase_pattern(terms, slop)
             matcher = (F.col("jt").contains(pat) if slop == 0
                        else F.col("jt").rlike(pat))
@@ -829,8 +895,18 @@ class BM25Engine:
         variants (bucket-dir + variant row-group pruned, pyarrow — no
         Spark job), levenshtein-verify, pick (distance, df DESC, term)
         best. Returns None when nothing is within ``max_dist``. An
-        in-vocab term returns itself (distance 0 always wins)."""
-        from ..index.storage import POSITIONS_SCHEMA  # noqa: F401
+        in-vocab term returns itself (distance 0 always wins).
+
+        ``max_dist`` must be 0 or 1: the sidecar stores the DISTANCE-1
+        deletion neighborhood only (index/vocab.py), so a larger radius
+        would silently under-recall — candidates at distance 2 that
+        share no single-deletion variant are never joined. Raising here
+        (ADVICE r4) beats returning a quietly incomplete answer."""
+        if max_dist > 1:
+            raise ValueError(
+                "max_dist > 1 is not supported: the vocabulary sidecar "
+                "stores the distance-1 deletion neighborhood only, so a "
+                "wider radius would silently miss candidates")
         from ..index.vocab import deletion_variants, levenshtein
 
         epoch = int(self.manifest["epoch"])
@@ -901,7 +977,8 @@ class BM25Engine:
         deletion-neighborhood against the vocab sidecar; in-vocab terms
         pass through at distance 0; uncorrectable terms drop), then the
         corrected terms run the normal BM25 path. Needs an index built
-        with ``vocab=True``."""
+        with ``vocab=True``. ``max_dist`` is capped at 1 (the sidecar's
+        deletion-neighborhood guarantee — _correct_term raises above)."""
         if not self.store.has_vocab():
             raise ValueError(
                 "fuzzy_topk needs the vocabulary sidecar — build with"

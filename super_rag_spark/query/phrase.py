@@ -66,6 +66,27 @@ def joined_tokens_expr(text_col: str = "text"):
     return F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
 
 
+def plan_barrier(col):
+    """Identity wrapper that pins an expensive projection ABOVE its
+    candidate semi-join (r5).
+
+    Reordering the join below the joined-tokens projection is not
+    enough: Catalyst's predicate pushdown SUBSTITUTES project aliases
+    into filters (and InferFiltersFromConstraints derives an
+    isnotnull(<whole chain>) from any matcher that references the
+    alias), then pushes the rebuilt filter below the join — and the
+    tokenize chain is back to running once per CORPUS row. Wrapping
+    the projection in an always-true nondeterministic branch makes the
+    Project non-substitutable — Spark refuses to push any predicate
+    through a projection with nondeterministic fields. The guard is
+    spark_partition_id() >= 0 (always true, costs one int read per
+    surviving row): rand()-based guards don't survive — Spark 4.1's
+    optimizer folds comparisons against rand's [0,1) bounds and erases
+    the branch. The value is bit-identical; plan shape is asserted in
+    tests/test_phrase.py."""
+    return F.when(F.spark_partition_id() >= F.lit(0), col)
+
+
 def score_phrase_batch(spark, store, docs_df: DataFrame | None,
                        phrases: list[tuple[int, str]], k: int = 10,
                        slop: int = 0) -> DataFrame:
@@ -151,7 +172,18 @@ def score_phrase_batch(spark, store, docs_df: DataFrame | None,
         src = docs_df
         if "doc_id" not in src.columns:
             src = src.withColumn("doc_id", doc_id_expr("url"))
-        jt = src.select("doc_id", joined_tokens_expr("text").alias("jt"))
+        # candidate semi-join FIRST, tokenize the survivors only (r5,
+        # VERDICT r4 #1): the joined-tokens projection is the expensive
+        # corpus touch — built above the join it runs on candidate rows
+        # only; built below it (the r4 shape) Catalyst evaluated the
+        # lower/split/filter/array_join chain for EVERY corpus row
+        # before the join probe rejected it. AQE broadcasts the (tiny)
+        # candidate id set at runtime, so the corpus scan streams with
+        # no shuffle. Plan asserted in tests/test_phrase.py.
+        cand_ids = cand.select("doc_id").distinct()
+        jt = (src.join(cand_ids, "doc_id", "left_semi")
+              .select("doc_id",
+                      plan_barrier(joined_tokens_expr("text")).alias("jt")))
         matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
                    else F.expr("rlike(jt, pat)"))
         verified = (
@@ -282,9 +314,14 @@ def phrase_topk(docs_df: DataFrame, phrases: list[tuple[int, str]],
         .select("query_id", "doc_id")
     )
 
-    # 2. adjacency verify on candidates only (JVM string ops, no UDF)
-    joined = docs_df.select(
-        "doc_id", joined_tokens_expr("text").alias("jt"))
+    # 2. adjacency verify on candidates only (JVM string ops, no UDF).
+    #    Semi-join BEFORE the tokenize projection so the expensive
+    #    joined-tokens chain never evaluates on a non-candidate row
+    #    (same reorder as score_phrase_batch — VERDICT r4 #1).
+    joined = (docs_df.join(cand.select("doc_id").distinct(),
+                           "doc_id", "left_semi")
+              .select("doc_id",
+                      plan_barrier(joined_tokens_expr("text")).alias("jt")))
     matcher = (F.col("jt").contains(F.col("pat")) if slop == 0
                else F.expr("rlike(jt, pat)"))
     verified = (

@@ -43,9 +43,14 @@ def snippets(docs_df: DataFrame, hits_df: DataFrame,
         src = src.withColumn("doc_id", doc_id_expr("url"))
     cand = hits_df.select("query_id", "doc_id").distinct()
 
+    # plan_barrier keeps the tokenize projection above the semi-join:
+    # downstream filters (e.g. inferred isnotnull(ts)) would otherwise
+    # substitute the chain and push it below, re-tokenizing the corpus
+    from .phrase import plan_barrier
+
     toked = (src.join(cand.select("doc_id").distinct(), "doc_id",
                       "left_semi")
-             .select("doc_id", tokens_expr("text").alias("ts")))
+             .select("doc_id", plan_barrier(tokens_expr("text")).alias("ts")))
     pt = (toked.select(
         "doc_id", F.posexplode("ts").alias("pos0", "term"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term"))

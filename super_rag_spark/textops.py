@@ -165,10 +165,23 @@ def dedup_clusters(df: DataFrame, n: int = 3, threshold: float = 0.5,
     if changed != 0:
         # falling through silently would return labels violating the
         # 'cluster_id = component min' contract for long chains
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iterations} "
             "rounds (component diameter exceeds it); raise "
             "max_iterations or switch to large-star/small-star")
+    if prev_persisted is not None:
+        # release the loop's cached frame (ADVICE r4: it leaked one
+        # cached DataFrame per call into executor storage memory). The
+        # eager localCheckpoint materializes the converged labels and
+        # truncates their lineage first, so unpersisting the parent
+        # neither recomputes the whole propagation chain on the
+        # caller's action nor invalidates the returned frame; the
+        # checkpoint blocks themselves are freed by the ContextCleaner
+        # when the result goes out of scope.
+        labels = labels.localCheckpoint()
+        prev_persisted.unpersist()
     w = Window.partitionBy("cluster_id")
     return (labels.select("doc_id", F.col("label").alias("cluster_id"))
             .withColumn("cluster_size", F.count(F.lit(1)).over(w))
@@ -586,13 +599,19 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     Catalyst regexp exprs, whole-stage codegen, no UDF — the same shape
     web-scale cleaning pipelines run before tokenization. Returns
     (doc_id, n_emails, n_ssns, n_phones, n_ips, n_keys, scrubbed_md5,
-    scrubbed); at 100 TB this is a map-only pass, no shuffle."""
-    c = F.col(text_col)
-    scrubbed = c
+    scrubbed); at 100 TB this is a map-only pass, no shuffle.
+
+    Each class is counted against the PROGRESSIVELY scrubbed text
+    (pass i counts on the text after passes 1..i-1 replaced), so n_*
+    equals the number of <TAG>s pass i actually inserted — counting
+    every class on the raw text double-counted substrings an earlier
+    pass had already consumed (ADVICE r4). The SQL oracle in
+    contract.py mirrors the same progressive chain."""
+    scrubbed = F.col(text_col)
     counts = []
     for name, pat, tag in _PII_PASSES:
         counts.append(
-            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
             .cast("int").alias(f"n_{name}s"))
         scrubbed = F.regexp_replace(scrubbed, pat, tag)
     return df.select(

@@ -200,3 +200,54 @@ def test_driver_df_budget_boolean_fallback(spark, tmp_path):
         assert abs(s1 - s2) < 1e-9
     # and the driver path itself stayed un-fallbacked
     assert eng.driver_fallbacks == 0
+
+
+def test_boolean_batch_constant_depth_plan(spark, tmp_path):
+    """r5 (VERDICT r4 #2): the accept predicate is data (a broadcast
+    steps table folded by ONE higher-order aggregate), so the Catalyst
+    tree must not grow with batch size — a 300-query batch's analyzed
+    plan stays within a small constant factor of a 5-query batch's,
+    and results stay rank-identical to the driver set algebra."""
+    import random
+    import time
+
+    from super_rag_spark.query.engine import BM25Engine
+
+    vocab = ["alpha", "beta", "gamma", "delta", "omega"]
+    rows = [(f"https://cd.example/{i}",
+             " ".join(random.Random(i).sample(vocab, 3)) + f" pad{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "cdidx")).build(
+        docs, text_is_extracted=True)
+
+    rng = random.Random(5)
+
+    def mk_expr():
+        n = rng.randint(1, 5)
+        terms = [rng.choice(vocab) for _ in range(n)]
+        ops = [rng.choice(["AND", "OR", "NOT"]) for _ in range(n - 1)]
+        return terms[0] + "".join(
+            f" {op} {t}" for op, t in zip(ops, terms[1:]))
+
+    small = [(i, mk_expr()) for i in range(5)]
+    big = [(i, mk_expr()) for i in range(300)]
+
+    p_small = eng.boolean_batch(small, k=5)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    t0 = time.time()
+    big_df = eng.boolean_batch(big, k=5)
+    p_big = big_df._jdf.queryExecution().optimizedPlan().toString()
+    analysis_sec = time.time() - t0
+    assert len(p_big) < 3 * len(p_small) + 2000, (
+        f"plan grows with batch size: {len(p_small)} -> {len(p_big)}")
+    assert analysis_sec < 30, analysis_sec
+
+    got = {}
+    for r in big_df.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, expr in big[:20] + big[-5:]:
+        drv = [(i + 1, d, round(s, 9))
+               for i, (d, s) in enumerate(eng.boolean_topk(expr, k=5))]
+        assert sorted(got.get(qid, [])) == drv, (qid, expr)

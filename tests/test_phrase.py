@@ -159,3 +159,50 @@ def test_driver_df_budget_phrase_fallback(spark, tmp_path):
     assert [d for d, _ in got] == [d for d, _ in base]
     for (_, s1), (_, s2) in zip(got, base):
         assert abs(s1 - s2) < 1e-9
+
+
+def test_phrase_batch_tokenize_above_candidate_join(spark, built_index,
+                                                    webtext_sf0001_path):
+    """r5 (VERDICT r4 #1): the corpus-verify leg must semi-join the
+    corpus to the candidate doc_ids BEFORE computing the joined-tokens
+    projection — i.e. in the optimized plan the Project carrying
+    array_join sits ABOVE a Join on the corpus branch, so the
+    lower/split/filter/array_join chain runs on candidate rows only,
+    never once per corpus row."""
+    corpus = spark.read.parquet(webtext_sf0001_path)
+    for slop in (0, 1):
+        df = built_index.phrase_batch([(0, "alpha beta")], corpus,
+                                      k=10, slop=slop)
+        _assert_tokenize_above_join(
+            df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def _assert_tokenize_above_join(plan: str) -> None:
+    """EVERY occurrence of the joined-tokens chain (its array_join
+    marker) must sit above a Join on its path down to the next leaf
+    relation — i.e. no Project OR pushed-down Filter evaluates the
+    chain directly over a corpus scan. (Catalyst's predicate pushdown
+    substitutes project aliases into filters, so a naive reorder still
+    leaks an isnotnull(<chain>) filter below the join — phrase.py
+    plan_barrier prevents it; this asserts it stays prevented.)"""
+    lines = plan.split("\n")
+    hits = [i for i, ln in enumerate(lines) if "array_join" in ln]
+    assert hits, plan
+    for aj in hits:
+        rel = next((i for i, ln in enumerate(lines)
+                    if i > aj and ("Relation" in ln or "LogicalRDD" in ln)),
+                   len(lines))
+        assert any("Join" in ln for ln in lines[aj + 1:rel]), (
+            f"line {aj} evaluates the tokenize chain below the candidate "
+            "join (full-corpus tokenize):\n" + plan)
+
+
+def test_phrase_topk_df_tokenize_above_candidate_join(spark,
+                                                      webtext_sf0001_path):
+    """Same plan assertion for the pure-DataFrame phrase_topk path."""
+    corpus = (spark.read.parquet(webtext_sf0001_path)
+              .selectExpr("abs(cast(hash(url) as bigint)) as doc_id",
+                          "text"))
+    df = phrase_topk(corpus, [(0, "alpha beta")], k=10)
+    _assert_tokenize_above_join(
+        df._jdf.queryExecution().optimizedPlan().toString())
