@@ -287,6 +287,35 @@ def main() -> int:
         eng.warm()  # page-cache the new epoch's files (+triggers switch)
         lat = query_pass(eng)
         extra["query_p50_ms_post_append"] = round(statistics.median(lat) * 1e3, 2)
+
+        # --- O(delta) SIDECAR carry (r5, index/sidecars.py): give the
+        # live index its positional + vocabulary sidecars (one-time
+        # O(corpus) build, priced separately), then segment-append one
+        # more 1000-doc delta. The carry hardlinks the old position
+        # blocks, builds only the delta's, and folds the vocab df —
+        # so append cost with sidecars must stay in the same O(delta)
+        # class as append_delta, nothing like sidecar_build.
+        from super_rag_spark.index.positions import build_positions
+        from super_rag_spark.index.vocab import build_vocab
+
+        live_corpus = (spark.read.parquet(webtext_path)
+                       .select("url", "text")
+                       .unionByName(delta).unionByName(delta4))
+        t0 = time.time()
+        build_positions(spark, live_corpus, idx_dir)
+        build_vocab(spark, live_corpus, idx_dir)
+        comp["sidecar_build"] = round(time.time() - t0, 3)
+        delta_s = (spark.read.parquet(warm_path).limit(1000)
+                   .select(F.concat(F.lit("deltasc://"), F.col("url")).alias("url"),
+                           "text"))
+        delta_s.count()
+        t0 = time.time()
+        merge_append(spark, idx_dir, delta_s, mode="segment")
+        comp["append_delta_sidecars"] = round(time.time() - t0, 3)
+        extra["sidecars_survive_append"] = bool(
+            eng.store.has_positions() and eng.store.has_vocab())
+        extra["append_sidecar_overhead"] = round(
+            comp["append_delta_sidecars"] / comp["append_delta"], 3)
     finally:
         spark.stop()
 

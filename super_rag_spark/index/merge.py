@@ -90,6 +90,8 @@ def _wipe_foreign_epoch(store: IndexStorage, epoch: int, keep: str) -> None:
     if not (foreign_commits or orphan_dirs):
         return
     shutil.rmtree(store.postings_dir_for(epoch), ignore_errors=True)
+    shutil.rmtree(store.positions_dir_for(epoch), ignore_errors=True)
+    shutil.rmtree(store.vocab_dir_for(epoch), ignore_errors=True)
     if os.path.isdir(store.lineage_dir):
         prefixes = tuple(f"{ph}-epoch{epoch}-" for ph in _EPOCH_PHASES) + (
             f"merge_stats-epoch{epoch}-", f"compact_stats-epoch{epoch}-")
@@ -200,6 +202,14 @@ def merge_append(spark: SparkSession, index_dir: str,
                     text_is_extracted=text_is_extracted,
                     extract_mode=extract_mode, staging=True,
                     seg=want_seg, **cfg)
+    # the delta's sidecars (positions/vocab) build into staging right
+    # away — iff the live epoch carries them — so a crash-resume with
+    # new_docs_df=None finds them ready (index/sidecars.py; idempotent)
+    from .sidecars import build_staging_sidecars, carry_sidecars_merge
+
+    build_staging_sidecars(spark, store, sstore, new_docs_df,
+                           text_is_extracted=text_is_extracted,
+                           extract_mode=extract_mode)
 
     # 2. removed = explicit tombstones + upserts (old ∩ staging doc_ids).
     #    Applied to OLD-epoch rows only: the staging (newest) version of
@@ -481,6 +491,13 @@ def merge_append(spark: SparkSession, index_dir: str,
     if gain_only:
         _fold_term_stats_delta(spark, store, sstore, epoch, old_epoch, gain_only)
 
+    # sidecars ride the same epoch switch (O(delta) carry — r5):
+    # positions segment-link + hit-group rebuild, vocab df fold
+    carry_sidecars_merge(spark, store, sstore, old_epoch=old_epoch,
+                         epoch=epoch, removed_small=removed_small,
+                         bulk_removal=bulk_removal,
+                         removal_hits_df=removal_hits_df)
+
     manifest.update(epoch=epoch, n_docs=n_docs, avgdl=avgdl)
     if segment:
         # read-side cursor count per term grows with live segments; the
@@ -620,6 +637,13 @@ def compact_index(spark: SparkSession, index_dir: str, *,
         store.corpus_stats_dir_for(epoch))
     write_term_stats_and_lineage(spark, store, phase="compact_stats", epoch=epoch)
 
+    # positions fold to canonical blocking (consuming tombstones);
+    # vocab hardlinks or folds losses (index/sidecars.py, r5)
+    from .sidecars import carry_sidecars_compact
+
+    carry_sidecars_compact(spark, store, old_epoch=old_epoch, epoch=epoch,
+                           tomb=tomb)
+
     manifest.update(epoch=epoch, n_docs=int(st["n"]),
                     avgdl=float(st["avgdl"] or 0.0), n_segments=1)
     store.write_manifest(manifest)  # <- the switch
@@ -723,6 +747,10 @@ def compact_tail(spark: SparkSession, index_dir: str, *,
                       store.tombstones_dir_for(epoch))):
         if os.path.isdir(src):
             _hardlink_tree(src, dst)
+    # sidecars are doc-set and df-invariant under a tail fold too
+    from .sidecars import hardlink_sidecars
+
+    hardlink_sidecars(store, old_epoch, epoch)
 
     manifest.update(epoch=epoch, n_segments=2)
     store.write_manifest(manifest)  # <- the switch

@@ -16,12 +16,16 @@ block encode (whole-batch varint + byte carving, the same device as
 index/build._build_blocks_arrays) -> partitionBy(bucket) write.
 
 Lifecycle: positions are built per EPOCH (build_positions after
-build_index). merge_append/compact create a NEW epoch and do not carry
-the sidecar, so IndexStorage.has_positions() turns false and phrase
-queries transparently fall back to match-then-verify — re-run
-build_positions over the merged corpus to restore the index-only path.
+build_index) and CARRIED through merges at O(delta) cost (r5,
+index/sidecars.py): a segment append hardlinks the delta's position
+blocks in next to the old files, removal-hit groups rebuild, and
+compact_index folds everything back to canonical blocking. Only a
+crash-resume that lost the staging sidecar degrades — has_positions()
+turns false and phrase queries transparently fall back to
+match-then-verify until build_positions re-runs.
 Head terms are not salted here (a phrase's rarest term bounds the
-candidate work; position runs of one term stay doc-sorted and blocked).
+candidate work; position runs of one term stay doc-sorted and blocked
+within a file; readers sort across segment files on load).
 
 No reference analog: super-rag's dense retrieval has no positional
 queries at all (/root/reference/service/query.py); this follows the

@@ -132,16 +132,18 @@ class IndexStorage:
 
     def has_vocab(self, epoch: int | None = None) -> bool:
         """True iff the vocabulary sidecar (index/vocab.py — fuzzy term
-        matching) exists for this epoch. Same lifecycle as the
-        positional sidecar: merges create a new epoch without it."""
+        matching) exists for this epoch. Merges carry it forward via
+        the df fold in index/sidecars.py (r5); it only goes absent when
+        a crash-resume lost the staging sidecar."""
         d = self.vocab_dir_for(self.epoch() if epoch is None else epoch)
         return os.path.exists(os.path.join(d, "_SUCCESS"))
 
     def has_positions(self, epoch: int | None = None) -> bool:
         """True iff the positional sidecar exists for this epoch.
-        Merges/compactions create a NEW epoch without positions, so a
-        stale sidecar never serves — phrase queries just degrade to
-        match-then-verify until build_positions runs again."""
+        Merges carry it forward (segment links + hit-group rebuilds,
+        index/sidecars.py r5); when absent (fresh index without it, or
+        a degraded crash-resume) phrase queries fall back to
+        match-then-verify until build_positions runs."""
         d = self.positions_dir_for(self.epoch() if epoch is None else epoch)
         return os.path.exists(os.path.join(d, "_SUCCESS"))
 
@@ -233,7 +235,8 @@ class IndexStorage:
         live = self.epoch()
         removed = []
         pat = re.compile(
-            r"^(postings|term_stats|doc_stats|corpus_stats|tombstones|staging)_e(\d+)$")
+            r"^(postings|term_stats|doc_stats|corpus_stats|tombstones"
+            r"|positions|vocab|staging)_e(\d+)$")
         for name in os.listdir(self.root):
             m = pat.match(name)
             if not m:

@@ -18,11 +18,14 @@ rows is an ordinary table). Partitioned by bucket =
 term_id(variant) % n_buckets and variant-sorted within files, so a
 driver lookup prunes buckets and row groups exactly like postings.
 
-Lifecycle mirrors the positions sidecar: built per epoch
-(build_vocab after build_index / `build_index.py --vocab`), dropped by
-merges/compactions (has_vocab() turns false, fuzzy queries raise a
-clear error), rebuilt over the merged corpus via
-`ingest.py vocab`-style re-runs of build_vocab.
+Lifecycle mirrors the positions sidecar: built per epoch (build_vocab
+after build_index / `build_index.py --vocab`) and FOLDED through
+merges (r5, index/sidecars.py): df_new = df_old + df_staging -
+df_removed is an associative (term, df) merge that never rescans the
+corpus — the variant table regenerates from the merged vocabulary
+(O(|vocab|) short rows). A crash-resume that lost the staging sidecar
+degrades: has_vocab() turns false, fuzzy queries raise a clear error
+until build_vocab re-runs.
 
 No reference analog (super-rag's dense retrieval gets fuzziness from
 embeddings); this is the sparse-engine equivalent of Lucene's fuzzy

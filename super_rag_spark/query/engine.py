@@ -788,6 +788,21 @@ class BM25Engine:
         docs = np.concatenate(dchunks)
         counts = np.concatenate(cchunks)
         flat = np.concatenate(fchunks)
+        if len(docs) > 1 and (docs[1:] < docs[:-1]).any():
+            # r5: after a segment-carried merge a term's position blocks
+            # live in multiple FILES whose doc ranges may interleave
+            # (staging-linked "segment" files next to the base), so the
+            # block-sorted concatenation is no longer globally sorted —
+            # restore the sorted-docs invariant searchsorted relies on.
+            # A doc appears at most once per term (one segment per term
+            # per doc), so a stable permutation is enough.
+            off0 = np.concatenate(([0], np.cumsum(counts)))
+            order = np.argsort(docs, kind="stable")
+            flat = np.concatenate(
+                [flat[off0[i]:off0[i + 1]] for i in order.tolist()]
+            ) if len(flat) else flat
+            docs = docs[order]
+            counts = counts[order]
         off = np.concatenate(([0], np.cumsum(counts)))
         entry = (docs, off, flat)
         self._pos_cache[key] = entry

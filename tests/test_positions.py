@@ -125,10 +125,12 @@ def test_positions_absent_raises_and_merge_degrades(spark, tmp_path):
     delta = docs.limit(3).select(
         F.concat(F.lit("new://"), F.col("url")).alias("url"), "text")
     merge_append(spark, idx2, delta, mode="segment")
-    # the new epoch has no sidecar: index-only raises, verify-path works
-    assert not eng2.store.has_positions()
-    with pytest.raises(ValueError, match="positional sidecar"):
-        eng2.phrase_topk("alpha beta", k=5)
-    merged_docs = docs.unionByName(delta)
-    after = eng2.phrase_topk("alpha beta", merged_docs, k=50)
+    # r5 (index/sidecars.py): the sidecar is CARRIED through the merge —
+    # index-only phrase keeps working over the merged epoch
+    assert eng2.store.has_positions()
+    after = eng2.phrase_topk("alpha beta", k=50)
     assert {d for d, _ in base} <= {d for d, _ in after}
+    # full test of carried-sidecar == fresh-build equality lives in
+    # tests/test_sidecar_merge.py; the degradation contract (staging
+    # sidecar lost -> has_positions() false, verify-path fallback) in
+    # test_sidecar_merge.test_index_without_sidecars_merges_clean
