@@ -6,15 +6,18 @@ metadata, exactly like the webtext ``html:binary`` column: all Spark
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
 real and tested.
 
-Codec policy (r4): formats decodable with the stdlib decode FOR REAL —
-BMP (24-bit uncompressed), PPM/PGM, and PNG (zlib inflate + NumPy
+Codec policy (r5): formats decodable with stdlib + NumPy decode FOR
+REAL — BMP (24-bit uncompressed), PPM/PGM, PNG (zlib inflate + NumPy
 per-row unfilter incl. Paeth; 8-bit gray/RGB/palette/alpha,
-non-interlaced) to NumPy arrays, WAV audio through the stdlib ``wave``
-module. Entropy-coded formats with no stdlib codec (JPEG/MP4) still
-need absent libraries; for those `decode_image` raises unless
-``deterministic_fake=True``, which derives a fake (width, height,
-n_channels, mean_luma) from the payload bytes so the distributed path
-stays exercisable end-to-end.
+non-interlaced), baseline-sequential JPEG (jpeg.py: stream-parsed
+Huffman tables + NumPy IDCT; gray/YCbCr, any integer subsampling,
+restart markers) to NumPy arrays, WAV audio through the stdlib
+``wave`` module. Only video (MP4) remains a documented stub; exotic
+variants of the real codecs (progressive/arithmetic JPEG, 16-bit or
+Adam7 PNG) raise ``NotImplementedError`` and `decode_image` degrades
+to the deterministic fake — a pure function of the payload bytes —
+when ``deterministic_fake=True``, so metadata pipelines survive any
+asset mix end-to-end.
 """
 
 from __future__ import annotations
@@ -284,23 +287,29 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """Sniff + decode: BMP and PPM/PGM decode FOR REAL (stdlib/NumPy);
-    entropy-coded formats (PNG/JPEG/...) need absent libraries and
-    raise unless ``deterministic_fake=True`` (fake metadata is a pure
-    function of the bytes). Returns
-    {width, height, n_channels, mean_luma, decoder}."""
+    """Sniff + decode: BMP, PPM/PGM, PNG, and (r5) baseline JPEG all
+    decode FOR REAL (stdlib + NumPy); unsupported variants raise unless
+    ``deterministic_fake=True`` (fake metadata is a pure function of
+    the bytes). Returns {width, height, n_channels, mean_luma,
+    decoder}."""
     arr = None
     if payload[:2] == b"BM":
         arr, decoder = decode_bmp(payload), "bmp"
     elif payload[:2] in (b"P6", b"P5"):
         arr, decoder = decode_ppm(payload), "ppm"
-    elif payload[:8] == _PNG_SIG:
+    elif payload[:8] == _PNG_SIG or payload[:2] == b"\xff\xd8":
         try:
-            arr, decoder = decode_png(payload), "png"
+            if payload[:2] == b"\xff\xd8":
+                from .jpeg import decode_jpeg
+
+                arr, decoder = decode_jpeg(payload), "jpeg"
+            else:
+                arr, decoder = decode_png(payload), "png"
         except (NotImplementedError, ValueError):
-            # exotic (16-bit / Adam7) or malformed PNG: degrade to the
-            # deterministic fake (metadata pipelines must survive a
-            # corrupt asset), or raise on the strict path
+            # exotic (16-bit / Adam7 PNG, progressive JPEG) or
+            # malformed payload: degrade to the deterministic fake
+            # (metadata pipelines must survive a corrupt asset), or
+            # raise on the strict path
             if not deterministic_fake:
                 raise
             arr = None
@@ -314,8 +323,8 @@ def decode_image(payload: bytes, deterministic_fake: bool = False) -> dict:
         }
     if not deterministic_fake:
         raise NotImplementedError(
-            "entropy-coded image decode (PNG/JPEG) requires PIL/opencv; "
-            "pass deterministic_fake=True for the test/CI path")
+            "unrecognized image format (real decoders: BMP/PPM/PGM/PNG/"
+            "baseline JPEG); pass deterministic_fake=True to degrade")
     h = hashlib.sha1(payload).digest()
     return {
         "width": 64 + h[0] % 192,
@@ -401,6 +410,10 @@ def image_features(assets_df: DataFrame, resize_to: int | None = None) -> DataFr
                         arr = decode_ppm(payload)
                     elif payload[:8] == _PNG_SIG:
                         arr = decode_png(payload)
+                    elif payload[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg
+
+                        arr = decode_jpeg(payload)
                     else:
                         continue
                 except (ValueError, NotImplementedError):
@@ -497,14 +510,17 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def synth_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic asset table for tests: three of every four assets
-    are REAL decodable payloads (BMP, WAV, or — r4 — PNG with all five
-    row filters, built by the encoders above); the fourth is an opaque
-    pseudo-MP4 byte string (no external data anywhere)."""
+    """Deterministic asset table for tests: four of every five assets
+    are REAL decodable payloads (BMP, WAV, PNG with all five row
+    filters, or — r5 — baseline JPEG, built by the encoders in this
+    package); the fifth is an opaque pseudo-MP4 byte string (no
+    external data anywhere)."""
+    from .jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         seed = hashlib.sha1(f"asset{i}".encode()).digest()
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             rng = np.frombuffer((seed * 200)[: 24 * 16 * 3], dtype=np.uint8)
             payload = encode_bmp(rng.reshape(16, 24, 3))
@@ -519,6 +535,12 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
             payload = encode_png(rng.reshape(16, 24, 3),
                                  filters=[0, 1, 2, 3, 4])
             media = "image/png"
+        elif kind == 3:
+            rng = np.frombuffer((seed * 200)[: 24 * 16 * 3], dtype=np.uint8)
+            payload = encode_jpeg(rng.reshape(16, 24, 3),
+                                  quality=85 + (i % 3) * 5,
+                                  subsample=i % 2 == 1)
+            media = "image/jpeg"
         else:
             payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
             media = "video/mp4"

@@ -1,0 +1,182 @@
+"""Baseline JPEG codec (super_rag_spark/jpeg.py, r5): roundtrips vs
+planted fixtures, constant sanity, per-asset error taxonomy, and the
+distributed-extractor wiring. The decoder parses DQT/DHT from the
+stream, so encoder/decoder table agreement is not assumed anywhere —
+the constants are additionally pinned structurally below."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from super_rag_spark.jpeg import (HUFF_AC_CHROMA, HUFF_AC_LUMA,
+                                  HUFF_DC_CHROMA, HUFF_DC_LUMA,
+                                  QUANT_CHROMA, QUANT_LUMA, ZIGZAG,
+                                  _build_decode_table, _DCT_M,
+                                  decode_jpeg, encode_jpeg)
+
+
+def _grad(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    return np.stack(np.meshgrid(x, y) + [np.full((h, w), 80.0)],
+                    axis=2).astype(np.uint8)
+
+
+# ------------------------------------------------------------ constants
+
+def test_zigzag_is_canonical():
+    zz = ZIGZAG.tolist()
+    assert sorted(zz) == list(range(64))            # a permutation
+    # anti-diagonal index (r+c) is non-decreasing along the scan
+    diag = [v // 8 + v % 8 for v in zz]
+    assert all(a <= b for a, b in zip(diag, diag[1:]))
+    assert zz[:8] == [0, 1, 8, 16, 9, 2, 3, 10]     # spec prefix
+    assert zz[-3:] == [55, 62, 63]
+
+
+def test_dct_basis_orthonormal():
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+
+
+def test_annex_k_tables_wellformed():
+    for bits, vals in (HUFF_DC_LUMA, HUFF_DC_CHROMA,
+                       HUFF_AC_LUMA, HUFF_AC_CHROMA):
+        tbl = _build_decode_table(bits, vals)       # raises if overfull
+        assert len(tbl) == len(vals) == sum(bits)
+    assert len(HUFF_AC_LUMA[1]) == len(HUFF_AC_CHROMA[1]) == 162
+    # AC symbols are (run<<4 | size) with size 1..10, plus EOB and ZRL
+    for _, vals in (HUFF_AC_LUMA, HUFF_AC_CHROMA):
+        assert set(vals) >= {0x00, 0xF0}
+        assert all(v == 0x00 or v == 0xF0 or 1 <= (v & 0x0F) <= 10
+                   for v in vals)
+    assert QUANT_LUMA[0] == 16 and QUANT_CHROMA[0] == 17
+    assert QUANT_LUMA.min() >= 1 and QUANT_LUMA.max() <= 255
+
+
+# ------------------------------------------------------------ roundtrips
+
+def test_flat_images_roundtrip_exact():
+    # flat blocks quantize to all-zero coefficients -> exact recovery
+    gray = np.full((16, 24), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(gray, quality=90)), gray)
+    color = np.zeros((24, 16, 3), np.uint8)
+    color[:] = (200, 100, 50)
+    out = decode_jpeg(encode_jpeg(color, quality=95))
+    assert out.shape == (24, 16, 3)
+    assert np.abs(out.astype(int) - color.astype(int)).max() <= 1
+
+
+def test_gradient_roundtrip_within_quant_error():
+    img = _grad(32, 40)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+
+
+def test_odd_dimensions_and_gray():
+    img = _grad(17, 23)
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == (17, 23, 3)
+    gray = img[:, :, 0]
+    outg = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert outg.shape == (17, 23)
+    assert np.abs(outg.astype(int) - gray.astype(int)).mean() < 3.0
+
+
+def test_noise_q100_near_lossless():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.0
+
+
+def test_subsampled_420_stream_and_roundtrip():
+    img = _grad(33, 41)  # odd dims force MCU edge padding at 16x16
+    payload = encode_jpeg(img, quality=90, subsample=True)
+    # the stream genuinely carries 2x2 luma sampling (SOF0 comp 1)
+    sof = payload.index(b"\xff\xc0")
+    nc = payload[sof + 9]
+    assert nc == 3 and payload[sof + 11] == 0x22    # (h=2)<<4 | (v=2)
+    out = decode_jpeg(payload)
+    assert out.shape == img.shape
+    # chroma is halved, so tolerance is looser but still tight on a
+    # smooth gradient
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_restart_markers_roundtrip():
+    img = _grad(32, 48)
+    payload = encode_jpeg(img, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in payload                   # DRI segment
+    assert any(bytes([0xFF, 0xD0 + k]) in payload for k in range(8))
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    out = decode_jpeg(payload)
+    # restart markers change framing, not content
+    assert np.array_equal(out, base)
+
+
+def test_decoder_is_table_driven_not_assuming_annex_k():
+    # quality changes rewrite the DQT tables in-stream; the decoder must
+    # follow them (a wrong-table decode would be wildly off)
+    img = _grad(16, 16)
+    lo = decode_jpeg(encode_jpeg(img, quality=50))
+    hi = decode_jpeg(encode_jpeg(img, quality=98))
+    err_lo = np.abs(lo.astype(int) - img.astype(int)).mean()
+    err_hi = np.abs(hi.astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo < 20.0
+
+
+# ------------------------------------------------------------ taxonomy
+
+def test_error_taxonomy():
+    img = _grad(16, 16)
+    good = encode_jpeg(img, quality=90)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"abcdef")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])         # truncated scan
+    # flip SOF0 -> SOF2: conformant-but-progressive must be
+    # NotImplementedError, not garbage output
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    # arithmetic coding (SOF9)
+    arith = good[:sof + 1] + b"\xc9" + good[sof + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(arith)
+    # corrupt a DHT spec so BITS over-commits the code space
+    dht = good.index(b"\xff\xc4")
+    bad = bytearray(good)
+    bad[dht + 5: dht + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_decode_image_sniffs_and_degrades(spark):
+    from super_rag_spark.multimodal import decode_image, image_features
+
+    img = _grad(16, 24)
+    good = encode_jpeg(img, quality=90)
+    meta = decode_image(good)
+    assert meta["decoder"] == "jpeg"
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (24, 16, 3)
+    # luma of the decoded pixels, not a fake
+    assert abs(meta["mean_luma"] - img.mean() / 255.0) < 0.02
+
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof + 1] + b"\xc2" + good[sof + 2:]
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
+    assert decode_image(prog, deterministic_fake=True)["decoder"] == "fake"
+
+    # distributed extractor: good decodes, corrupt drops, job survives
+    assets = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(good)),
+         (2, "image/jpeg", bytearray(good[:40])),
+         (3, "image/jpeg", bytearray(prog))],
+        "asset_id long, media_type string, payload binary")
+    feats = image_features(assets).collect()
+    assert [r["asset_id"] for r in feats] == [1]
+    assert feats[0]["width"] == 24 and feats[0]["height"] == 16

@@ -153,10 +153,10 @@ def test_multimodal_plumbing(spark):
         assert 1 <= r["n_channels"] <= 4
         if r["decoder"] == "fake":
             assert 64 <= r["width"] <= 255
-        else:  # REAL decode: synth BMPs AND PNGs (r4) are 24x16
+        else:  # REAL decode: synth BMP/PNG/JPEG (r5) are all 24x16
             assert (r["width"], r["height"]) == (24, 16)
-            assert r["decoder"] in ("bmp", "png")
-    assert {r["decoder"] for r in rows} == {"bmp", "png", "fake"}
+            assert r["decoder"] in ("bmp", "png", "jpeg")
+    assert {r["decoder"] for r in rows} == {"bmp", "png", "jpeg", "fake"}
     # determinism through the distributed path
     again = {r["asset_id"]: r["sha1"] for r in image_metadata(assets).collect()}
     assert all(again[r["asset_id"]] == r["sha1"] for r in rows)
@@ -286,15 +286,15 @@ def test_multimodal_real_codecs(spark):
     au = {r["asset_id"]: r for r in audio_features(assets).collect()}
     assert au and all(r["sample_rate"] == 16000 and r["rms"] > 0
                       for r in au.values())
-    # real image assets: ids %4==0 are BMP, %4==2 are PNG (r4);
-    # ids %4==1 audio
-    assert set(feats) == {i for i in range(32) if i % 4 in (0, 2)}
-    assert set(au) == {i for i in range(32) if i % 4 == 1}
-    # BMP and PNG synth assets share the same pixel source per seed
-    # group — their features must agree decoder-for-decoder
-    for i in range(0, 32, 4):
-        if i + 2 < 32:
-            assert feats[i]["width"] == feats[i + 2]["width"] == 24
+    # real image assets: ids %5==0 are BMP, %5==2 PNG, %5==3 JPEG
+    # (r5); ids %5==1 audio
+    assert set(feats) == {i for i in range(32) if i % 5 in (0, 2, 3)}
+    assert set(au) == {i for i in range(32) if i % 5 == 1}
+    # BMP/PNG/JPEG synth assets share the same pixel source per seed
+    # group — their shapes must agree decoder-for-decoder
+    for i in range(0, 30, 5):
+        assert (feats[i]["width"] == feats[i + 2]["width"]
+                == feats[i + 3]["width"] == 24)
 
 
 def test_rrf_fuse_semantics(spark):
