@@ -79,6 +79,15 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, queries: list[tuple[int, str]
                  k: int = 10) -> DataFrame:
     """Direct DataFrame BM25 (tokenize -> tf -> df -> contribution ->
     deterministic sum -> per-query top-k). Same exprs as the index path."""
+    qrows = [(qid, t) for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    return _bm25_score_qterms(spark, sf_dir, qterms, k)
+
+
+def _bm25_score_qterms(spark: SparkSession, sf_dir: str, qterms: DataFrame,
+                       k: int = 10) -> DataFrame:
+    """BM25 scoring body over an arbitrary (query_id, term) frame —
+    shared by the literal-query entries and the prefix-expansion one."""
     toks = _tok_docs(spark, sf_dir)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
@@ -86,9 +95,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str, queries: list[tuple[int, str]
 
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    qrows = [(qid, t) for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))]
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
 
     contribs = (
         tf.join(F.broadcast(qterms), "term")
@@ -209,6 +215,101 @@ def bm25_topk_single(spark, sf_dir):
 @_q("bm25_topk_multi", _bm25_sql(BM25_QUERIES))
 def bm25_topk_multi(spark, sf_dir):
     return _bm25_scored(spark, sf_dir, BM25_QUERIES)
+
+
+# ---- prefix / wildcard retrieval (engine.prefix_topk, Lucene-style) --------
+
+PREFIX_QUERIES = [(0, "ta"), (1, "s"), (2, "qu")]
+PREFIX_MAX_EXPANSIONS = 20
+
+
+def _prefix_sql(prefixes: list[tuple[int, str]], max_exp: int, k: int = 10) -> str:
+    """Oracle for prefix retrieval: expand each prefix to its top
+    ``max_exp`` corpus terms by (df DESC, term) — the engine's
+    deterministic max_expansions cap — then rank with the standard BM25
+    body over the expanded (query_id, term) set."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in prefixes)
+    return f"""
+WITH {_TOKS_SQL},
+p(query_id, prefix) AS (VALUES {vals}),
+expanded AS (
+  SELECT p.query_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term) AS rn
+  FROM p JOIN dfreq d ON d.term LIKE p.prefix || '%'
+),
+q AS (SELECT query_id, term FROM expanded WHERE rn <= {max_exp}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("prefix_topk", _prefix_sql(PREFIX_QUERIES, PREFIX_MAX_EXPANSIONS))
+def prefix_topk(spark, sf_dir):
+    """Wildcard 'pre*' retrieval (engine.prefix_topk semantics): df-
+    capped deterministic expansion, then per-expansion-idf BM25. The
+    sum over parts stays collect_list/sort_array-deterministic so the
+    cross-engine hash compare cannot see float-order jitter."""
+    dfreq = (_tf_df(spark, sf_dir).groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df")))
+    pfx = spark.createDataFrame(PREFIX_QUERIES, "query_id int, prefix string")
+    w = Window.partitionBy("query_id").orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        dfreq.join(F.broadcast(pfx), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PREFIX_MAX_EXPANSIONS)
+        .select("query_id", "term")
+    )
+    return _bm25_score_qterms(spark, sf_dir, qterms)
+
+
+# ---- faceted search (query/facets.py: counts over the FULL match set) ------
+
+_FACET_QVALS = ", ".join(
+    f"({qid}, '{t}')" for qid, qtext in BM25_QUERIES
+    for t in sorted(set(analysis.tokenize(qtext))))
+
+
+@_q("facet_counts", f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {_FACET_QVALS}),
+matched AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf USING (term))
+SELECT m.query_id, d.lang, d.source, count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang, d.source
+""")
+def facet_counts(spark, sf_dir):
+    """Facet counting (engine.facet_counts semantics, doc-table form):
+    each query's match set is the docs containing >=1 query term (the
+    OR-bag boolean chain); facets = (lang, source) doc counts over the
+    WHOLE match set, not a top-k."""
+    qrows = [(qid, t) for qid, qtext in BM25_QUERIES
+             for t in sorted(set(analysis.tokenize(qtext)))]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    matched = (
+        _tok_docs(spark, sf_dir)
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return (
+        matched.join(_docs(spark, sf_dir), "doc_id")
+        .groupBy("query_id", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 # ---- phrase / proximity search (match-then-verify, query/phrase.py) --------

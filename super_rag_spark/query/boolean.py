@@ -71,6 +71,18 @@ def boolean_sql_cand(steps: list[tuple[str, str]]) -> str:
     return sql
 
 
+def accepted_docs(spark: SparkSession, store,
+                  queries: list[tuple[int, str]]) -> DataFrame:
+    """The FULL accepted set of the boolean batch — (query_id, doc_id,
+    parts) for every doc each query's chain admits, parts carrying the
+    positive-term BM25 contributions. This is score_boolean_batch
+    without the ranking tail, factored out (r5) so facet aggregation
+    can consume the match set whole: facets need every matching doc,
+    not a top-k. Same plan shape: one pruned-postings pass, one
+    shuffle, constant-depth accept fold."""
+    return _accepted_docs_impl(spark, store, queries)
+
+
 def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str]],
                         k: int = 10) -> DataFrame:
     """Index-backed DISTRIBUTED boolean retrieval (r4 — replaces both
@@ -105,6 +117,27 @@ def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str
     subtraction needs them) but contribute no score. Ranking semantics
     match boolean_topk/engine.boolean_topk exactly (tests assert).
     """
+    scored = (
+        _accepted_docs_impl(spark, store, queries)
+        .withColumn("score", F.aggregate(
+            F.filter("parts", lambda x: x["contrib"].isNotNull()),
+            F.lit(0.0), lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+_ACCEPTED_SCHEMA = ("query_id int, doc_id long, "
+                    "parts array<struct<term:string,contrib:double>>")
+
+
+def _accepted_docs_impl(spark: SparkSession, store,
+                        queries: list[tuple[int, str]]) -> DataFrame:
     import pandas as pd
 
     from ..analysis import term_id_for
@@ -134,14 +167,14 @@ def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str
                          "step_mask": m, "positive": pos})
     qpdf = pd.DataFrame(rows)
     if qpdf.empty:
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return spark.createDataFrame([], _ACCEPTED_SCHEMA)
     term_ids = sorted(qpdf["term_id"].unique().tolist())
     dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
     # OOV terms drop out: their membership bit just never sets, which is
     # exactly the empty-set semantics of the set algebra
     qpdf = qpdf[qpdf["term_id"].isin(dfs)].copy()
     if qpdf.empty:
-        return spark.createDataFrame([], _OUT_SCHEMA)
+        return spark.createDataFrame([], _ACCEPTED_SCHEMA)
     qpdf["df"] = qpdf["term_id"].map(dfs).astype("int64")
     qterms = spark.createDataFrame(qpdf)
     term_ids = sorted(qpdf["term_id"].unique().tolist())
@@ -186,20 +219,10 @@ def score_boolean_batch(spark: SparkSession, store, queries: list[tuple[int, str
                         .when(s["op"] == F.lit(1), acc | _hit(s))
                         .otherwise(acc & ~_hit(s))))
 
-    scored = (
+    return (
         agg.join(F.broadcast(steps_df), "query_id")
         .where(accept)
-        .drop("steps")
-        .withColumn("score", F.aggregate(
-            F.filter("parts", lambda x: x["contrib"].isNotNull()),
-            F.lit(0.0), lambda a, x: a + x["contrib"]))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("score", 9).desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "doc_id", "parts")
     )
 
 

@@ -1005,6 +1005,51 @@ class BM25Engine:
             return []
         return self.topk(" ".join(corrected), k, method=method)
 
+    def prefix_topk(self, prefix: str, k: int = 10,
+                    max_expansions: int = 50,
+                    method: str = "vectorized") -> list[tuple[int, float]]:
+        """Wildcard retrieval ('pre*'): expand the prefix against the
+        vocabulary sidecar — the ``max_expansions`` HIGHEST-df matches,
+        (df DESC, term) deterministic, the same cap Lucene's
+        MultiTermQuery uses so a short prefix over a web-scale vocab
+        cannot explode into millions of terms — then run the expanded
+        OR-bag through the normal BM25 path (each expansion scored with
+        its own idf, so rare expansions rank their docs higher; the
+        driver-df-budget fallback applies as for any multi-term query).
+        Needs an index built with ``vocab=True``.
+
+        Reference analog: super-rag has no sparse wildcard (dense
+        embeddings subsume it); this is Lucene PrefixQuery re-expressed
+        over the sidecar + existing scorer."""
+        if not prefix:
+            raise ValueError("prefix_topk needs a non-empty prefix")
+        expansions = [t for t, _ in self.suggest(prefix, k=max_expansions)]
+        if not expansions:
+            return []
+        return self.topk(" ".join(sorted(expansions)), k, method=method)
+
+    # ------------------------------------------------------------- facets
+    def facet_counts(self, query: str, by: str = "host", top: int = 20,
+                     boolean: bool = False):
+        """Facet counts over the FULL match set of ``query`` (not just
+        top-k): ``by='host'`` buckets by the url's origin from
+        doc_stats, any other value names a doc_stats column. A plain
+        query faces as the OR-bag of its terms; ``boolean=True`` treats
+        ``query`` as an AND/OR/NOT chain (query/boolean.py grammar).
+        Runs the index-backed distributed plan — facets aggregate every
+        matching doc, so there is no driver fast path to prefer.
+        Returns a DataFrame (facet, n_docs), (n_docs DESC, facet)."""
+        from .facets import facet_counts as _fc
+
+        if boolean:
+            expr = query
+        else:
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                raise ValueError("facet_counts needs at least one term")
+            expr = " OR ".join(terms)
+        return _fc(self.spark, self.store, expr, by=by, top=top)
+
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:
         """Tombstone the docs for these urls; returns count tombstoned.

@@ -1,0 +1,50 @@
+"""Faceted search: per-facet document counts over a query's FULL
+match set (Lucene/Solr facet counting re-expressed as Spark joins).
+
+The reference's API returns only top-k hits (/root/reference/api/
+query.py:9-17) — facets are the standard search-engine sibling the
+dense path cannot express: "how do the matching docs distribute over
+host / language / source?".
+
+Scale shape: the match set comes from the index-backed boolean plan
+(query/boolean.accepted_docs — one pruned-postings pass + one shuffle;
+no document that matches no query term ever exists in the plan). The
+facet key joins in from doc_stats on doc_id — a shuffle hash join
+whose left side is only the matching docs — and the count aggregate
+gets map-side partial aggregation. No corpus/text access at any stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .boolean import accepted_docs
+
+# scheme://host[:port]/...  -> host[:port] (the facet key keeps the
+# port: distinct origins are distinct hosts for crawl accounting)
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/]+)"
+
+
+def facet_key_expr(by: str):
+    """Facet key over doc_stats columns: 'host' derives from url,
+    anything else must be a doc_stats column name."""
+    if by == "host":
+        return F.regexp_extract("url", HOST_RE, 1)
+    return F.col(by)
+
+
+def facet_counts(spark: SparkSession, store, expr: str, by: str = "host",
+                 top: int = 20) -> DataFrame:
+    """(facet, n_docs) for the ``top`` most frequent facet values among
+    the docs matching the boolean ``expr`` (plain OR-bags are a boolean
+    chain too). Deterministic (n_docs DESC, facet ASC) order."""
+    matched = accepted_docs(spark, store, [(0, expr)]).select("doc_id")
+    stats = store.doc_stats(spark)
+    return (
+        matched.join(stats, "doc_id")
+        .groupBy(facet_key_expr(by).alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+        .limit(top)
+    )

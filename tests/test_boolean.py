@@ -251,3 +251,62 @@ def test_boolean_batch_constant_depth_plan(spark, tmp_path):
         drv = [(i + 1, d, round(s, 9))
                for i, (d, s) in enumerate(eng.boolean_topk(expr, k=5))]
         assert sorted(got.get(qid, [])) == drv, (qid, expr)
+
+
+def test_facet_counts_over_match_set(spark, tmp_path):
+    """r5: engine.facet_counts buckets the FULL match set by host /
+    doc_stats column; boolean chains and OR-bags agree with hand
+    counts; deterministic (n_docs DESC, facet) order."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [
+        ("https://a.example/1", "alpha beta"),
+        ("https://a.example/2", "alpha gamma"),
+        ("https://b.example/1", "alpha delta"),
+        ("https://b.example/2", "beta delta"),
+        ("https://c.example/1", "epsilon only"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "facetidx")).build(
+        docs, text_is_extracted=True)
+
+    got = [(r["facet"], r["n_docs"])
+           for r in eng.facet_counts("alpha").collect()]
+    assert got == [("a.example", 2), ("b.example", 1)]
+
+    # OR-bag: 'alpha beta' matches a1,a2,b1,b2
+    got = [(r["facet"], r["n_docs"])
+           for r in eng.facet_counts("alpha beta").collect()]
+    assert got == [("a.example", 2), ("b.example", 2)]
+
+    # boolean chain narrows the set: alpha NOT beta -> a2, b1
+    got = [(r["facet"], r["n_docs"])
+           for r in eng.facet_counts("alpha NOT beta", boolean=True).collect()]
+    assert got == [("a.example", 1), ("b.example", 1)]
+
+    # facet by a doc_stats column directly
+    got = eng.facet_counts("epsilon", by="url").collect()
+    assert [(r["facet"], r["n_docs"]) for r in got] == [
+        ("https://c.example/1", 1)]
+
+    # top cap is honored
+    assert len(eng.facet_counts("alpha beta", top=1).collect()) == 1
+
+    with pytest.raises(ValueError, match="at least one term"):
+        eng.facet_counts("")
+
+
+def test_facet_counts_plan_reads_only_index(spark, tmp_path):
+    """The facet plan sources postings + doc_stats — never the corpus."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    docs = spark.createDataFrame(
+        [("https://p.example/1", "alpha beta")], "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "fpidx")).build(
+        docs, text_is_extracted=True)
+    plan = _plan_of(eng.facet_counts("alpha"))
+    # postings leg: the block decoder; doc_stats leg: a parquet scan
+    # projecting (doc_id, url) — path names truncate under long tmp
+    # dirs, so assert on plan features, not directory names
+    assert "decode_postings_map_in_pandas" in plan
+    assert "struct<doc_id:bigint,url:string>" in plan

@@ -128,3 +128,25 @@ def test_suggest_prefix_autocomplete(spark, fuzzy_engine):
             .orderBy("rank").collect()]
     assert dist == drv
     assert fuzzy_engine.suggest("zzz", k=5) == []
+
+
+def test_prefix_topk_wildcard(spark, fuzzy_engine):
+    """r5: prefix_topk == topk over the df-capped expansion set; cap
+    and determinism; vocab requirement."""
+    eng = fuzzy_engine
+    # expansion set for 'ga' is exactly {'gamma'} -> identical to topk
+    assert eng.prefix_topk("ga", k=10) == eng.topk("gamma", k=10)
+    # multi-expansion prefix: equals the OR-bag of its expansions
+    exp = [t for t, _ in eng.suggest("al", k=50)]
+    assert set(exp) == {"alpha"}  # corpus has one 'al' term
+    # 'pad*' expands to many padN terms; cap caps deterministically
+    capped = [t for t, _ in eng.suggest("pad", k=5)]
+    assert len(capped) == 5
+    got = eng.prefix_topk("pad", k=10, max_expansions=5)
+    want = eng.topk(" ".join(sorted(capped)), k=10)
+    assert got == want
+    # no matching vocab term -> empty; empty prefix -> error
+    assert eng.prefix_topk("zzz", k=5) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        eng.prefix_topk("", k=5)
