@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--vocab", action="store_true",
                     help="also build the vocabulary sidecar (r4):"
                          " enables typo-tolerant --fuzzy queries")
+    ap.add_argument("--title-weight", type=int, default=1,
+                    help="BM25F: count title-field tokens this many "
+                         "times (field-concatenation weighting)")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master")
@@ -72,6 +75,8 @@ def main() -> int:
         kwargs["n_buckets"] = args.buckets
     if args.salt_df_threshold:
         kwargs["salt_df_threshold"] = args.salt_df_threshold
+    if args.title_weight != 1:
+        kwargs["title_weight"] = args.title_weight
 
     df = spark.read.parquet(args.input)
     n_docs = df.count()

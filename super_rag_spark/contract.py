@@ -276,6 +276,112 @@ def prefix_topk(spark, sf_dir):
     return _bm25_score_qterms(spark, sf_dir, qterms)
 
 
+# ---- BM25F field-weighted ranking (index/build.py title_weight) ------------
+
+_BM25F_TITLE_N = 8   # pseudo-title: the doc's first 8 tokens
+_BM25F_W = 2         # title tokens counted twice
+
+
+def _bm25f_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """Oracle for BM25F in field-concatenation form (build_index
+    title_weight): weighted tf = tf + (W-1)*title_tf, weighted dl =
+    dl + (W-1)*|title|, ONE shared length normalization over the
+    weighted avgdl; df untouched (repetition never changes doc
+    membership). The documents table has no title column, so the title
+    field is the doc's first {_BM25F_TITLE_N} tokens — deterministic on
+    both engines."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, qtext in queries
+        for t in sorted(set(analysis.tokenize(qtext))))
+    w_extra = _BM25F_W - 1
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {vals}),
+ttl AS (SELECT doc_id, unnest(string_split(text, ' ')[1:{_BM25F_TITLE_N}]) AS term
+        FROM documents),
+tft AS (SELECT doc_id, term, count(*)::BIGINT AS tf_t FROM ttl
+        WHERE term <> '' GROUP BY doc_id, term),
+tfw AS (SELECT tf.doc_id, tf.term,
+               tf.tf + {w_extra} * coalesce(tft.tf_t, 0) AS tfw
+        FROM tf LEFT JOIN tft USING (doc_id, term)),
+dlw AS (SELECT doc_id, dl + {w_extra} * least(dl, {_BM25F_TITLE_N}) AS dlw FROM dl),
+statsw AS (SELECT count(*)::BIGINT AS n_docs, avg(dlw) AS avgdlw FROM dlw),
+contrib AS (
+  SELECT q.query_id, tfw.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tfw.tfw * {analysis.K1 + 1.0}) /
+           (tfw.tfw + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dlw.dlw / s.avgdlw)) AS c
+  FROM q JOIN tfw USING (term) JOIN dfreq d USING (term) JOIN dlw USING (doc_id)
+  CROSS JOIN statsw s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("bm25f_topk", _bm25f_sql(BM25_QUERIES))
+def bm25f_topk(spark, sf_dir):
+    """BM25F ranking, field-concatenation form (the semantics
+    build_index(title_weight=W) bakes into the index): title tokens
+    counted W times in tf AND dl, shared normalization, global df."""
+    toks = _tok_docs(spark, sf_dir)
+    w_extra = _BM25F_W - 1
+
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tft = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(
+            F.slice(tokens_expr("text"), 1, _BM25F_TITLE_N)).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_t"))
+    )
+    tfw = (
+        tf.join(tft, ["doc_id", "term"], "left")
+        .withColumn("tfw", F.col("tf")
+                    + w_extra * F.coalesce(F.col("tf_t"), F.lit(0)))
+    )
+    dlw = (
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        .withColumn("dlw", F.col("dl")
+                    + w_extra * F.least(F.col("dl"), F.lit(_BM25F_TITLE_N)))
+    )
+    st = dlw.agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("dlw").alias("avgdlw")).collect()[0]
+    n_docs, avgdlw = int(st["n"]), float(st["avgdlw"])
+
+    qrows = [(qid, t) for qid, qtext in BM25_QUERIES
+             for t in sorted(set(analysis.tokenize(qtext)))]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contribs = (
+        tfw.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .join(dlw, "doc_id")
+        .withColumn("contrib", idf * (F.col("tfw") * (analysis.K1 + 1.0)) /
+                    (F.col("tfw") + analysis.K1 * (1.0 - analysis.B
+                     + analysis.B * F.col("dlw") / avgdlw)))
+    )
+    scored = (
+        contribs.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"))
+        .withColumn("score", F.aggregate("parts", F.lit(0.0),
+                                         lambda a, x: a + x["contrib"]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
 # ---- faceted search (query/facets.py: counts over the FULL match set) ------
 
 _FACET_QVALS = ", ".join(

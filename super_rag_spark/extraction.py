@@ -829,3 +829,52 @@ def extract_text_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.D
             "url": pdf["url"],
             "text": [extract_text(h) for h in pdf["html"]],
         })
+
+
+# -------------------------------------------------- BM25F title extraction
+
+EXTRACT_TITLE_SCHEMA = "url string, text string, title string"
+
+
+def extract_title(html: bytes | str) -> str:
+    """The TITLE FIELD of a page: the Title-typed elements
+    (<title>/<h1>-<h3>) with the same consecutive-duplicate collapse
+    extract_text applies, newline-joined. The flat ``text`` stays
+    byte-identical to extract_text — this is a SEPARATE projection of
+    the same element stream, so BM25F field weighting never perturbs
+    the per-url extraction invariant."""
+    out: list[str] = []
+    prev_title: str | None = None
+    for el in extract_elements(html):
+        if el["type"] == "Title":
+            if el["text"] == prev_title:
+                continue
+            prev_title = el["text"]
+            out.append(el["text"])
+    return "\n".join(out)
+
+
+def extract_text_title_map_in_pandas(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (url, html:binary) -> (url, text, title) —
+    one parse per doc feeding both projections."""
+    for pdf in batches:
+        texts, titles = [], []
+        for h in pdf["html"]:
+            if isinstance(h, (bytes, bytearray)):
+                h = h.decode("utf-8", errors="replace")
+            elements = extract_elements(h)
+            t_out: list[str] = []
+            ti_out: list[str] = []
+            prev_title: str | None = None
+            for el in elements:
+                if el["type"] == "Title":
+                    if el["text"] == prev_title:
+                        continue
+                    prev_title = el["text"]
+                    ti_out.append(el["text"])
+                t_out.append(el["text"])
+            texts.append("\n".join(t_out))
+            titles.append("\n".join(ti_out))
+        yield pd.DataFrame({"url": pdf["url"], "text": texts,
+                            "title": titles})

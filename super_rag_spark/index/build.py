@@ -80,13 +80,42 @@ def extract_any(df: DataFrame) -> DataFrame:
     )
 
 
-def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
-    """(url, text) -> (doc_id, url, tokens, dl)."""
+def extract_with_title(webtext_df: DataFrame) -> DataFrame:
+    """(url, html, ...) -> (url, text, title): one parse feeding both
+    the flat text (byte-identical to extract()) and the title field
+    (Title-typed elements) for BM25F weighting."""
+    from ..extraction import (EXTRACT_TITLE_SCHEMA,
+                              extract_text_title_map_in_pandas)
+
+    return webtext_df.select("url", "html").mapInPandas(
+        extract_text_title_map_in_pandas, schema=EXTRACT_TITLE_SCHEMA
+    )
+
+
+def tokens_from_text(df: DataFrame, url_col: str = "url", text_col: str = "text",
+                     title_weight: int = 1) -> DataFrame:
+    """(url, text[, title]) -> (doc_id, url, tokens, dl).
+
+    ``title_weight`` > 1 applies BM25F field weighting in its
+    field-concatenation form (Robertson & Zaragoza 2009 §3.3: integer
+    field weights == repeating the field's tokens, sharing one length
+    normalization): the title's tokens are appended ``title_weight-1``
+    extra times, so tf and dl both carry the weight and EVERYTHING
+    downstream — postings, WAND bounds, merges, sidecars — works
+    unchanged. df is untouched (repetition never changes membership).
+    Pure Catalyst (flatten(array_repeat(...))), no UDF."""
+    toks = tokens_expr(text_col)
+    if title_weight > 1:
+        toks = F.concat(
+            toks,
+            F.flatten(F.array_repeat(tokens_expr("title"),
+                                     title_weight - 1)),
+        )
     return (
         df.select(
             doc_id_expr(url_col).alias("doc_id"),
             F.col(url_col).alias("url"),
-            tokens_expr(text_col).alias("tokens"),
+            toks.alias("tokens"),
         )
         .withColumn("dl", F.size("tokens"))
     )
@@ -293,7 +322,8 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 n_buckets: int = analysis.N_BUCKETS,
                 salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
                 salt_count: int = analysis.SALT_COUNT,
-                staging: bool = False, seg: int = 0) -> IndexStorage:
+                staging: bool = False, seg: int = 0,
+                title_weight: int = 1) -> IndexStorage:
     """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
     with ``text_is_extracted=False`` to run the extraction UDF first:
     ``extract_mode="html"`` treats every payload as HTML (the webtext
@@ -303,20 +333,38 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     are recomputed from the MERGED blocks anyway; saves two jobs on the
     micro-batch append path). ``seg``: segment id stamped on every block
     (segment-mode merges build the delta directly as its target segment,
-    index/merge.py)."""
+    index/merge.py). ``title_weight`` > 1 builds a BM25F
+    field-weighted index (title tokens counted ``title_weight`` times,
+    shared length normalization — see tokens_from_text): with
+    ``text_is_extracted=False`` the title field comes out of the HTML
+    parse (Title elements); with pre-extracted text the input must
+    carry a ``title`` column."""
     if extract_mode not in ("html", "any"):
         raise ValueError(f"unknown extract_mode: {extract_mode!r}")
+    if title_weight < 1:
+        raise ValueError("title_weight must be >= 1")
+    if title_weight > 1:
+        if not text_is_extracted and extract_mode != "html":
+            raise ValueError("title_weight needs extract_mode='html' "
+                             "(titles come from the HTML parse)")
+        if text_is_extracted and "title" not in docs_df.columns:
+            raise ValueError("title_weight > 1 with pre-extracted text "
+                             "needs a 'title' column")
     store = IndexStorage(index_dir)
 
     if not text_is_extracted:
-        docs_df = extract(docs_df) if extract_mode == "html" else extract_any(docs_df)
+        if title_weight > 1:
+            docs_df = extract_with_title(docs_df)
+        else:
+            docs_df = extract(docs_df) if extract_mode == "html" else extract_any(docs_df)
     # The extraction + tokenize scan feeds doc_stats, corpus stats AND the
     # tf aggregation; persist it so the (expensive) extraction UDF runs
     # once. On a cluster this would be a checkpoint table — locally
     # MEMORY_AND_DISK is the same idea without the extra write.
     from pyspark import StorageLevel
 
-    toks = tokens_from_text(docs_df).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = tokens_from_text(docs_df, title_weight=title_weight).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     # Input-uniqueness guard: duplicate urls would double-count n_docs /
     # dl and emit duplicate postings (doc scored twice, diverging from
@@ -398,6 +446,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         "n_docs": n_docs, "avgdl": avgdl, "epoch": 0, "seg": seg,
         "n_segments": 1,  # segment-mode merges increment; compact resets
         "tokenizer": "[a-z0-9]+ lowercase",
+        "title_weight": title_weight,
     })
     return store
 
