@@ -1042,6 +1042,35 @@ def repetition_metrics_entry(spark, sf_dir):
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
+_XDUP_N = 8
+
+
+@_q("cross_doc_ngram_dup", f"""
+WITH docs_l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(l[i:i+{_XDUP_N - 1}], ' ') AS gram
+  FROM docs_l, LATERAL (SELECT unnest(range(1, len(l) - {_XDUP_N - 2})) AS i) r
+),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM grams g JOIN gd USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_windows, n_dup,
+       round(n_dup::DOUBLE / n_windows, 6) AS dup_frac
+FROM per
+""")
+def cross_doc_ngram_dup(spark, sf_dir):
+    """Cross-document duplicate-span fractions (Lee et al.-style exact
+    substring duplication, windowed): per doc, the share of its
+    {_XDUP_N}-token windows whose n-gram appears in >= 2 distinct docs
+    corpus-wide (textops.cross_doc_ngram_dup). The Spark side hashes
+    grams (xxhash64 int64 shuffle keys); the oracle carries gram
+    strings — outputs agree because the gram value never leaves the
+    aggregation."""
+    return textops.cross_doc_ngram_dup(_docs(spark, sf_dir), n=_XDUP_N)
+
+
 @_q("doc_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')) AS fingerprint

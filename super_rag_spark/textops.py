@@ -446,6 +446,49 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
           for c in (f"top_{n}gram_frac", f"dup_{n}gram_frac")])
 
 
+def cross_doc_ngram_dup(df: DataFrame, n: int = 8,
+                        text_col: str = "text") -> DataFrame:
+    """CROSS-document duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    their exact-substring criterion, windowed form): for every doc,
+    the fraction of its length-``n`` token windows whose n-gram occurs
+    in >= 2 DISTINCT docs corpus-wide. repetition_metrics sees
+    within-doc repetition; this is its across-corpus sibling — the
+    signal that catches boilerplate shared across sites and templated
+    near-copies that whole-doc dedup (exact / MinHash) misses.
+
+    Returns (doc_id, n_windows, n_dup, dup_frac); docs shorter than
+    ``n`` tokens have no windows and are omitted (matching the SQL
+    oracle's LATERAL-over-empty-range shape).
+
+    Shape at 100 TB: windows derive map-side from the tokens array
+    (one higher-order transform, no per-doc shuffle); grams travel as
+    xxhash64 int64s, never strings (collision odds over 10^13 windows
+    ~ 10^-7 per Birthday bound — acceptable for a quality signal; the
+    gram VALUE never appears in the output). Cost = one (gram) hash
+    agg + one shuffle join back on gram + one per-doc agg, all
+    map-side-combined, linear in corpus tokens."""
+    toks = (
+        with_tokens(df, text_col)
+        .where(F.size("tokens") >= n)
+        .select("doc_id", F.explode(F.expr(
+            f"transform(sequence(0, size(tokens) - {n}),"
+            f" i -> xxhash64(concat_ws(' ', slice(tokens, i + 1, {n}))))"
+        )).alias("g"))
+    )
+    gram_docs = (toks.groupBy("g")
+                 .agg(F.count_distinct("doc_id").alias("nd")))
+    return (
+        toks.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"))
+        .select("doc_id", "n_windows", "n_dup",
+                F.round(F.col("n_dup") / F.col("n_windows"), 6)
+                .alias("dup_frac"))
+    )
+
+
 def clean_corpus(df: DataFrame, min_tokens: int = 20,
                  keep_langs: tuple = ("en", "de", "fr", "es"),
                  jaccard_threshold: float = 0.5,

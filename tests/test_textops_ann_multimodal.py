@@ -580,3 +580,26 @@ def test_hash_sampling_deterministic_and_stratified(spark):
     assert langs == {"en", "de"}  # fr absent from rates -> dropped
     n_en = sum(1 for r in rows if r["lang"] == "en")
     assert n_en == 200  # rate 1.0 keeps every en doc
+
+
+def test_cross_doc_ngram_dup_planted(spark):
+    """r5: a span shared verbatim across two docs is flagged in both;
+    a unique doc reads 0.0; short docs (<n tokens) are omitted."""
+    from super_rag_spark.textops import cross_doc_ngram_dup
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (1, shared + " tail a"),            # 10 tokens -> 3 windows
+        (2, "head b " + shared),            # 10 tokens -> 3 windows
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique, 9 -> 2 windows
+        (4, "too short"),                   # < 8 tokens -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cross_doc_ngram_dup(df, n=8).collect()}
+    assert set(got) == {1, 2, 3}
+    # docs 1/2 share exactly one 8-gram window (the span itself)
+    assert (got[1]["n_windows"], got[1]["n_dup"]) == (3, 1)
+    assert (got[2]["n_windows"], got[2]["n_dup"]) == (3, 1)
+    assert got[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (got[3]["n_windows"], got[3]["n_dup"]) == (2, 0)
+    assert got[3]["dup_frac"] == 0.0
