@@ -39,6 +39,10 @@ def main() -> int:
     ap.add_argument("--title-weight", type=int, default=1,
                     help="BM25F: count title-field tokens this many "
                          "times (field-concatenation weighting)")
+    ap.add_argument("--meta-cols", default=None,
+                    help="comma-separated input columns to carry into "
+                         "doc_stats (e.g. warc_ts,lang) for query-time "
+                         "metadata filters and facets")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--salt-df-threshold", type=int, default=None)
     ap.add_argument("--master", default=None, help="override spark master")
@@ -77,6 +81,9 @@ def main() -> int:
         kwargs["salt_df_threshold"] = args.salt_df_threshold
     if args.title_weight != 1:
         kwargs["title_weight"] = args.title_weight
+    if args.meta_cols:
+        kwargs["meta_cols"] = tuple(
+            c.strip() for c in args.meta_cols.split(",") if c.strip())
 
     df = spark.read.parquet(args.input)
     n_docs = df.count()

@@ -179,11 +179,19 @@ def main() -> int:
     try:
         if args.cmd == "append":
             from super_rag_spark.index.merge import merge_append
+            from super_rag_spark.index.storage import IndexStorage
 
+            # the delta must carry whatever the INDEX was built with:
+            # meta_cols ride into doc_stats, and a pre-extracted append
+            # to a title-weighted index needs the title field
+            m = IndexStorage(args.index).read_manifest()
+            cols = ["url", "html" if args.from_html else "text"]
+            if not args.from_html and int(m.get("title_weight", 1)) > 1:
+                cols.append("title")
+            cols += [c for c in m.get("meta_cols", []) if c not in cols]
             delta = spark.read.parquet(args.input)
             store = merge_append(
-                spark, args.index,
-                delta.select("url", "html" if args.from_html else "text"),
+                spark, args.index, delta.select(*cols),
                 text_is_extracted=not args.from_html,
                 extract_mode=args.extract_mode, mode=args.mode)
             m = store.read_manifest()

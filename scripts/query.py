@@ -58,10 +58,11 @@ def main() -> int:
                          "phrase verification — the index stores no text")
     ap.add_argument("--where", default=None,
                     help="Qdrant-style dict filter as JSON (reference "
-                         "query-API parity); requires --meta")
+                         "query-API parity); filters --meta if given, "
+                         "else the index's own doc_stats (--meta-cols)")
     ap.add_argument("--meta", default=None,
                     help="parquet of doc metadata with a doc_id column "
-                         "(the filter's target table)")
+                         "(optional filter target table)")
     ap.add_argument("--master", default="local[4]")
     args = ap.parse_args()
 
@@ -102,11 +103,12 @@ def main() -> int:
                                     "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None and args.where is not None:
-        if not args.meta:
-            ap.error("--where requires --meta")
+        # --meta optional since r5: without it the filter runs against
+        # the index's own doc_stats (build with --meta-cols)
         t0 = time.time()
         rows = eng.search(args.query, k=args.k,
-                          docs_meta=spark.read.parquet(args.meta),
+                          docs_meta=(spark.read.parquet(args.meta)
+                                     if args.meta else None),
                           where=json.loads(args.where)).collect()
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"query": args.query, "where": json.loads(args.where),

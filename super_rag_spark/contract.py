@@ -1625,14 +1625,20 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
     eng = BM25Engine(spark, idx_dir)
     manifest_ok = False
     if os.path.exists(os.path.join(idx_dir, "manifest.json")):
-        manifest_ok = eng.store.read_manifest().get("version") == 4
+        m = eng.store.read_manifest()
+        # meta_cols check invalidates pre-r5 cached indexes (doc_stats
+        # lacks the lang column the filtered-meta entry needs)
+        manifest_ok = (m.get("version") == 4
+                       and m.get("meta_cols") == ["lang"])
         if not manifest_ok:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)
     if not manifest_ok:
         docs = _docs(spark, sf_dir).select(
-            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
-        eng.build(docs, n_buckets=8, salt_df_threshold=200)
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text", "lang")
+        eng.build(docs, n_buckets=8, salt_df_threshold=200,
+                  meta_cols=("lang",))
     if not eng.store.has_positions():  # r4 sidecar (also upgrades a
         # cached pre-r4 index in place — same corpus, same epoch)
         from .index.positions import build_positions
@@ -1756,6 +1762,27 @@ def bm25_topk_filtered_wand(spark, sf_dir):
     return out.select(F.lit(qid).alias("query_id"), "rank",
                       F.col("table_doc_id").alias("doc_id"),
                       F.round("score", 6).alias("score"))
+
+
+@_q("bm25_topk_filtered_meta", _bm25_sql([BM25_QUERIES[3]], cand_where="lang = 'en'"))
+def bm25_topk_filtered_meta(spark, sf_dir):
+    """Metadata-filtered top-k with NO caller-side metadata table (r5):
+    the index was built with ``meta_cols=('lang',)`` so doc_stats
+    itself carries the filter column — ``where`` compiles against the
+    index's own doc table (engine.search docs_meta default) and the
+    candidate semi-join runs entirely off index files. This is the
+    100 TB shape: query-time filtering must not re-read the corpus.
+    Also exercises the bare-condition filter form (no must/ wrapper)."""
+    eng = _indexed_engine(spark, sf_dir)
+    qid, qtext = BM25_QUERIES[3]
+    out = eng.search(
+        qtext, k=10,
+        where={"key": "lang", "match": {"value": "en"}},
+        driver_filter_max=0)
+    return out.select(
+        F.lit(qid).alias("query_id"), "rank",
+        F.split(F.col("url"), "doc://").getItem(1).cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"))
 
 
 @_q("index_tiered_topk", _bm25_sql([BM25_QUERIES[4]]))

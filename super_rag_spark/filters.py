@@ -82,6 +82,16 @@ def to_column(flt) -> Column:
         return flt
     if not isinstance(flt, dict):
         raise TypeError(f"filter must be a Column or dict, got {type(flt)}")
+    if "key" in flt:
+        # bare condition without a must/should wrapper — accept it
+        # directly; falling through would return lit(True) and
+        # silently DROP the filter (broader-than-requested results)
+        return _condition(flt)
+    unknown = set(flt) - {"must", "should", "must_not"}
+    if unknown:
+        raise ValueError(
+            f"unsupported filter key(s) {sorted(unknown)}; expected a "
+            f"condition ('key': ...) or must/should/must_not groups")
     clauses: list[Column] = []
     for cond in flt.get("must", []):
         clauses.append(_condition(cond))

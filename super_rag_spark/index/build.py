@@ -323,7 +323,8 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
                 salt_count: int = analysis.SALT_COUNT,
                 staging: bool = False, seg: int = 0,
-                title_weight: int = 1) -> IndexStorage:
+                title_weight: int = 1,
+                meta_cols: tuple = ()) -> IndexStorage:
     """End-to-end build. ``docs_df`` needs (url, text) — or (url, html)
     with ``text_is_extracted=False`` to run the extraction UDF first:
     ``extract_mode="html"`` treats every payload as HTML (the webtext
@@ -338,7 +339,15 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     shared length normalization — see tokens_from_text): with
     ``text_is_extracted=False`` the title field comes out of the HTML
     parse (Title elements); with pre-extracted text the input must
-    carry a ``title`` column."""
+    carry a ``title`` column.
+
+    ``meta_cols``: input columns (e.g. the webtext table's warc_ts /
+    lang) carried into doc_stats, so metadata filters (P7 search
+    where=) and facet_counts run off the INDEX's own doc table — no
+    caller-side corpus join at query time. Costs one doc-level join at
+    build time; duplicate-url inputs fold per column via max
+    (deterministic — the postings side already dedups to one
+    survivor)."""
     if extract_mode not in ("html", "any"):
         raise ValueError(f"unknown extract_mode: {extract_mode!r}")
     if title_weight < 1:
@@ -350,6 +359,10 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         if text_is_extracted and "title" not in docs_df.columns:
             raise ValueError("title_weight > 1 with pre-extracted text "
                              "needs a 'title' column")
+    missing = [c for c in meta_cols if c not in docs_df.columns]
+    if missing:
+        raise ValueError(f"meta_cols not in the input frame: {missing}")
+    meta_src = docs_df
     store = IndexStorage(index_dir)
 
     if not text_is_extracted:
@@ -400,8 +413,13 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     n_docs = int(st["n_docs"])
     avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
 
-    store.catalog.overwrite(toks.select("doc_id", "url", "dl"),
-                            store.doc_stats_dir_for(0))
+    stats_df = toks.select("doc_id", "url", "dl")
+    if meta_cols:
+        meta_df = meta_src.groupBy("url").agg(
+            *[F.max(c).alias(c) for c in meta_cols])
+        stats_df = stats_df.join(meta_df, "url", "left").select(
+            "doc_id", "url", "dl", *meta_cols)
+    store.catalog.overwrite(stats_df, store.doc_stats_dir_for(0))
     store.catalog.overwrite(
         spark.createDataFrame(
             [(n_docs, avgdl, int(st["total_tokens"] or 0))],
@@ -447,6 +465,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         "n_segments": 1,  # segment-mode merges increment; compact resets
         "tokenizer": "[a-z0-9]+ lowercase",
         "title_weight": title_weight,
+        "meta_cols": list(meta_cols),
     })
     return store
 

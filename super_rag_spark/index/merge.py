@@ -198,10 +198,16 @@ def merge_append(spark: SparkSession, index_dir: str,
     if not os.path.exists(sstore.manifest_path):
         if new_docs_df is None:
             raise ValueError("no staging index found and no new_docs_df given")
+        # title_weight / meta_cols are INDEX properties, not call-site
+        # options: a weighted or meta-carrying index must append deltas
+        # built the same way, or scores / doc_stats schemas diverge
         build_index(spark, new_docs_df, staging,
                     text_is_extracted=text_is_extracted,
                     extract_mode=extract_mode, staging=True,
-                    seg=want_seg, **cfg)
+                    seg=want_seg,
+                    title_weight=int(manifest.get("title_weight", 1)),
+                    meta_cols=tuple(manifest.get("meta_cols", [])),
+                    **cfg)
     # the delta's sidecars (positions/vocab) build into staging right
     # away — iff the live epoch carries them — so a crash-resume with
     # new_docs_df=None finds them ready (index/sidecars.py; idempotent)

@@ -535,7 +535,10 @@ class BM25Engine:
           exact candidate restriction BEFORE scoring, like the reference
           pushes filters into the vector DB. ``where`` is a Spark Column
           or a Qdrant-style dict (/root/reference/models/query.py:7-21),
-          compiled by filters.to_column.
+          compiled by filters.to_column. ``docs_meta`` defaults to the
+          index's OWN doc_stats — an index built with
+          ``meta_cols=('warc_ts', 'lang')`` filters on those columns
+          with no caller-side corpus table at all (r5).
         - Selective filters (<= ``driver_filter_max`` candidates) ride
           the low-latency driver path; broad filters go through the
           distributed semi-join plan (score_query_batch(candidates=)),
@@ -558,7 +561,7 @@ class BM25Engine:
         allowed = None  # small-set fast path: sorted int64 array
         if where is not None:
             if docs_meta is None:
-                raise ValueError("where= requires docs_meta=")
+                docs_meta = self.store.doc_stats(self.spark)
             from ..filters import to_column
 
             cand_df = docs_meta.where(to_column(where)).select("doc_id")
@@ -605,7 +608,12 @@ class BM25Engine:
         out = out.join(engine.store.doc_stats(self.spark).select("doc_id", "url"),
                        "doc_id", "left")
         if docs_meta is not None:
-            out = out.join(docs_meta, "doc_id", "left")
+            # doc_stats-backed meta (r5) carries url/dl the result
+            # already has — drop the overlap so the join never forks
+            # duplicate column names
+            dup = [c for c in docs_meta.columns
+                   if c != "doc_id" and c in out.columns]
+            out = out.join(docs_meta.drop(*dup), "doc_id", "left")
         # P3: drop whitespace-only content if present
         if "content" in out.columns:
             out = out.where(F.trim(F.col("content")) != "")

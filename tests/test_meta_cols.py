@@ -1,0 +1,117 @@
+"""meta_cols (r5): input metadata columns (the webtext table's
+warc_ts / lang) carried into doc_stats — metadata filters and facets
+run off the index's own doc table, no caller-side corpus join.
+Also covers the index-property propagation rule: merge_append deltas
+inherit title_weight / meta_cols from the live manifest."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark.analysis import doc_id_for_url
+
+
+def _webtext(spark):
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (f"https://m{i % 3}.example/{i}",
+         ts + datetime.timedelta(days=i),
+         f"alpha common{' beta' if i % 2 == 0 else ''} filler{i}",
+         "en" if i % 3 else "de")
+        for i in range(12)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def meta_engine(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    idx = str(tmp_path_factory.mktemp("metaidx") / "idx")
+    return BM25Engine(spark, idx).build(
+        _webtext(spark), text_is_extracted=True,
+        meta_cols=("warc_ts", "lang"))
+
+
+def test_meta_cols_in_doc_stats(spark, meta_engine):
+    ds = meta_engine.store.doc_stats(spark)
+    assert set(ds.columns) == {"doc_id", "url", "dl", "warc_ts", "lang"}
+    assert meta_engine.manifest["meta_cols"] == ["warc_ts", "lang"]
+    assert ds.where(F.col("lang") == "de").count() == 4
+
+
+def test_search_filters_on_index_meta(spark, meta_engine):
+    """where= without docs_meta filters against the index's own
+    doc_stats; results match an explicit-docs_meta run."""
+    implicit = meta_engine.search(
+        "alpha", k=20, where={"key": "lang", "match": {"value": "de"}})
+    explicit = meta_engine.search(
+        "alpha", k=20, where={"key": "lang", "match": {"value": "de"}},
+        docs_meta=meta_engine.store.doc_stats(spark))
+    got = [(r["doc_id"], r["score"]) for r in implicit.collect()]
+    assert got == [(r["doc_id"], r["score"]) for r in explicit.collect()]
+    de_ids = {doc_id_for_url(f"https://m0.example/{i}")
+              for i in (0, 3, 6, 9)}
+    assert {d for d, _ in got} == de_ids
+
+
+def test_search_time_range_filter(spark, meta_engine):
+    """warc_ts range filter (the crawl-window query a CC-scale corpus
+    needs) straight off the index."""
+    hits = meta_engine.search(
+        "common", k=20,
+        where={"key": "warc_ts",
+               "range": {"gte": datetime.datetime(2026, 1, 9)}}).collect()
+    got_ids = {r["doc_id"] for r in hits}
+    want = {doc_id_for_url(f"https://m{i % 3}.example/{i}")
+            for i in (8, 9, 10, 11)}
+    assert got_ids == want
+
+
+def test_facet_on_meta_col(spark, meta_engine):
+    got = [(r["facet"], r["n_docs"])
+           for r in meta_engine.facet_counts("common", by="lang").collect()]
+    assert got == [("en", 8), ("de", 4)]
+
+
+def test_merge_append_carries_meta_and_weight(spark, tmp_path):
+    """Index properties propagate: a delta appended to a meta-carrying,
+    title-weighted index is built with the SAME settings (manifest-
+    driven), so doc_stats schema and scoring semantics never fork."""
+    from super_rag_spark.index.merge import merge_append
+    from super_rag_spark.query.engine import BM25Engine
+
+    base = spark.createDataFrame(
+        [("https://p.example/1", "alpha beta", "t0", "en")],
+        "url string, text string, title string, lang string")
+    idx = str(tmp_path / "propidx")
+    eng = BM25Engine(spark, idx).build(
+        base, text_is_extracted=True, title_weight=2, meta_cols=("lang",))
+
+    delta = spark.createDataFrame(
+        [("https://p.example/2", "alpha gamma", "gamma", "fr")],
+        "url string, text string, title string, lang string")
+    merge_append(spark, idx, delta, text_is_extracted=True)
+    eng = BM25Engine(spark, idx)
+
+    ds = eng.store.doc_stats(spark)
+    assert set(ds.columns) == {"doc_id", "url", "dl", "lang"}
+    assert {r["lang"] for r in ds.collect()} == {"en", "fr"}
+    # the delta doc's title tokens were double-counted (weight carried):
+    # text 'alpha gamma' (2) + title 'gamma' once more = dl 3
+    d2 = doc_id_for_url("https://p.example/2")
+    assert ds.where(F.col("doc_id") == d2).collect()[0]["dl"] == 3
+    assert eng.manifest["title_weight"] == 2
+    assert eng.manifest["meta_cols"] == ["lang"]
+
+
+def test_meta_cols_validation(spark, tmp_path):
+    from super_rag_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [("https://v.example/1", "alpha")], "url string, text string")
+    with pytest.raises(ValueError, match="meta_cols"):
+        build_index(spark, docs, str(tmp_path / "mv"),
+                    meta_cols=("nope",))
