@@ -56,6 +56,17 @@ def main() -> int:
     ap.add_argument("--docs", default=None,
                     help="source corpus parquet (url|doc_id, text) for "
                          "phrase verification — the index stores no text")
+    ap.add_argument("--msm", type=int, default=1,
+                    help="minimum_should_match: drop docs matching "
+                         "fewer than N distinct query terms; also "
+                         "enables Lucene-style term^2.5 boost syntax "
+                         "in --query (boosts alone work with --msm 1)")
+    ap.add_argument("--mlt", action="store_true",
+                    help="more-like-this: treat --query as a source "
+                         "doc url, retrieve docs similar to it by its "
+                         "top tf-idf terms; requires --docs")
+    ap.add_argument("--mlt-terms", type=int, default=10,
+                    help="with --mlt: number of source terms to use")
     ap.add_argument("--where", default=None,
                     help="Qdrant-style dict filter as JSON (reference "
                          "query-API parity); filters --meta if given, "
@@ -129,6 +140,27 @@ def main() -> int:
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"fuzzy": args.query, "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.mlt:
+        if not args.docs:
+            ap.error("--mlt requires --docs (the source corpus)")
+        t0 = time.time()
+        hits = eng.more_like_this(spark.read.parquet(args.docs),
+                                  url=args.query, k=args.k,
+                                  max_terms=args.mlt_terms)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"mlt": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and (args.msm > 1 or "^" in args.query):
+        t0 = time.time()
+        hits = eng.weighted_topk(args.query, args.k, msm=args.msm)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "msm": args.msm,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None:
         t0 = time.time()

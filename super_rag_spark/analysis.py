@@ -54,6 +54,26 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+_BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def parse_weighted_query(query: str) -> dict[str, float]:
+    """Lucene-style per-term boosts: ``"stream^2 batch window^0.5"`` ->
+    ``{"stream": 2.0, "batch": 1.0, "window": 0.5}``. A clause's boost
+    applies to every token the analyzer yields from it (``"foo-bar^2"``
+    boosts both ``foo`` and ``bar``); duplicate terms keep the LAST
+    clause's weight; unweighted clauses get 1.0. Term order in the dict
+    is insertion order — scorers must sort (they do)."""
+    out: dict[str, float] = {}
+    for clause in query.split():
+        m = _BOOST_RE.search(clause)
+        w = float(m.group(1)) if m else 1.0
+        body = clause[: m.start()] if m else clause
+        for t in tokenize(body):
+            out[t] = w
+    return out
+
+
 def doc_id_for_url(url: str) -> int:
     """Deterministic 60-bit doc id: int(sha1(url)[:15 hex], 16).
 

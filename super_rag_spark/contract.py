@@ -148,6 +148,70 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _bm25_weighted_sql(queries: list[tuple[int, dict[str, float]]],
+                       k: int = 10, msm: int = 1) -> str:
+    """Boosted BM25 with minimum-should-match: per-term weight w
+    multiplies the standard contribution ((idf * tf_part) * w, same
+    operation order as the engine), and docs matching fewer than
+    ``msm`` distinct query terms are dropped before ranking."""
+    vals = ", ".join(
+        f"({qid}, '{t}', {float(w)})"
+        for qid, weights in queries for t, w in sorted(weights.items()))
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term, w) AS (VALUES {vals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         (ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+          * (tf.tf * {analysis.K1 + 1.0}) /
+            (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl))) * q.w AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id
+           HAVING count(*) >= {msm}),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _mlt_sql(src_id: int, max_terms: int = 10, k: int = 10) -> str:
+    """More-like-this oracle: top ``max_terms`` source-doc terms by
+    tf·idf (tf·idf DESC, term ASC — the engine's selection rule), then
+    standard BM25 over that OR-bag with the source doc excluded."""
+    return f"""
+WITH {_TOKS_SQL},
+sel AS (SELECT tf.term
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+        WHERE tf.doc_id = {src_id}
+        ORDER BY tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) DESC,
+                 tf.term ASC
+        LIMIT {max_terms}),
+q(query_id, term) AS (SELECT 0, term FROM sel),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> {src_id}
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -1783,6 +1847,53 @@ def bm25_topk_filtered_meta(spark, sf_dir):
         F.lit(qid).alias("query_id"), "rank",
         F.split(F.col("url"), "doc://").getItem(1).cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"))
+
+
+WEIGHTED_QUERY = (0, {"stream": 2.0, "batch": 0.5, "window": 1.0})
+
+
+@_q("bm25_topk_weighted", _bm25_weighted_sql([WEIGHTED_QUERY], msm=2))
+def bm25_topk_weighted(spark, sf_dir):
+    """Boosted + minimum-should-match retrieval (r5, the Lucene
+    BooleanQuery analog): per-clause ``term^w`` boosts multiply each
+    term's BM25 contribution, and msm=2 drops docs matching only one of
+    the three query terms before ranking. Runs the DRIVER fast path
+    (engine.weighted_topk); tests assert rank identity with the
+    distributed plan (score_query_batch boosts/msm)."""
+    eng = _indexed_engine(spark, sf_dir)
+    qid, weights = WEIGHTED_QUERY
+    hits = eng.weighted_topk("stream^2 batch^0.5 window", k=10, msm=2)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (qid, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
+MLT_SRC_DOC = 7
+
+
+@_q("more_like_this", _mlt_sql(MLT_SRC_DOC))
+def more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis analog (r5): the source doc's top-10 terms
+    by tf·idf — tf from one source row, idf from the index's
+    term_stats metadata (driver read, no corpus pass) — run as an
+    OR-bag through the budget-gated BM25 path, source doc excluded."""
+    eng = _indexed_engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    hits = eng.more_like_this(docs, url=f"doc://{MLT_SRC_DOC}", k=10)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (0, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
 
 
 @_q("index_tiered_topk", _bm25_sql([BM25_QUERIES[4]]))

@@ -509,6 +509,107 @@ class BM25Engine:
             blocks, int(m["n_docs"]), float(m["avgdl"]), k,
             k1=float(m["k1"]), b=float(m["b"]))
 
+    def weighted_topk(self, query: str, k: int = 10, *,
+                      boosts: dict[str, float] | None = None,
+                      msm: int = 1) -> list[tuple[int, float]]:
+        """Boosted / minimum-should-match retrieval (the Lucene
+        BooleanQuery analog the reference exposes through its vector-DB
+        query options): ``query`` may carry per-clause ``term^2.5``
+        boosts (analysis.parse_weighted_query); explicit ``boosts=``
+        entries override parsed ones. score(doc) = sum of weighted BM25
+        contributions; ``msm`` drops docs matching fewer than that many
+        DISTINCT query terms before ranking (OOV terms can never match,
+        so msm > in-vocabulary terms returns []). Budget-gated like
+        topk(): over-budget queries run the exhaustive distributed plan
+        (score_query_batch with boosts/msm — WAND bounds don't carry
+        weights) with identical ranking."""
+        from ..analysis import parse_weighted_query
+
+        if msm < 1:
+            raise ValueError("msm must be >= 1")
+        engine, qtext = self._route(query)
+        weights = parse_weighted_query(qtext)
+        if boosts:
+            for term, w in boosts.items():
+                for t in tokenize(term):
+                    weights[t] = float(w)
+        terms = sorted(weights)
+        if not terms:
+            return []
+        m = engine.manifest
+        if engine._uncached_df_total(terms) > engine.driver_df_budget:
+            engine.driver_fallbacks += 1
+            res = score_query_batch(
+                self.spark, engine.store,
+                [{"query_id": 0, "text": " ".join(terms),
+                  "boosts": weights, "msm": msm}], k=k)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        arrays = engine._load_term_arrays(terms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in engine._load_term_blocks(terms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        if not arrays:
+            return []
+        from .wand import weighted_topk_arrays
+
+        return weighted_topk_arrays(
+            arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+            weights=weights, msm=msm, k1=float(m["k1"]), b=float(m["b"]))
+
+    def more_like_this(self, docs_df: DataFrame | None = None, *,
+                       url: str | None = None, text: str | None = None,
+                       max_terms: int = 10, k: int = 10,
+                       method: str = "vectorized"
+                       ) -> list[tuple[int, float]]:
+        """Lucene MoreLikeThis analog: pick the source document's top
+        ``max_terms`` terms by tf·idf — tf from ONE source row, idf
+        from the index's term_stats (a driver-side metadata read, never
+        a corpus pass) — and run the OR-bag through topk(), excluding
+        the source doc itself. Source is either ``url`` (looked up in
+        ``docs_df``, one filtered collect of one row) or raw ``text``
+        (no exclusion unless ``url`` is also given for identity).
+        Selection is deterministic: (tf·idf DESC, term ASC); OOV terms
+        never qualify (df=0 ⇒ nothing to retrieve). Inherits topk()'s
+        budget gate, so a stop-word-heavy source still can't decode
+        O(corpus) postings on the driver."""
+        from collections import Counter
+
+        from ..analysis import doc_id_for_url, idf
+
+        if text is None:
+            if url is None or docs_df is None:
+                raise ValueError(
+                    "more_like_this needs text=, or url= with docs_df=")
+            src_col = "url" if "url" in docs_df.columns else "doc_id"
+            rows = (docs_df.where(F.col(src_col) == url)
+                    .select("text").limit(1).collect())
+            if not rows:
+                raise ValueError(f"source doc not found: {url!r}")
+            text = rows[0]["text"]
+        tf = Counter(tokenize(text))
+        if not tf:
+            return []
+        dfs = self._term_dfs(sorted(tf))
+        n_docs = int(self.manifest["n_docs"])
+        scored_terms = sorted(
+            ((t, tf[t] * idf(n_docs, dfs[t]))
+             for t in tf if dfs.get(t, 0) > 0),
+            key=lambda x: (-x[1], x[0]))
+        sel = [t for t, _ in scored_terms[:max_terms]]
+        if not sel:
+            return []
+        src_id = doc_id_for_url(url) if url is not None else None
+        hits = self.topk(" ".join(sel), k=k + (src_id is not None),
+                         method=method)
+        if src_id is not None:
+            hits = [(d, s) for d, s in hits if d != src_id]
+        return hits[:k]
+
     def _route(self, query: str) -> tuple["BM25Engine", str]:
         """Keyword analog of the reference's semantic RouteLayer
         (/root/reference/service/router.py:22-37): 'summarize' prefix ->

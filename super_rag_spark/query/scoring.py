@@ -53,16 +53,21 @@ def decode_postings_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[p
 
 
 def analyze_queries(queries: list[dict]) -> pd.DataFrame:
-    """Driver-side query analysis (tiny): (query_id, term, term_id)
-    rows with duplicate terms collapsed (conjunction semantics, matching
-    the oracle's set-of-terms behavior). The term string rides along so
-    score summation can stay in term-ascending (oracle) order."""
+    """Driver-side query analysis (tiny): (query_id, term, term_id,
+    weight) rows with duplicate terms collapsed (conjunction semantics,
+    matching the oracle's set-of-terms behavior). The term string rides
+    along so score summation can stay in term-ascending (oracle) order.
+    A query dict may carry ``"boosts": {term: w}`` (r5 Lucene-boost
+    analog); absent terms weigh 1.0."""
     rows = []
     for q in queries:
+        boosts = q.get("boosts") or {}
         for term in sorted(set(tokenize(q["text"]))):
             rows.append({"query_id": q["query_id"], "term": term,
-                         "term_id": term_id_for(term)})
-    return pd.DataFrame(rows, columns=["query_id", "term", "term_id"])
+                         "term_id": term_id_for(term),
+                         "weight": float(boosts.get(term, 1.0))})
+    return pd.DataFrame(rows,
+                        columns=["query_id", "term", "term_id", "weight"])
 
 
 def lookup_term_dfs(store: IndexStorage, term_ids: list[int],
@@ -151,9 +156,12 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
     if candidates is not None:
         decoded = decoded.join(candidates.select("doc_id"), "doc_id", "left_semi")
 
+    # r5 boosts: weight rides the broadcast query frame; w=1.0 keeps
+    # the multiply a no-op bit-for-bit (x * 1.0 == x for finite x)
     contribs = (
         decoded.join(F.broadcast(qterms), "term_id")
-        .withColumn("contrib", contribution_expr(n_docs, avgdl, k1, b))
+        .withColumn("contrib",
+                    contribution_expr(n_docs, avgdl, k1, b) * F.col("weight"))
     )
 
     scored = (
@@ -163,8 +171,23 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
             "score",
             F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
         )
+        .withColumn("n_matched", F.size("parts"))
         .drop("parts")
     )
+
+    # r5 minimum_should_match: per-query threshold via a broadcast map
+    # (no chained F.when — Catalyst depth stays constant in batch size)
+    msms = {q["query_id"]: int(q.get("msm", 1)) for q in queries
+            if int(q.get("msm", 1)) > 1}
+    if msms:
+        msm_df = spark.createDataFrame(
+            [(qid, m) for qid, m in msms.items()], "query_id int, msm int")
+        scored = (
+            scored.join(F.broadcast(msm_df), "query_id", "left")
+            .where(F.col("n_matched") >= F.coalesce(F.col("msm"), F.lit(1)))
+            .drop("msm")
+        )
+    scored = scored.drop("n_matched")
 
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
@@ -196,6 +219,13 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
     rank-identical to the exhaustive plan (tests assert it).
     """
     import numpy as np
+
+    if any(q.get("boosts") or int(q.get("msm", 1)) > 1 for q in queries):
+        # WAND's block upper bounds assume unweighted disjunctions;
+        # boosted / msm batches must take the exhaustive plan (whose
+        # per-doc fold applies both exactly)
+        raise ValueError("boosts/msm require score_query_batch "
+                         "(the WAND bounds don't carry weights)")
 
     manifest = store.read_manifest()
     n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])

@@ -513,6 +513,56 @@ def accumulate_scores(term_arrays: dict[str, tuple], n_docs: int,
     return uniq, scores
 
 
+def weighted_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
+                         avgdl: float, k: int, *,
+                         weights: dict[str, float] | None = None,
+                         msm: int = 1, k1: float = K1, b: float = B
+                         ) -> list[tuple[int, float]]:
+    """Boosted / minimum-should-match top-k over pre-decoded arrays
+    (Lucene BooleanQuery analog: per-clause boost + minimumShouldMatch).
+    score(doc) = sum_t w_t * bm25_t(doc), accumulated term-ascending
+    like accumulate_scores; docs matching fewer than ``msm`` distinct
+    query terms are dropped BEFORE ranking (a zero-weight term still
+    counts as a match, exactly like a boost-0 Lucene clause). With
+    ``weights=None`` and ``msm=1`` this ranks identically to
+    vectorized_topk_arrays (asserted in tests)."""
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for term in sorted(term_arrays):
+        df, docs, tfs, dls = term_arrays[term]
+        if not len(docs):
+            continue
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        contrib = idf * (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * dls / avgdl))
+        w = 1.0 if weights is None else float(weights.get(term, 1.0))
+        if w != 1.0:
+            contrib = contrib * w
+        per_term.append((docs, contrib))
+    if not per_term:
+        return []
+    all_docs = np.concatenate([d for d, _ in per_term])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    nmatch = np.zeros(len(uniq), dtype=np.int64)
+    off = 0
+    for docs, contrib in per_term:  # term-ascending accumulation order
+        np.add.at(scores, inv[off:off + len(docs)], contrib)
+        np.add.at(nmatch, inv[off:off + len(docs)], 1)
+        off += len(docs)
+    if msm > 1:
+        keep = nmatch >= msm
+        uniq, scores = uniq[keep], scores[keep]
+    if not len(uniq):
+        return []
+    kk = min(k, len(uniq))
+    kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+    cand = np.flatnonzero(scores >= kth - 1e-9)
+    order = sorted(cand.tolist(),
+                   key=lambda i: (-round(float(scores[i]), 9), int(uniq[i])))
+    return [(int(uniq[i]), float(scores[i])) for i in order[:kk]]
+
+
 def vectorized_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
                            avgdl: float, k: int, k1: float = K1,
                            b: float = B,
