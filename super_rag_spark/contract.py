@@ -1135,6 +1135,76 @@ def cross_doc_ngram_dup(spark, sf_dir):
     return textops.cross_doc_ngram_dup(_docs(spark, sf_dir), n=_XDUP_N)
 
 
+# Synthetic URLs for the canonicalization entries (the test tables carry
+# no url column): one expression string valid in BOTH dialects, covering
+# every rule — mixed-case scheme/host, www., default port, tracking
+# params, unsorted params, fragment, trailing slash.
+_SYNTH_URL = (
+    "concat('HTTPS://WWW.Site', doc_id % 7, '.Example.COM:443/Path/', "
+    "doc_id % 50, CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1#frag' "
+    "WHEN doc_id % 3 = 1 THEN '?b=2&a=1&utm_campaign=z' ELSE '/' END)")
+
+# DuckDB mirror of textops.canonical_url_expr, step for step (every
+# regex anchored/single-match, so first-match replace semantics agree)
+_CANON_STEPS_SQL = f"""
+u AS (SELECT doc_id, {_SYNTH_URL} AS url FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS c FROM u),
+p1 AS (SELECT doc_id,
+              CASE WHEN regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                   THEN 'http'
+                   ELSE lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
+              regexp_replace(c, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM s1),
+p2 AS (SELECT doc_id, scheme,
+              regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+              regexp_extract(rest, '^[^/?]*(.*)$', 1) AS pathq
+       FROM p1),
+p3 AS (SELECT doc_id, scheme,
+              regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\\.', '') AS host,
+              regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+              regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+              coalesce(array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(pathq, '^[^?]*\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT regexp_matches(p, '{textops.TRACKING_PARAM_RE}'))), '&'), '') AS qcanon
+       FROM p2),
+canon AS (SELECT doc_id,
+                 scheme || '://' || host
+                 || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                              OR (scheme = 'https' AND port = '443')
+                         THEN '' ELSE ':' || port END
+                 || path
+                 || CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END AS canonical_url
+          FROM p3)"""
+
+
+def _synth_urls(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", F.expr(_SYNTH_URL).alias("url"))
+
+
+@_q("url_canonicalize", f"""
+WITH {_CANON_STEPS_SQL}
+SELECT doc_id, canonical_url FROM canon
+""")
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization (r5): scheme/host case, www., default
+    ports, tracking params, param order, fragments, trailing slashes —
+    one map-only Catalyst expression (textops.canonical_url_expr), the
+    cheapest dedup signal a CC-scale crawl pipeline has."""
+    return (textops.canonical_urls(_synth_urls(spark, sf_dir))
+            .select("doc_id", "canonical_url"))
+
+
+@_q("dedup_canonical_url", f"""
+WITH {_CANON_STEPS_SQL}
+SELECT min(doc_id) AS doc_id, canonical_url FROM canon GROUP BY canonical_url
+""")
+def dedup_canonical_url(spark, sf_dir):
+    """URL-level dedup: one survivor (min doc_id) per canonical URL —
+    one hash shuffle on the canonical key, partition-independent."""
+    return (textops.dedup_canonical_url(_synth_urls(spark, sf_dir))
+            .select("doc_id", "canonical_url"))
+
+
 @_q("doc_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')) AS fingerprint

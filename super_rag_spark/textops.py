@@ -769,3 +769,76 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             .select("n_docs", "n_tokens", "vocab", "type_token_ratio",
                     "avg_tokens", "min_tokens", "max_tokens",
                     "p50_tokens", "p90_tokens"))
+
+
+# --------------------------------------------------------- URL canonical
+# A CC-scale web corpus dedups by canonical URL before any content pass
+# (the cheapest dedup signal there is: one map-only expression). The
+# reference stores source urls verbatim (/root/reference/models/ingest.py
+# File.url) and never canonicalizes — this is the scale-path upgrade.
+
+#: query params that never identify a resource (click/campaign trackers)
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid)="
+
+
+def canonical_url_expr(col):
+    """Canonical form of a URL as ONE map-only Catalyst expression
+    (no UDF, fuses into the scan):
+
+      1. trim; strip the ``#fragment``
+      2. scheme lowercased; missing scheme defaults to ``http``
+      3. host lowercased, leading ``www.`` dropped
+      4. default ports dropped (``:80`` http / ``:443`` https);
+         any other explicit port kept
+      5. path case preserved; trailing ``/`` runs stripped
+      6. query params: tracking params (TRACKING_PARAM_RE) dropped,
+         the rest sorted bytewise and re-joined — param ORDER never
+         distinguishes resources, so ``?b=2&a=1`` == ``?a=1&b=2``
+
+    Every step is a single-match anchored regex, so the DuckDB oracle
+    (contract.py _CANON_SQL) mirrors it operator-for-operator without
+    global-replace semantics divergence."""
+    col = F.trim(col)
+    c = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_extract(rest, r"^[^/?]*(.*)$", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    drop_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(pathq, r"^[^?]*\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(drop_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(qcanon == "", F.lit("")).otherwise(F.concat(F.lit("?"), qcanon)))
+
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canonical_url`` (canonical_url_expr over ``url_col``)."""
+    return df.withColumn("canonical_url", canonical_url_expr(F.col(url_col)))
+
+
+def dedup_canonical_url(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: one survivor per canonical URL, the row with
+    the smallest ``id_col`` (deterministic, partition-independent).
+    One hash shuffle on the canonical key — the same shape as
+    exact_dup_groups, safe at any corpus size."""
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (canonical_urls(df, url_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"))

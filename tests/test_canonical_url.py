@@ -1,0 +1,69 @@
+"""URL canonicalization (r5): one map-only Catalyst expression
+(textops.canonical_url_expr). Each case exercises one documented rule;
+idempotency guards the composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark import textops
+
+CASES = [
+    # every rule at once: case, www, default port, fragment, tracking,
+    # param order, trailing slash
+    ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+     "https://example.com/A/B?a=1&b=2"),
+    # scheme defaults to http when missing
+    ("example.com/x", "http://example.com/x"),
+    # non-default port survives; default http port dropped
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("HTTP://example.com:80/x", "http://example.com/x"),
+    # :443 is only default for https
+    ("http://example.com:443/x", "http://example.com:443/x"),
+    # root path: trailing slash stripped entirely
+    ("https://example.com/", "https://example.com"),
+    ("https://example.com", "https://example.com"),
+    # query that is ALL tracking vanishes with its '?'
+    ("https://example.com/p?utm_campaign=z&gclid=abc", "https://example.com/p"),
+    # empty params from && runs are dropped; path case preserved
+    ("https://example.com/CaseKept?b=1&&a=2", "https://example.com/CaseKept?a=2&b=1"),
+    # whitespace trim + fragment-only tail
+    ("  https://example.com/x#sec  ", "https://example.com/x"),
+    # multiple trailing slashes
+    ("https://example.com/a///", "https://example.com/a"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon(spark):
+    def run(urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r["c"] for r in
+                df.select(textops.canonical_url_expr(F.col("url")).alias("c"))
+                .collect()]
+    return run
+
+
+def test_canonical_url_rules(canon):
+    got = canon([u for u, _ in CASES])
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_idempotent(canon):
+    once = canon([u for u, _ in CASES])
+    assert canon(once) == once
+
+
+def test_dedup_canonical_url_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "https://www.Example.com/p/?utm_source=a"),
+         (1, "HTTPS://example.COM/p"),
+         (2, "https://example.com/p?x=1"),
+         (9, "https://other.example/q")],
+        "doc_id long, url string")
+    out = textops.dedup_canonical_url(df).orderBy("doc_id").collect()
+    # docs 1 and 3 collapse to https://example.com/p; min doc_id wins
+    assert [(r["doc_id"], r["canonical_url"]) for r in out] == [
+        (1, "https://example.com/p"),
+        (2, "https://example.com/p?x=1"),
+        (9, "https://other.example/q"),
+    ]
