@@ -56,6 +56,10 @@ def main() -> int:
     ap.add_argument("--docs", default=None,
                     help="source corpus parquet (url|doc_id, text) for "
                          "phrase verification — the index stores no text")
+    ap.add_argument("--after", default=None,
+                    help="search_after cursor 'doc_id,score' (the last "
+                         "hit of the previous page): return the next "
+                         "-k hits strictly after it")
     ap.add_argument("--msm", type=int, default=1,
                     help="minimum_should_match: drop docs matching "
                          "fewer than N distinct query terms; also "
@@ -161,6 +165,15 @@ def main() -> int:
                           "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d,
                                     "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.after is not None:
+        d, s = args.after.split(",")
+        t0 = time.time()
+        hits = eng.topk_after(args.query, args.k, after=(int(d), float(s)))
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "after": args.after,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None:
         t0 = time.time()

@@ -116,10 +116,12 @@ def _bm25_score_qterms(spark: SparkSession, sf_dir: str, qterms: DataFrame,
 
 
 def _bm25_sql(queries: list[tuple[int, str]], k: int = 10,
-              cand_where: str | None = None) -> str:
+              cand_where: str | None = None, offset: int = 0) -> str:
     """BM25 ranking SQL; ``cand_where``: optional documents-table
     predicate restricting the SCORED set (P7 filter semantics: corpus
-    stats n_docs/avgdl/df stay global, only candidates are ranked)."""
+    stats n_docs/avgdl/df stay global, only candidates are ranked);
+    ``offset``: skip the first N global ranks and renumber from 1 —
+    the search_after page-(N/k + 1) oracle."""
     vals = ", ".join(
         f"({qid}, '{t}')" for qid, qtext in queries for t in sorted(set(analysis.tokenize(qtext)))
     )
@@ -143,8 +145,8 @@ ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY round(score, 9) DESC, doc_id) AS rank
            FROM scored)
-SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
-FROM ranked WHERE rank <= {k}
+SELECT query_id, (rank - {offset})::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank > {offset} AND rank <= {offset + k}
 """
 
 
@@ -1917,6 +1919,26 @@ def bm25_topk_filtered_meta(spark, sf_dir):
         F.lit(qid).alias("query_id"), "rank",
         F.split(F.col("url"), "doc://").getItem(1).cast("long").alias("doc_id"),
         F.round("score", 6).alias("score"))
+
+
+@_q("bm25_topk_page2", _bm25_sql([BM25_QUERIES[1]], offset=10))
+def bm25_topk_page2(spark, sf_dir):
+    """search_after pagination (r5, the Lucene/ES cursor device): page
+    1's last (score, doc_id) becomes the cursor; page 2 is the next 10
+    hits strictly after it in the global order — must equal global
+    ranks 11-20 renumbered, with no deep top-20 window."""
+    eng = _indexed_engine(spark, sf_dir)
+    qid, qtext = BM25_QUERIES[1]
+    page1 = eng.topk(qtext, k=10)
+    page2 = eng.topk_after(qtext, k=10, after=page1[-1])
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = [
+        (qid, rank, int(doc_stats[d].split("doc://")[1]), round(s, 6))
+        for rank, (d, s) in enumerate(page2, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
 
 
 WEIGHTED_QUERY = (0, {"stream": 2.0, "batch": 0.5, "window": 1.0})

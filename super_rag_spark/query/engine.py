@@ -561,6 +561,65 @@ class BM25Engine:
             arrays, int(m["n_docs"]), float(m["avgdl"]), k,
             weights=weights, msm=msm, k1=float(m["k1"]), b=float(m["b"]))
 
+    def topk_after(self, query: str, k: int = 10, *,
+                   after: tuple[int, float] | None = None
+                   ) -> list[tuple[int, float]]:
+        """search_after pagination (the Lucene/ES cursor device):
+        return the next ``k`` hits STRICTLY after the ``(doc_id,
+        score)`` cursor — the last hit tuple of the previous page,
+        passed AS-IS — in the
+        global (round(score, 9) DESC, doc_id ASC) order. Stateless and
+        rank-stable: page N+1 never re-ships page N, and a deep page
+        costs the same as page 1 (no top-(N*k) window). ``after=None``
+        is page 1 (== topk). Budget-gated like topk(); the distributed
+        fallback pushes the cursor predicate below the top-k window."""
+        import numpy as np
+
+        if after is None:
+            return self.topk(query, k)
+        engine, qtext = self._route(query)
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return []
+        m = engine.manifest
+        if engine._uncached_df_total(terms) > engine.driver_df_budget:
+            engine.driver_fallbacks += 1
+            res = score_query_batch(self.spark, engine.store,
+                                    [{"query_id": 0, "text": qtext}],
+                                    k=k, after=after)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        arrays = engine._load_term_arrays(terms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in engine._load_term_blocks(terms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        if not arrays:
+            return []
+        from .wand import accumulate_scores
+
+        uniq, scores = accumulate_scores(
+            arrays, int(m["n_docs"]), float(m["avgdl"]),
+            k1=float(m["k1"]), b=float(m["b"]))
+        if not len(uniq):
+            return []
+        key = np.round(scores, 9)
+        a9 = round(float(after[1]), 9)
+        keep = (key < a9) | ((key == a9) & (uniq > int(after[0])))
+        uniq, scores = uniq[keep], scores[keep]
+        if not len(uniq):
+            return []
+        kk = min(k, len(uniq))
+        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+        cand = np.flatnonzero(scores >= kth - 1e-9)
+        order = sorted(cand.tolist(),
+                       key=lambda i: (-round(float(scores[i]), 9),
+                                      int(uniq[i])))
+        return [(int(uniq[i]), float(scores[i])) for i in order[:kk]]
+
     def more_like_this(self, docs_df: DataFrame | None = None, *,
                        url: str | None = None, text: str | None = None,
                        max_terms: int = 10, k: int = 10,

@@ -120,8 +120,17 @@ def pruned_postings(spark: SparkSession, store: IndexStorage, term_ids: list[int
 
 def score_query_batch(spark: SparkSession, store: IndexStorage,
                       queries: list[dict], k: int = 10,
-                      candidates: DataFrame | None = None) -> DataFrame:
+                      candidates: DataFrame | None = None,
+                      after: tuple[int, float] | None = None) -> DataFrame:
     """Exact BM25 top-k for a batch of queries.
+
+    ``after`` (r5 search_after pagination): a ``(doc_id, score)``
+    cursor (a hit tuple of the previous page, passed as-is) — only
+    docs STRICTLY after it in the global
+    (round(score, 9) DESC, doc_id ASC) order are ranked, so page N+1
+    costs the same one shuffle as page 1 instead of a deep top-(N*k)
+    window. Applies to every query in the batch (pagination is a
+    single-query device; the engine passes one).
 
     ``candidates``: optional (doc_id) frame — the metadata-filter
     pushdown analog (P7, /root/reference/service/router.py:43-45): only
@@ -188,6 +197,14 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
             .drop("msm")
         )
     scored = scored.drop("n_matched")
+
+    if after is not None:
+        # round the cursor with Spark's OWN round (HALF_UP) so a tied
+        # score compares equal — Python round() is banker's
+        a9 = F.round(F.lit(float(after[1])), 9)
+        s9 = F.round(F.col("score"), 9)
+        scored = scored.where(
+            (s9 < a9) | ((s9 == a9) & (F.col("doc_id") > int(after[0]))))
 
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()

@@ -160,3 +160,48 @@ def test_mlt_text_form_and_validation(built_index):
     assert built_index.more_like_this(text="") == []
     # all-OOV source text selects nothing
     assert built_index.more_like_this(text="zzzqqqxxx") == []
+
+
+# ------------------------------------------------------------ search_after
+
+def test_search_after_stitches_pages(built_index):
+    """Three cursor pages concatenate to exactly the global top-30."""
+    q = "semudo muro vubo"
+    full = built_index.topk(q, k=30)
+    pages, cursor = [], None
+    for _ in range(3):
+        page = built_index.topk_after(q, k=10, after=cursor)
+        if not page:
+            break
+        pages += page
+        cursor = page[-1]
+    assert pages == full
+
+
+def test_search_after_none_is_page_one(built_index):
+    q = "semudo muro"
+    assert built_index.topk_after(q, k=10) == built_index.topk(q, k=10)
+
+
+def test_search_after_distributed_fallback(built_index):
+    q = "semudo muro"
+    cursor = built_index.topk(q, k=10)[-1]
+    want = built_index.topk_after(q, k=10, after=cursor)
+    old = built_index.driver_df_budget
+    try:
+        built_index.driver_df_budget = 0
+        built_index._dec_cache.clear()
+        built_index._term_cache.clear()
+        built_index._dec_used = 0
+        got = built_index.topk_after(q, k=10, after=cursor)
+    finally:
+        built_index.driver_df_budget = old
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(abs(a - b) < 1e-9 for (_, a), (_, b) in zip(got, want))
+
+
+def test_search_after_past_the_end(built_index):
+    q = "fuboname"
+    n = len(built_index.topk(q, k=100_000))
+    deep = built_index.topk(q, k=n)[-1]
+    assert built_index.topk_after(q, k=10, after=deep) == []
