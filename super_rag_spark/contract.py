@@ -1207,6 +1207,28 @@ def dedup_canonical_url(spark, sf_dir):
             .select("doc_id", "canonical_url"))
 
 
+@_q("shard_export", """
+WITH h AS (SELECT doc_id, md5('shard:' || doc_id::VARCHAR) AS h
+           FROM documents),
+s AS (SELECT doc_id, h,
+             (CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8)::INT AS shard_id
+      FROM h)
+SELECT doc_id, shard_id,
+       (row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+        - 1)::BIGINT AS pos_in_shard
+FROM s
+""")
+def shard_export(spark, sf_dir):
+    """Deterministic shuffle-and-shard for training export (r5): the
+    (shard_id, pos_in_shard) assignment of EVERY doc must be identical
+    across engines — md5-prefix mod for the shard, full-md5 rank
+    within it. Per-shard windows keep the sort parallel (no global
+    ORDER BY task)."""
+    out = textops.shard_export(_docs(spark, sf_dir), n_shards=8)
+    return out.select("doc_id", "shard_id",
+                      F.col("pos_in_shard").cast("long").alias("pos_in_shard"))
+
+
 @_q("doc_fingerprint", """
 SELECT doc_id,
        md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' ')) AS fingerprint

@@ -1198,7 +1198,7 @@ class BM25Engine:
 
     # ------------------------------------------------------------- facets
     def facet_counts(self, query: str, by: str = "host", top: int = 20,
-                     boolean: bool = False):
+                     boolean: bool = False, granularity: str | None = None):
         """Facet counts over the FULL match set of ``query`` (not just
         top-k): ``by='host'`` buckets by the url's origin from
         doc_stats, any other value names a doc_stats column. A plain
@@ -1216,7 +1216,8 @@ class BM25Engine:
             if not terms:
                 raise ValueError("facet_counts needs at least one term")
             expr = " OR ".join(terms)
-        return _fc(self.spark, self.store, expr, by=by, top=top)
+        return _fc(self.spark, self.store, expr, by=by, top=top,
+                   granularity=granularity)
 
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:

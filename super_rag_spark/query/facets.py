@@ -26,25 +26,47 @@ from .boolean import accepted_docs
 HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/]+)"
 
 
-def facet_key_expr(by: str):
+#: date_trunc units accepted for timestamp facets (ES date_histogram)
+DATE_GRANULARITIES = ("year", "quarter", "month", "week", "day", "hour")
+
+
+def facet_key_expr(by: str, granularity: str | None = None):
     """Facet key over doc_stats columns: 'host' derives from url,
-    anything else must be a doc_stats column name."""
+    anything else must be a doc_stats column name. ``granularity``
+    (r5) buckets a timestamp column with date_trunc — the ES
+    date_histogram analog over a meta_cols crawl timestamp (facet
+    rendered as an ISO string so the key type stays comparable)."""
+    if granularity is not None:
+        if granularity not in DATE_GRANULARITIES:
+            raise ValueError(
+                f"granularity must be one of {DATE_GRANULARITIES}")
+        if by == "host":
+            raise ValueError("granularity applies to a timestamp "
+                             "column, not 'host'")
+        return F.date_format(
+            F.date_trunc(granularity, F.col(by)), "yyyy-MM-dd HH:mm:ss")
     if by == "host":
         return F.regexp_extract("url", HOST_RE, 1)
     return F.col(by)
 
 
 def facet_counts(spark: SparkSession, store, expr: str, by: str = "host",
-                 top: int = 20) -> DataFrame:
+                 top: int = 20, granularity: str | None = None,
+                 ) -> DataFrame:
     """(facet, n_docs) for the ``top`` most frequent facet values among
     the docs matching the boolean ``expr`` (plain OR-bags are a boolean
-    chain too). Deterministic (n_docs DESC, facet ASC) order."""
+    chain too). Deterministic (n_docs DESC, facet ASC) order —
+    except with ``granularity`` (date histogram), where the natural
+    order is chronological (facet ASC)."""
     matched = accepted_docs(spark, store, [(0, expr)]).select("doc_id")
     stats = store.doc_stats(spark)
-    return (
+    grouped = (
         matched.join(stats, "doc_id")
-        .groupBy(facet_key_expr(by).alias("facet"))
+        .groupBy(facet_key_expr(by, granularity).alias("facet"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
-        .limit(top)
     )
+    if granularity is not None:
+        return grouped.orderBy(F.col("facet").asc()).limit(top)
+    return (grouped
+            .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+            .limit(top))

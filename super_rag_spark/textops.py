@@ -842,3 +842,33 @@ def dedup_canonical_url(df: DataFrame, url_col: str = "url",
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn"))
+
+
+def shard_export(df: DataFrame, n_shards: int, key_col: str = "doc_id",
+                 salt: str = "shard") -> DataFrame:
+    """Deterministic shuffle-and-shard — the LAST step of a
+    training-data export (docs must reach the trainer in a fixed
+    pseudo-random order, split into equal-ish shards, reproducibly).
+
+    shard_id  = md5-prefix(salt:key) mod n_shards   (hash-balanced)
+    pos_in_shard = rank of the FULL md5 within the shard (the
+    "shuffled" read order; ties impossible beyond key collisions,
+    key breaks them)
+
+    Scale shape: shard assignment is a map-only expression; the
+    within-shard row_number windows partition BY SHARD, so the sort
+    parallelism is n_shards tasks each holding |corpus|/n_shards rows
+    — never the single-task global window a naive ORDER BY row_number
+    would be. Reproducible across engines, runs, and partitionings;
+    changing ``salt`` draws an independent shuffle."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    sid = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % n_shards).cast("int")
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc())
+    return (df.withColumn("_h", h)
+            .withColumn("shard_id", sid)
+            .withColumn("pos_in_shard", F.row_number().over(w) - 1)
+            .drop("_h"))

@@ -76,6 +76,24 @@ def test_facet_on_meta_col(spark, meta_engine):
     assert got == [("en", 8), ("de", 4)]
 
 
+def test_facet_date_histogram(spark, meta_engine):
+    """ES date_histogram analog: facet a query's match set by a
+    date_trunc'd meta timestamp, chronological order. Days Jan 1-12
+    2026 bucket into ISO weeks of Dec 29 (Thu-Sun), Jan 5, Jan 12."""
+    got = [(r["facet"], r["n_docs"])
+           for r in meta_engine.facet_counts(
+               "common", by="warc_ts", granularity="week").collect()]
+    assert got == [("2025-12-29 00:00:00", 4),
+                   ("2026-01-05 00:00:00", 7),
+                   ("2026-01-12 00:00:00", 1)]
+    with pytest.raises(ValueError, match="granularity"):
+        meta_engine.facet_counts("common", by="warc_ts",
+                                 granularity="fortnight").collect()
+    with pytest.raises(ValueError, match="timestamp"):
+        meta_engine.facet_counts("common", by="host",
+                                 granularity="day").collect()
+
+
 def test_merge_append_carries_meta_and_weight(spark, tmp_path):
     """Index properties propagate: a delta appended to a meta-carrying,
     title-weighted index is built with the SAME settings (manifest-

@@ -1,0 +1,48 @@
+"""shard_export (r5): deterministic shuffle-and-shard for training
+export — assignment is a pure function of (salt, key), independent of
+partitioning, with dense per-shard positions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 500).select(F.col("id").alias("doc_id"))
+
+
+def test_shard_export_dense_and_balanced(spark, docs):
+    out = textops.shard_export(docs, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos_in_shard"])
+    assert set(by_shard) <= set(range(8))
+    for sid, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] > 30  # hash-balanced: no starved shard at 500/8
+
+
+def test_shard_export_partition_independent(spark, docs):
+    a = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+         for r in textops.shard_export(docs, n_shards=8).collect()}
+    b = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+         for r in textops.shard_export(
+             docs.repartition(7), n_shards=8).collect()}
+    assert a == b
+    # a different salt draws an independent shuffle
+    c = {(r["doc_id"]): (r["shard_id"], r["pos_in_shard"])
+         for r in textops.shard_export(
+             docs, n_shards=8, salt="other").collect()}
+    assert a != c
+
+
+def test_shard_export_validation(spark, docs):
+    with pytest.raises(ValueError, match="n_shards"):
+        textops.shard_export(docs, n_shards=0)
+    one = textops.shard_export(docs, n_shards=1).collect()
+    assert {r["shard_id"] for r in one} == {0}
+    assert sorted(r["pos_in_shard"] for r in one) == list(range(500))
