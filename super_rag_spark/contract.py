@@ -1207,6 +1207,26 @@ def dedup_canonical_url(spark, sf_dir):
             .select("doc_id", "canonical_url"))
 
 
+@_q("doc_keyterms", f"""
+WITH {_TOKS_SQL},
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) DESC,
+                    tf.term ASC) AS rnk
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s)
+SELECT doc_id, term, tf, tfidf, rnk::INT AS rank
+FROM scored WHERE rnk <= 5
+""")
+def doc_keyterms(spark, sf_dir):
+    """Per-doc keyterm tagging (r5): top-5 terms by tf·idf per
+    document, deterministic tie-break — the routing/clustering tag
+    pass of a training-data pipeline (textops.doc_keyterms)."""
+    return textops.doc_keyterms(_docs(spark, sf_dir), top=5)
+
+
 @_q("shard_export", """
 WITH h AS (SELECT doc_id, md5('shard:' || doc_id::VARCHAR) AS h
            FROM documents),

@@ -872,3 +872,39 @@ def shard_export(df: DataFrame, n_shards: int, key_col: str = "doc_id",
             .withColumn("shard_id", sid)
             .withColumn("pos_in_shard", F.row_number().over(w) - 1)
             .drop("_h"))
+
+
+def doc_keyterms(df: DataFrame, top: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Per-document keyterm extraction: each doc's ``top`` terms by
+    tf·idf (the tagging pass an LLM-data pipeline runs to route or
+    cluster documents; same idf form as BM25, more_like_this's
+    selection rule applied corpus-wide). Deterministic:
+    (tf·idf DESC, term ASC) per doc.
+
+    Scale shape: one tokenize/explode pass -> per-(doc, term) tf ->
+    broadcast-sized df/n_docs aggregates join in -> per-DOC window
+    ranks at most |doc vocabulary| rows per task. Linear, two
+    shuffles (tf groupBy, window by doc), no all-pairs anything.
+
+    Returns (doc_id, term, tf, tfidf, rank)."""
+    toks = with_tokens(df, text_col).select(
+        "doc_id", F.explode("tokens").alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)) + F.lit(1.0)))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select("doc_id", "term", "tf",
+                F.round("tfidf", 6).alias("tfidf"), "rank")
+    )

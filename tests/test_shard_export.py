@@ -46,3 +46,18 @@ def test_shard_export_validation(spark, docs):
     one = textops.shard_export(docs, n_shards=1).collect()
     assert {r["shard_id"] for r in one} == {0}
     assert sorted(r["pos_in_shard"] for r in one) == list(range(500))
+
+
+def test_doc_keyterms_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare common unique"),
+         (2, "common common filler"),
+         (3, "common filler other")],
+        "doc_id long, text string")
+    out = textops.doc_keyterms(df, top=2).collect()
+    d1 = [(r["term"], r["rank"]) for r in out
+          if r["doc_id"] == 1]
+    # df=1 terms outrank the df=3 'common' despite its tf=2;
+    # the exact tf*idf tie between them breaks on term ASC
+    assert sorted(d1, key=lambda x: x[1]) == [("rare", 1), ("unique", 2)]
+    assert all(r["rank"] <= 2 for r in out)
