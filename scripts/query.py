@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", required=True,
+                    help="index dir; a comma-separated list runs "
+                         "federated global-stat BM25 over shard "
+                         "indexes (plain --query only)")
     ap.add_argument("--query", help="single query text")
     ap.add_argument("--batch", help="JSON file: [{query_id, text, k}, ...]")
     ap.add_argument("-k", type=int, default=10)
@@ -92,6 +95,27 @@ def main() -> int:
              .config("spark.task.maxFailures", "4")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
+    if "," in args.index:
+        from super_rag_spark.query.federated import FederatedEngine
+
+        fed = FederatedEngine(
+            spark, [d.strip() for d in args.index.split(",") if d.strip()])
+        if args.query is None or any((args.boolean, args.phrase,
+                                      args.fuzzy, args.suggest, args.mlt,
+                                      args.where, args.after)):
+            ap.error("a federated (comma-separated) --index supports "
+                     "plain --query only")
+        t0 = time.time()
+        hits = fed.topk(args.query, args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query,
+                          "shards": len(fed.shards),
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+        spark.stop()
+        return 0
     eng = BM25Engine(spark, args.index)
 
     if args.query is not None and args.boolean:

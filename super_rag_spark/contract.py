@@ -1983,6 +1983,56 @@ def bm25_topk_page2(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+@_q("federated_topk", _bm25_sql([BM25_QUERIES[2]]))
+def federated_topk(spark, sf_dir):
+    """Sharded serving (r5): the documents table split into TWO
+    independently built shard indexes; federated BM25 with global
+    stats (n_docs / avgdl / df summed across shards) must equal
+    plain-SQL BM25 over the WHOLE corpus — shard layout is a serving
+    topology, not a semantics change (query/federated.py)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .query.engine import BM25Engine
+    from .query.federated import FederatedEngine
+
+    key = os.path.abspath(sf_dir)
+    ckey = "fed:" + key
+    if ckey in _INDEX_CACHE:
+        fed = _INDEX_CACHE[ckey]
+    else:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "srs_contract_fedidx_" + hashlib.sha1(key.encode()).hexdigest()[:10])
+        shutil.rmtree(base, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            "text", F.col("doc_id").alias("tid"))
+        dirs = []
+        for i in (0, 1):
+            d = os.path.join(base, f"shard{i}")
+            BM25Engine(spark, d).build(
+                docs.where(F.col("tid") % 2 == i).drop("tid"),
+                n_buckets=8, salt_df_threshold=200)
+            dirs.append(d)
+        fed = FederatedEngine(spark, dirs)
+        _INDEX_CACHE[ckey] = fed
+    qid, qtext = BM25_QUERIES[2]
+    hits = fed.topk(qtext, k=10)
+    url_by_id = {}
+    for s in fed.shards:
+        url_by_id.update(
+            (r["doc_id"], r["url"])
+            for r in s.store.doc_stats(spark).collect())
+    rows = [
+        (qid, rank, int(url_by_id[d].split("doc://")[1]), round(sc, 6))
+        for rank, (d, sc) in enumerate(hits, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
 WEIGHTED_QUERY = (0, {"stream": 2.0, "batch": 0.5, "window": 1.0})
 
 
