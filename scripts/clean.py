@@ -42,6 +42,11 @@ def main() -> int:
                     help="eval-corpus parquet (doc_id, text); overlapping docs drop")
     ap.add_argument("--decontaminate-n", type=int, default=8)
     ap.add_argument("--pii-scrub", action="store_true")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="deterministic shuffle-and-shard the cleaned "
+                         "corpus into N shards (textops.shard_export); "
+                         "output is written partitioned by shard_id in "
+                         "pos_in_shard order — the trainer-ready layout")
     ap.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job: --input is "
                          "a directory of document parquet drops; gates + "
@@ -105,11 +110,17 @@ def main() -> int:
                 "doc_id", F.col("scrubbed").alias("text"))
             out = (out.drop("text")
                    .join(scrubbed, "doc_id"))
-        out.write.mode("overwrite").parquet(args.output)
+        if args.shards:
+            out = (textops.shard_export(out, n_shards=args.shards)
+                   .sortWithinPartitions("pos_in_shard"))
+            (out.write.mode("overwrite")
+             .partitionBy("shard_id").parquet(args.output))
+        else:
+            out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         print(json.dumps({
             "event": "cleaned", "n_in": n_in, "n_out": n_out,
-            "dropped": n_in - n_out,
+            "dropped": n_in - n_out, "shards": args.shards,
             "elapsed_sec": round(time.time() - t0, 3),
         }))
     finally:

@@ -59,6 +59,14 @@ def main() -> int:
     ap.add_argument("--docs", default=None,
                     help="source corpus parquet (url|doc_id, text) for "
                          "phrase verification — the index stores no text")
+    ap.add_argument("--facet", default=None,
+                    help="facet the query's FULL match set by this "
+                         "doc_stats column ('host', or any --meta-cols "
+                         "column); returns (facet, n_docs) counts")
+    ap.add_argument("--facet-granularity", default=None,
+                    help="with --facet on a timestamp column: "
+                         "date_trunc bucket (year..hour) — a "
+                         "date histogram")
     ap.add_argument("--after", default=None,
                     help="search_after cursor 'doc_id,score' (the last "
                          "hit of the previous page): return the next "
@@ -155,6 +163,16 @@ def main() -> int:
                           "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
                                     "score": round(r["score"], 6)}
                                    for r in rows]}))
+    elif args.query is not None and args.facet:
+        t0 = time.time()
+        rows = eng.facet_counts(args.query, by=args.facet,
+                                granularity=args.facet_granularity).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "facet": args.facet,
+                          "latency_ms": round(ms, 2),
+                          "buckets": [{"facet": str(r["facet"]),
+                                       "n_docs": r["n_docs"]}
+                                      for r in rows]}))
     elif args.query is not None and args.suggest:
         t0 = time.time()
         comps = eng.suggest(args.query, args.k)
