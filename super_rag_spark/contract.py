@@ -2529,6 +2529,94 @@ def hybrid_rrf(spark, sf_dir):
     return hybrid.rrf_fuse([bm, ann_r], k=10)
 
 
+@_q("lm_perplexity", """
+WITH arr AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS pos FROM arr),
+uni AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+n_uni AS (SELECT count(*)::BIGINT AS n FROM tok),
+pr AS (SELECT doc_id, t AS t1, lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+       FROM tok),
+pairs AS (SELECT doc_id, t1, t2 FROM pr WHERE t2 IS NOT NULL),
+bi AS (SELECT t1, t2, count(*)::BIGINT AS c_ab FROM pairs GROUP BY t1, t2),
+contrib AS (
+  SELECT p.doc_id,
+         -ln(0.9 * (bi.c_ab::DOUBLE / ua.c) + 0.1 * (ub.c::DOUBLE / nu.n)) AS nll
+  FROM pairs p JOIN bi USING (t1, t2)
+  JOIN uni ua ON ua.t = p.t1 JOIN uni ub ON ub.t = p.t2
+  CROSS JOIN n_uni nu)
+SELECT doc_id, count(*)::INT AS n_trans, round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS ppl
+FROM contrib GROUP BY doc_id
+""")
+def lm_perplexity_entry(spark, sf_dir):
+    """Corpus-trained interpolated-bigram LM perplexity per doc
+    (textops.lm_perplexity) — the CCNet-style quality signal; lam=0.9
+    mirrored by the 0.9/0.1 literals in the oracle."""
+    return textops.lm_perplexity(_docs(spark, sf_dir), lam=0.9)
+
+
+@_q("contamination_overlap", """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+btk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM bench),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, greatest(len(ts) - 6, 1)),
+                                        i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM btk WHERE len(ts) >= 8
+),
+tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ts) - 6, 1)),
+                               i -> array_to_string(ts[i:i+7], ' '))) AS shingle
+  FROM tk WHERE len(ts) >= 8
+),
+per AS (SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+               count(b.shingle)::BIGINT AS n_hit
+        FROM sh LEFT JOIN bsh b ON sh.shingle = b.shingle
+        GROUP BY sh.doc_id)
+SELECT d.doc_id, coalesce(p.n_shingles, 0)::INT AS n_shingles,
+       coalesce(p.n_hit, 0)::INT AS n_hit,
+       round(coalesce(p.n_hit::DOUBLE / p.n_shingles, 0.0), 6) AS overlap_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+""")
+def contamination_overlap_entry(spark, sf_dir):
+    """Graded contamination report (textops.contamination_overlap):
+    per-doc fraction of distinct 8-gram shingles shared with the
+    planted eval slice (doc_id % 50 == 0 — eval docs are corpus
+    members, so they self-report overlap 1.0 and the check is
+    non-vacuous)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return textops.contamination_overlap(docs, bench, n=8)
+
+
+@_q("host_stats", f"""
+WITH u AS (SELECT doc_id, {_SYNTH_URL} AS url, text FROM documents),
+h AS (SELECT regexp_replace(lower(regexp_extract(url,
+                 '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]*)', 1)),
+             '^www\\.', '') AS host,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ntok,
+             text
+      FROM u),
+t AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT text)::BIGINT AS n_unique_texts,
+       sum(ntok)::BIGINT AS total_tokens,
+       round(avg(ntok), 6) AS avg_tokens,
+       round(count(*) / (SELECT n FROM t)::DOUBLE, 6) AS doc_share
+FROM h GROUP BY host
+""")
+def host_stats_entry(spark, sf_dir):
+    """Domain-mixing table (textops.host_stats): per-host doc counts,
+    unique-text counts, token totals, and corpus share over the
+    deterministic synthetic URLs (7 hosts after canonical host
+    extraction)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.expr(_SYNTH_URL).alias("url"))
+    return textops.host_stats(docs)
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

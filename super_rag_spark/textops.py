@@ -908,3 +908,146 @@ def doc_keyterms(df: DataFrame, top: int = 5,
         .select("doc_id", "term", "tf",
                 F.round("tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+# ------------------------------------------------- LM-quality + host stats
+
+def lm_perplexity(df: DataFrame, text_col: str = "text",
+                  lam: float = 0.9) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an
+    interpolated bigram LM on the corpus itself (MLE counts, no
+    external model — deterministic), then score every document by its
+    mean transition negative log-likelihood and perplexity:
+
+        P(b | a) = lam * c(a,b)/c(a) + (1-lam) * c(b)/N
+        avg_nll(doc) = -(1/(dl-1)) * sum_i ln P(w_i | w_{i-1})
+        ppl(doc) = exp(avg_nll)
+
+    High-ppl docs are boilerplate/garbage candidates; low-ppl docs are
+    repetitive templates — the standard perplexity-bucket filter of
+    webtext pipelines (CCNet buckets head/middle/tail on exactly this
+    signal). ``c(a)`` is the corpus unigram count (a documented
+    simplification vs left-context count: off only by per-doc final
+    tokens, and every probability stays in (0, 1]). The LM is trained
+    on the same corpus it scores, so every observed bigram has
+    c(a,b) >= 1 — interpolation handles nothing-seen smoothing and the
+    score is total (no OOV branch).
+
+    Scale shape: pair generation is the bigram_pmi zip (linear, no
+    all-pairs); model = two hash aggregates (bigram counts, unigram
+    counts); scoring = one shuffle join of per-doc bigram multiplicity
+    against the bigram table on (t1, t2) + unigram joins (AQE
+    broadcasts when vocabulary-sized) + one per-doc aggregate. Docs
+    with < 2 tokens have no transitions and are dropped.
+
+    Returns (doc_id, n_trans, avg_nll, ppl), rounded to 6 dp."""
+    toks = df.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        .alias("ts")).persist()
+
+    uni = (toks.select(F.explode("ts").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    n_uni = toks.select(F.sum(F.size("ts")).alias("n")).collect()[0]["n"]
+
+    pairs = (toks.where(F.size("ts") >= 2)
+             .select("doc_id", F.explode(F.arrays_zip(
+                 F.expr("slice(ts, 1, size(ts) - 1)").alias("t1"),
+                 F.expr("slice(ts, 2, size(ts) - 1)").alias("t2"),
+             )).alias("p"))
+             .select("doc_id", F.col("p.t1").alias("t1"),
+                     F.col("p.t2").alias("t2")))
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # per-(doc, bigram) multiplicity so the scoring join is one row per
+    # distinct transition, not one per occurrence
+    m = pairs.groupBy("doc_id", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("m"))
+
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c_b"))
+    p_expr = (F.lit(lam) * F.col("c_ab") / F.col("c_a")
+              + F.lit(1.0 - lam) * F.col("c_b") / F.lit(float(n_uni)))
+    scored = (m.join(bi, ["t1", "t2"]).join(u1, "t1").join(u2, "t2")
+              .withColumn("nll", -F.col("m") * F.log(p_expr))
+              .groupBy("doc_id")
+              .agg(F.sum("m").alias("n_trans"), F.sum("nll").alias("s")))
+    out = scored.select(
+        "doc_id", F.col("n_trans").cast("int").alias("n_trans"),
+        F.round(F.col("s") / F.col("n_trans"), 6).alias("avg_nll"),
+        F.round(F.exp(F.col("s") / F.col("n_trans")), 6).alias("ppl"))
+    toks.unpersist()
+    return out
+
+
+def contamination_overlap(docs_df: DataFrame, bench_df: DataFrame,
+                          n: int = 8,
+                          text_col: str = "text") -> DataFrame:
+    """Graded train/eval contamination report: for every training doc,
+    the fraction of its distinct ``n``-gram shingles that also occur in
+    the evaluation corpus — the measurement half of `decontaminate`
+    (which drops on >= 1 hit). Pipelines threshold this (e.g. drop at
+    > 0.1, flag at > 0) and audit what the binary scrub would discard.
+
+    Scale shape: identical to decontaminate — the eval shingle set is
+    tiny next to the corpus (AQE broadcast), the training side is one
+    shingle pass + one LEFT join + one per-doc count aggregate; never
+    all-pairs. Docs shorter than ``n`` tokens have no shingles and
+    report 0 / 0 / 0.0.
+
+    Returns (doc_id, n_shingles, n_hit, overlap_frac) for EVERY doc in
+    ``docs_df``, rounded to 6 dp."""
+    bench_sh = (shingles(bench_df, n, text_col)
+                .select("shingle").distinct()
+                .withColumn("hit", F.lit(1)))
+    per = (shingles(docs_df, n, text_col)
+           .join(bench_sh, "shingle", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.count("hit").alias("n_hit")))
+    return (docs_df.select("doc_id").join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).cast("int")
+                .alias("n_shingles"),
+                F.coalesce("n_hit", F.lit(0)).cast("int").alias("n_hit"),
+                F.round(
+                    F.coalesce(F.col("n_hit") / F.col("n_shingles"),
+                               F.lit(0.0)), 6).alias("overlap_frac")))
+
+
+def host_stats(df: DataFrame, url_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """Per-host corpus statistics — the domain-mixing table a webtext
+    pipeline builds before sampling (host-level quotas, spam-domain
+    review lists, dedup-rate audits): registered host (canonical:
+    lowercase, www.-stripped, port dropped), document count, total
+    whitespace tokens, mean tokens per doc, distinct-text count, and
+    the host's share of corpus documents.
+
+    Scale shape: host extraction is a map-only regex on the URL; the
+    body is ONE hash aggregate on host (+ a distinct-text pre-agg);
+    the corpus total joins back as a literal from a 1-row aggregate.
+    At 100 TB hosts are the natural skew key (a handful of mega-hosts)
+    — counts/sums are partial-aggregated map-side, so skew lands on
+    mergeable partials, not raw rows.
+
+    Returns (host, n_docs, n_unique_texts, total_tokens, avg_tokens,
+    doc_share) rounded to 6 dp."""
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col),
+                                 r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]*)",
+                                 1)),
+        r"^www\.", "")
+    ntok = F.size(F.filter(F.split(F.col(text_col), " "),
+                           lambda x: x != F.lit("")))
+    base = df.select(host.alias("host"), ntok.alias("ntok"), text_col)
+    n_total = df.count()
+    return (base.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(text_col).alias("n_unique_texts"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.round(F.avg("ntok"), 6).alias("avg_tokens"))
+            .select("host", "n_docs", "n_unique_texts", "total_tokens",
+                    "avg_tokens",
+                    F.round(F.col("n_docs") / F.lit(float(n_total)), 6)
+                    .alias("doc_share")))

@@ -1,0 +1,115 @@
+"""Unit tests: lm_perplexity, contamination_overlap, host_stats.
+
+Hand-computed oracles on tiny corpora (the contract entries cover the
+sf0.01 DuckDB cross-check; these pin the semantics)."""
+
+import math
+
+import pytest
+
+from super_rag_spark import textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestLMPerplexity:
+    def test_hand_computed_two_docs(self, spark):
+        # corpus: "a b a b" and "b a" -> unigrams: a=3, b=3, N=6
+        # bigrams: (a,b)=2, (b,a)=2  (doc0: ab, ba, ab; doc1: ba)
+        # wait: doc0 transitions = ab, ba, ab -> (a,b)=2, (b,a)=1
+        # doc1 transitions = ba -> (b,a)=1 ; corpus: c(ab)=2 c(ba)=2
+        rows = [(0, "a b a b"), (1, "b a")]
+        out = {r["doc_id"]: r for r in
+               textops.lm_perplexity(_docs(spark, rows), lam=0.9).collect()}
+        lam = 0.9
+        p_ab = lam * 2 / 3 + (1 - lam) * 3 / 6   # P(b|a)
+        p_ba = lam * 2 / 3 + (1 - lam) * 3 / 6   # P(a|b) (symmetric here)
+        nll0 = -(math.log(p_ab) * 2 + math.log(p_ba)) / 3
+        nll1 = -math.log(p_ba)
+        assert out[0]["n_trans"] == 3
+        assert out[1]["n_trans"] == 1
+        assert out[0]["avg_nll"] == pytest.approx(round(nll0, 6), abs=1e-6)
+        assert out[1]["avg_nll"] == pytest.approx(round(nll1, 6), abs=1e-6)
+        assert out[0]["ppl"] == pytest.approx(round(math.exp(nll0), 6),
+                                              abs=1e-5)
+
+    def test_short_docs_dropped(self, spark):
+        rows = [(0, "solo"), (1, ""), (2, "two tokens")]
+        got = {r["doc_id"] for r in
+               textops.lm_perplexity(_docs(spark, rows)).collect()}
+        assert got == {2}
+
+    def test_repetitive_doc_scores_lower(self, spark):
+        # a pure repetition loop is maximally predictable under the
+        # corpus LM -> lowest perplexity (the CCNet tail bucket)
+        rows = [(0, "spam spam spam spam spam spam spam spam"),
+                (1, "the quick brown fox jumps over lazy dogs"),
+                (2, "zebra quartz vivid jumps oxide brown phlox the")]
+        out = {r["doc_id"]: r["ppl"] for r in
+               textops.lm_perplexity(_docs(spark, rows)).collect()}
+        assert out[0] < out[1]
+        assert out[0] < out[2]
+
+
+class TestContaminationOverlap:
+    def test_fractions(self, spark):
+        # n=3 shingles; doc 0 IS the bench doc -> overlap 1.0
+        bench_text = "w1 w2 w3 w4"          # shingles: {w1w2w3, w2w3w4}
+        rows = [(0, bench_text),
+                (1, "w1 w2 w3 x1 x2"),      # {w1w2w3, w2w3x1, w3x1x2} -> 1/3
+                (2, "y1 y2 y3 y4"),         # 0/2
+                (3, "zz")]                  # too short -> 0/0
+        docs = _docs(spark, rows)
+        bench = docs.where("doc_id = 0")
+        out = {r["doc_id"]: r for r in
+               textops.contamination_overlap(docs, bench, n=3).collect()}
+        assert len(out) == 4
+        assert (out[0]["n_shingles"], out[0]["n_hit"],
+                out[0]["overlap_frac"]) == (2, 2, 1.0)
+        assert (out[1]["n_shingles"], out[1]["n_hit"]) == (3, 1)
+        assert out[1]["overlap_frac"] == pytest.approx(round(1 / 3, 6))
+        assert (out[2]["n_hit"], out[2]["overlap_frac"]) == (0, 0.0)
+        assert (out[3]["n_shingles"], out[3]["n_hit"],
+                out[3]["overlap_frac"]) == (0, 0, 0.0)
+
+    def test_binary_scrub_agrees_with_decontaminate(self, spark):
+        rows = [(i, f"tok{i} " * 10 + "shared ngram run of eight tokens x")
+                for i in range(4)] + [(9, "clean words only here nothing")]
+        docs = _docs(spark, [(i, t.strip()) for i, t in rows])
+        bench = docs.where("doc_id = 0")
+        ov = textops.contamination_overlap(docs, bench, n=8)
+        flagged = {r["doc_id"] for r in ov.where("n_hit > 0").collect()}
+        kept = {r["doc_id"] for r in
+                textops.decontaminate(docs, bench, n=8).collect()}
+        assert flagged.isdisjoint(kept)
+        assert flagged | kept == {r["doc_id"] for r in docs.collect()}
+
+
+class TestHostStats:
+    def test_host_extraction_and_shares(self, spark):
+        rows = [
+            (0, "a b", "HTTPS://WWW.Foo.COM:443/x"),
+            (1, "c d e", "http://foo.com/y?q=1"),
+            (2, "f", "ftp://Bar.org:21/z"),
+            (3, "g h", "no-scheme.net/path"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, url string")
+        out = {r["host"]: r for r in textops.host_stats(df).collect()}
+        assert set(out) == {"foo.com", "bar.org", "no-scheme.net"}
+        foo = out["foo.com"]
+        assert foo["n_docs"] == 2
+        assert foo["n_unique_texts"] == 2
+        assert foo["total_tokens"] == 5
+        assert foo["avg_tokens"] == pytest.approx(2.5)
+        assert foo["doc_share"] == pytest.approx(0.5)
+
+    def test_duplicate_texts_counted_once(self, spark):
+        df = spark.createDataFrame(
+            [(0, "same text", "http://h.com/a"),
+             (1, "same text", "http://h.com/b")],
+            "doc_id long, text string, url string")
+        r = textops.host_stats(df).collect()[0]
+        assert (r["n_docs"], r["n_unique_texts"]) == (2, 1)
