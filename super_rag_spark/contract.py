@@ -1786,6 +1786,12 @@ def multi_join_q3(spark, sf_dir):
 _INDEX_CACHE: dict[str, object] = {}
 
 
+# deterministic synthetic crawl timestamp (the webtext warc_ts analog):
+# docs spread over 2026's first 365 days by doc_id
+_SYNTH_TS = ("timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, "
+             "cast(doc_id % 365 AS int), 0, 0, 0)")
+
+
 def _indexed_engine(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) a real compressed index over the documents
     table, treating 'doc://{doc_id}' as the url."""
@@ -1804,19 +1810,20 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
     manifest_ok = False
     if os.path.exists(os.path.join(idx_dir, "manifest.json")):
         m = eng.store.read_manifest()
-        # meta_cols check invalidates pre-r5 cached indexes (doc_stats
-        # lacks the lang column the filtered-meta entry needs)
+        # meta_cols check invalidates stale cached indexes (doc_stats
+        # must carry lang for the filtered-meta entry and the synthetic
+        # crawl timestamp for the recency entry)
         manifest_ok = (m.get("version") == 4
-                       and m.get("meta_cols") == ["lang"])
+                       and m.get("meta_cols") == ["lang", "ts"])
         if not manifest_ok:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)
     if not manifest_ok:
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-            "text", "lang")
+            "text", "lang", F.expr(_SYNTH_TS).alias("ts"))
         eng.build(docs, n_buckets=8, salt_df_threshold=200,
-                  meta_cols=("lang",))
+                  meta_cols=("lang", "ts"))
     if not eng.store.has_positions():  # r4 sidecar (also upgrades a
         # cached pre-r4 index in place — same corpus, same epoch)
         from .index.positions import build_positions
@@ -2615,6 +2622,196 @@ def host_stats_entry(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id", "text", F.expr(_SYNTH_URL).alias("url"))
     return textops.host_stats(docs)
+
+
+_EXPL_QID, _EXPL_QTEXT = BM25_QUERIES[1]
+_EXPL_VALS = ", ".join(
+    f"({_EXPL_QID}, '{t}')" for t in sorted(set(analysis.tokenize(_EXPL_QTEXT))))
+_SCORED_CTE = f"""
+q(query_id, term) AS (VALUES {_EXPL_VALS}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id)"""
+
+
+@_q("collapse_topk", f"""
+WITH {_TOKS_SQL},
+{_SCORED_CTE},
+x AS (SELECT s.query_id, d.lang AS key, s.doc_id, s.score,
+             'doc://' || s.doc_id::VARCHAR AS url,
+             row_number() OVER (PARTITION BY s.query_id, d.lang
+                                ORDER BY round(s.score, 9) DESC,
+                                         'doc://' || s.doc_id::VARCHAR) AS rn
+      FROM scored s JOIN documents d USING (doc_id)),
+r AS (SELECT query_id, key, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 9) DESC, url) AS rank
+      FROM x WHERE rn = 1)
+SELECT query_id, rank::INT AS rank, key, doc_id, round(score, 6) AS score
+FROM r WHERE rank <= 10
+""")
+def collapse_topk(spark, sf_dir):
+    """Field-collapsed top-k (engine.collapsed_topk): best hit per
+    doc_stats lang, then global top-10 — the one-result-per-site
+    diversity device, run over the real index's full match set."""
+    eng = _indexed_engine(spark, sf_dir)
+    res = eng.collapsed_topk(_EXPL_QTEXT, k=10, by="lang")
+    ds = eng.store.doc_stats(spark).select(
+        "doc_id", F.split("url", "doc://").getItem(1).cast("long").alias("tid"))
+    return (res.join(ds, "doc_id")
+            .select(F.lit(_EXPL_QID).alias("query_id"), "rank", "key",
+                    F.col("tid").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
+@_q("recency_topk", f"""
+WITH {_TOKS_SQL},
+{_SCORED_CTE},
+t AS (SELECT doc_id,
+             TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (doc_id % 365) DAY AS ts
+      FROM documents),
+dec AS (SELECT s.query_id, s.doc_id, s.score,
+               s.score * power(0.5, ((epoch(TIMESTAMP '2026-03-01 00:00:00')
+                                      - epoch(t.ts)) / 86400.0) / 30.0) AS decayed
+        FROM scored s JOIN t USING (doc_id)),
+r AS (SELECT query_id, doc_id, score, decayed,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(decayed, 9) DESC,
+                                         'doc://' || doc_id::VARCHAR) AS rank
+      FROM dec)
+SELECT query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score, round(decayed, 6) AS decayed
+FROM r WHERE rank <= 10
+""")
+def recency_topk_entry(spark, sf_dir):
+    """Recency-decayed ranking (engine.recency_topk): BM25 times a
+    30-day-half-life decay on the synthetic crawl timestamp carried in
+    doc_stats meta_cols; 'now' is pinned so both engines see the same
+    ages."""
+    eng = _indexed_engine(spark, sf_dir)
+    res = eng.recency_topk(_EXPL_QTEXT, k=10, ts_col="ts",
+                           now="2026-03-01 00:00:00", half_life_days=30.0)
+    ds = eng.store.doc_stats(spark).select(
+        "doc_id", F.split("url", "doc://").getItem(1).cast("long").alias("tid"))
+    return (res.join(ds, "doc_id")
+            .select(F.lit(_EXPL_QID).alias("query_id"), "rank",
+                    F.col("tid").alias("doc_id"),
+                    F.round("score", 6).alias("score"),
+                    F.round("decayed", 6).alias("decayed")))
+
+
+@_q("score_explain", f"""
+WITH {_TOKS_SQL},
+{_SCORED_CTE},
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT r.query_id, r.rank::INT AS rank, r.doc_id, q.term,
+       tf.tf::INT AS tf, dl.dl::INT AS dl, d.df,
+       round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS idf,
+       round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * {analysis.K1 + 1.0}) /
+               (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)), 6) AS contrib,
+       round(r.score, 6) AS score
+FROM ranked r
+JOIN q ON true
+JOIN tf ON tf.doc_id = r.doc_id AND tf.term = q.term
+JOIN dfreq d ON d.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN stats s
+WHERE r.rank <= 10
+""")
+def score_explain(spark, sf_dir):
+    """Lucene-style explain (engine.explain_topk): the per-term BM25
+    breakdown of every top-10 hit, contribution-identical to the
+    scorer's own math (analysis.idf / bm25_term_score)."""
+    eng = _indexed_engine(spark, sf_dir)
+    rows = eng.explain_topk(_EXPL_QTEXT, k=10)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    # re-rank the hit set in table-id order (engine ties break on sha1
+    # ids, the oracle on table doc_id — same device as wildcard_topk)
+    hits = sorted({(r["doc_id"], r["score"]) for r in rows},
+                  key=lambda x: (-round(x[1], 9),
+                                 int(doc_stats[x[0]].split("doc://")[1])))
+    rank_of = {d: i for i, (d, _) in enumerate(hits, start=1)}
+    out = [(_EXPL_QID, rank_of[r["doc_id"]],
+            int(doc_stats[r["doc_id"]].split("doc://")[1]), r["term"],
+            r["tf"], r["dl"], r["df"], round(r["idf"], 6),
+            round(r["contrib"], 6), round(r["score"], 6)) for r in rows]
+    return spark.createDataFrame(
+        out, "query_id int, rank int, doc_id long, term string, tf int,"
+             " dl int, df long, idf double, contrib double, score double")
+
+
+WILDCARD_QUERIES = [(0, "*ow*"), (1, "s*m"), (2, "*t")]
+
+
+def _wildcard_sql(patterns: list[tuple[int, str]], max_exp: int,
+                  k: int = 10) -> str:
+    """Wildcard oracle: '*' -> SQL LIKE '%', expansion capped to the
+    top max_exp matches by (df DESC, term) — engine.wildcard_topk's
+    MultiTermQuery rule — then the standard BM25 OR-bag body."""
+    vals = ", ".join(f"({qid}, '{p.replace('*', '%')}')"
+                     for qid, p in patterns)
+    return f"""
+WITH {_TOKS_SQL},
+p(query_id, pat) AS (VALUES {vals}),
+expanded AS (
+  SELECT p.query_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term) AS rn
+  FROM p JOIN dfreq d ON d.term LIKE p.pat
+),
+q AS (SELECT query_id, term FROM expanded WHERE rn <= {max_exp}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("wildcard_topk", _wildcard_sql(WILDCARD_QUERIES, 20))
+def wildcard_topk(spark, sf_dir):
+    """Generalized wildcard retrieval (engine.wildcard_topk): mid-term
+    '*' patterns expanded by a distributed vocab-sidecar scan, df-
+    capped, then per-expansion-idf BM25 — Lucene WildcardQuery over
+    the sidecar + the existing scorer."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, pat in WILDCARD_QUERIES:
+        hits = [(int(doc_stats[d].split("doc://")[1]), s)
+                for d, s in eng.wildcard_topk(pat, k=10, max_expansions=20)]
+        # rank-tie attribution: the engine breaks score ties on its
+        # sha1 doc ids, the oracle on table ids — re-rank the hit SET
+        # in table-id order (sound because no tie group straddles the
+        # k boundary for these fixed patterns; verified rank-11 scores
+        # differ at sf0.01)
+        hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        rows.extend((qid, rank, tid, round(s, 6))
+                    for rank, (tid, s) in enumerate(hits, start=1))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
 
 
 # ---------------------------------------------------------------- exports

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.dataset as ds
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..analysis import term_id_for, tokenize
@@ -1218,6 +1218,217 @@ class BM25Engine:
             expr = " OR ".join(terms)
         return _fc(self.spark, self.store, expr, by=by, top=top,
                    granularity=granularity)
+
+    # ------------------------------------------------- collapse / recency
+    def collapsed_topk(self, query: str, k: int = 10, *,
+                       by: str = "host") -> DataFrame:
+        """Field-collapsed top-k (Lucene/ES collapse): at most ONE hit
+        — the best-scoring doc — per value of the doc_stats facet
+        ``by`` ('host' derives from the url; anything else names a
+        meta_cols column), then the usual global top-k over the
+        collapsed winners. The result-diversity device every web
+        search ships (one result per site).
+
+        Scale shape: collapse REORDERS nothing until the whole match
+        set is grouped, so there is no driver fast path to prefer —
+        this runs scored_matches (one shuffle), joins the facet key
+        from doc_stats on doc_id (match-set-sized left side), and
+        stacks two windows: per-(query, key) best, then per-query
+        top-k — both WindowGroupLimit-prunable.
+
+        Returns a DataFrame (query_id, rank, key, doc_id, score)."""
+        from .facets import facet_key_expr
+        from .scoring import scored_matches
+
+        engine, qtext = self._route(query)
+        sm = scored_matches(self.spark, engine.store,
+                            [{"query_id": 0, "text": qtext}])
+        ds = engine.store.doc_stats(self.spark).select(
+            "doc_id", "url", facet_key_expr(by).alias("key"))
+        # score ties break on url — the stable EXTERNAL key (engine
+        # doc_ids are url hashes, so url order is reproducible by any
+        # oracle; doc_id order is not)
+        wk = Window.partitionBy("query_id", "key").orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("url").asc())
+        wq = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("url").asc())
+        return (sm.join(ds, "doc_id")
+                .withColumn("_rn", F.row_number().over(wk))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .withColumn("rank", F.row_number().over(wq))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "key", "doc_id", "score"))
+
+    def recency_topk(self, query: str, k: int = 10, *,
+                     ts_col: str = "warc_ts", now: str,
+                     half_life_days: float = 30.0) -> DataFrame:
+        """Recency-decayed ranking: exponential half-life decay on the
+        crawl timestamp multiplies the BM25 score —
+
+            decayed = score * 0.5 ^ (age_days / half_life_days)
+            age_days = (epoch(now) - epoch(ts)) / 86400
+
+        — the freshness boost of news/web search. ``now`` is an
+        explicit ISO timestamp, never wall-clock, so runs are
+        reproducible. Decay REORDERS the match set (an old strong hit
+        can lose to a fresh weak one), so the whole match set must be
+        scored: scored_matches + a doc_stats timestamp join + one
+        top-k window; no driver shortcut is rank-safe.
+
+        Returns (query_id, rank, doc_id, score, decayed) ordered by
+        (round(decayed, 9) DESC, doc_id)."""
+        if half_life_days <= 0:
+            raise ValueError("half_life_days must be > 0")
+        from .scoring import scored_matches
+
+        engine, qtext = self._route(query)
+        sm = scored_matches(self.spark, engine.store,
+                            [{"query_id": 0, "text": qtext}])
+        ds = engine.store.doc_stats(self.spark).select(
+            "doc_id", "url", F.col(ts_col).alias("_ts"))
+        age_days = (
+            (F.unix_timestamp(F.lit(now).cast("timestamp"))
+             - F.unix_timestamp(F.col("_ts"))).cast("double") / 86400.0)
+        decayed = F.col("score") * F.pow(
+            F.lit(0.5), age_days / F.lit(float(half_life_days)))
+        # ties break on url (stable external key), as in collapsed_topk
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("decayed"), 9).desc(), F.col("url").asc())
+        return (sm.join(ds, "doc_id")
+                .withColumn("decayed", decayed)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score", "decayed"))
+
+    # ------------------------------------------------------------ explain
+    def explain_topk(self, query: str, k: int = 10) -> list[dict]:
+        """Lucene-style score explanation: the per-term BM25 breakdown
+        of every top-k hit — (rank, doc_id, term, tf, dl, contrib,
+        score) rows, contribution-identical to what the scorer summed
+        (analysis.idf / bm25_term_score, the math.log forms — scorer
+        bit-identity is the whole point of an explain API).
+
+        Over-budget queries fetch the needed (tf, dl) cells through the
+        distributed plan instead of decoding driver-side: pruned
+        postings -> decode -> semi-filter to the k hit doc_ids ->
+        collect k x |terms| rows (tiny)."""
+        from ..analysis import bm25_term_score, idf
+
+        engine, qtext = self._route(query)
+        hits = self.topk(query, k)
+        if not hits:
+            return []
+        terms = sorted(set(tokenize(qtext)))
+        m = engine.manifest
+        n_docs, avgdl = int(m["n_docs"]), float(m["avgdl"])
+        k1, b = float(m["k1"]), float(m["b"])
+
+        # (term -> doc -> (tf, dl)) for the hit docs only
+        cells: dict[str, dict[int, tuple[int, int]]] = {}
+        dfs: dict[str, int] = {}
+        hit_ids = {int(d) for d, _ in hits}
+        if engine._uncached_df_total(terms) > engine.driver_df_budget:
+            engine.driver_fallbacks += 1
+            rows = self._explain_cells_distributed(engine, terms, hit_ids)
+            for term, df_t, doc, tf, dl in rows:
+                dfs[term] = int(df_t)
+                cells.setdefault(term, {})[int(doc)] = (int(tf), int(dl))
+        else:
+            arrays = engine._load_term_arrays(terms)
+            if arrays is None:  # pending tombstones -> masked blocks
+                from ..codec import decode_blocks_batch
+
+                arrays = {}
+                for t, (df_t, bl) in engine._load_term_blocks(terms).items():
+                    docs, tfs, dls, _ = decode_blocks_batch(bl)
+                    arrays[t] = (df_t, docs, tfs, dls)
+            import numpy as np
+
+            for t, (df_t, docs, tfs, dls) in arrays.items():
+                dfs[t] = int(df_t)
+                per = {}
+                for d in hit_ids:
+                    i = int(np.searchsorted(docs, d))
+                    if i < len(docs) and int(docs[i]) == d:
+                        per[d] = (int(tfs[i]), int(dls[i]))
+                cells[t] = per
+
+        out: list[dict] = []
+        for rank, (doc, score) in enumerate(hits, start=1):
+            for t in terms:
+                hit = cells.get(t, {}).get(int(doc))
+                if hit is None:
+                    continue
+                tf, dl = hit
+                out.append({
+                    "rank": rank, "doc_id": int(doc), "term": t,
+                    "tf": tf, "dl": dl, "df": dfs[t],
+                    "idf": idf(n_docs, dfs[t]),
+                    "contrib": bm25_term_score(
+                        tf, dl, avgdl, n_docs, dfs[t], k1, b),
+                    "score": float(score),
+                })
+        return out
+
+    def _explain_cells_distributed(self, engine, terms, hit_ids):
+        """(term, df, doc_id, tf, dl) for hit docs via the pruned
+        distributed decode — the budget-safe explain path."""
+        from ..analysis import term_id_for
+        from .scoring import (decode_postings_map_in_pandas,
+                              lookup_term_dfs, pruned_postings)
+
+        m = engine.manifest
+        n_buckets = int(m["n_buckets"])
+        tid = {term_id_for(t): t for t in terms}
+        dfs = lookup_term_dfs(engine.store, sorted(tid), n_buckets,
+                              int(m["epoch"]))
+        dec = pruned_postings(self.spark, engine.store, sorted(dfs),
+                              n_buckets).mapInPandas(
+            decode_postings_map_in_pandas,
+            schema="term_id long, doc_id long, tf int, dl int")
+        ids_df = self.spark.createDataFrame(
+            [(int(d),) for d in hit_ids], "doc_id long")
+        rows = (dec.join(F.broadcast(ids_df), "doc_id", "left_semi")
+                .collect())
+        return [(tid[r["term_id"]], dfs[r["term_id"]], r["doc_id"],
+                 r["tf"], r["dl"]) for r in rows]
+
+    # ----------------------------------------------------------- wildcard
+    def wildcard_topk(self, pattern: str, k: int = 10,
+                      max_expansions: int = 50,
+                      method: str = "vectorized") -> list[tuple[int, float]]:
+        """Generalized wildcard retrieval ('s*m', '*ow*'): '*' matches
+        any run of characters anywhere in the term. Expands against the
+        vocabulary sidecar's identity rows with a DISTRIBUTED scan
+        (unlike prefix_topk's range-prunable pyarrow read, a mid-term
+        wildcard has no sort-order handle — a full vocab scan is
+        inherent, exactly as in Lucene's WildcardQuery, so it runs as
+        one small Spark job over the bucketed sidecar), caps to the
+        ``max_expansions`` highest-df matches ((df DESC, term), the
+        MultiTermQuery rule), then scores the OR-bag through the
+        normal BM25 path. Needs an index built with ``vocab=True``."""
+        import re as _re
+
+        if not pattern or pattern.strip("*") == "":
+            raise ValueError("wildcard_topk needs a non-* literal")
+        if "*" not in pattern:
+            return self.topk(pattern, k, method=method)
+        if not self.store.has_vocab():
+            raise ValueError(
+                "wildcard_topk needs the vocabulary sidecar — build "
+                "with vocab=True / run build_vocab")
+        regex = ("^" + ".*".join(_re.escape(p)
+                                 for p in pattern.split("*")) + "$")
+        epoch = int(self.manifest["epoch"])
+        vdf = self.spark.read.parquet(self.store.vocab_dir_for(epoch))
+        top = (vdf.where(F.col("variant") == F.col("term"))
+               .where(F.col("term").rlike(regex))
+               .orderBy(F.col("df").desc(), F.col("term").asc())
+               .limit(max_expansions))
+        expansions = [r["term"] for r in top.collect()]
+        if not expansions:
+            return []
+        return self.topk(" ".join(sorted(expansions)), k, method=method)
 
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:

@@ -118,25 +118,19 @@ def pruned_postings(spark: SparkSession, store: IndexStorage, term_ids: list[int
     )
 
 
-def score_query_batch(spark: SparkSession, store: IndexStorage,
-                      queries: list[dict], k: int = 10,
-                      candidates: DataFrame | None = None,
-                      after: tuple[int, float] | None = None) -> DataFrame:
-    """Exact BM25 top-k for a batch of queries.
-
-    ``after`` (r5 search_after pagination): a ``(doc_id, score)``
-    cursor (a hit tuple of the previous page, passed as-is) — only
-    docs STRICTLY after it in the global
-    (round(score, 9) DESC, doc_id ASC) order are ranked, so page N+1
-    costs the same one shuffle as page 1 instead of a deep top-(N*k)
-    window. Applies to every query in the batch (pagination is a
-    single-query device; the engine passes one).
+def scored_matches(spark: SparkSession, store: IndexStorage,
+                   queries: list[dict],
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """The FULL scored match set of a query batch — every (query_id,
+    doc_id, score) with at least one (post-msm) matching term, BEFORE
+    any top-k window. This is the shared body of score_query_batch and
+    the whole-match-set consumers (facet-style collapse, recency
+    re-ranking) that must see all matches, not the first k.
 
     ``candidates``: optional (doc_id) frame — the metadata-filter
     pushdown analog (P7, /root/reference/service/router.py:43-45): only
     docs in the candidate set are scored (semi join BEFORE scoring, so
     the filter is exact, not a post-hoc re-rank).
-    Returns (query_id int, rank int, doc_id long, score double).
     """
     manifest = store.read_manifest()
     n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
@@ -145,12 +139,12 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
 
     qterms_pdf = analyze_queries(queries)
     if qterms_pdf.empty:
-        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
     term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
     dfs = lookup_term_dfs(store, term_ids, n_buckets, int(manifest["epoch"]))
     qterms_pdf = qterms_pdf[qterms_pdf["term_id"].isin(dfs)].copy()
     if qterms_pdf.empty:  # every term OOV
-        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
     qterms_pdf["df"] = qterms_pdf["term_id"].map(dfs).astype("int64")
     qterms = spark.createDataFrame(qterms_pdf)
     term_ids = sorted(qterms_pdf["term_id"].unique().tolist())
@@ -196,7 +190,27 @@ def score_query_batch(spark: SparkSession, store: IndexStorage,
             .where(F.col("n_matched") >= F.coalesce(F.col("msm"), F.lit(1)))
             .drop("msm")
         )
-    scored = scored.drop("n_matched")
+    return scored.drop("n_matched")
+
+
+def score_query_batch(spark: SparkSession, store: IndexStorage,
+                      queries: list[dict], k: int = 10,
+                      candidates: DataFrame | None = None,
+                      after: tuple[int, float] | None = None) -> DataFrame:
+    """Exact BM25 top-k for a batch of queries: scored_matches plus the
+    per-query top-k window.
+
+    ``after`` (r5 search_after pagination): a ``(doc_id, score)``
+    cursor (a hit tuple of the previous page, passed as-is) — only
+    docs STRICTLY after it in the global
+    (round(score, 9) DESC, doc_id ASC) order are ranked, so page N+1
+    costs the same one shuffle as page 1 instead of a deep top-(N*k)
+    window. Applies to every query in the batch (pagination is a
+    single-query device; the engine passes one).
+
+    Returns (query_id int, rank int, doc_id long, score double).
+    """
+    scored = scored_matches(spark, store, queries, candidates=candidates)
 
     if after is not None:
         # round the cursor with Spark's OWN round (HALF_UP) so a tied
