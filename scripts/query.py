@@ -89,6 +89,33 @@ def main() -> int:
     ap.add_argument("--meta", default=None,
                     help="parquet of doc metadata with a doc_id column "
                          "(optional filter target table)")
+    ap.add_argument("--explain", action="store_true",
+                    help="return the per-term BM25 breakdown (tf, dl, "
+                         "df, idf, contrib) of every top-k hit")
+    ap.add_argument("--collapse", default=None,
+                    help="field collapse: at most one (best) hit per "
+                         "value of this doc_stats column ('host' or a "
+                         "--meta-cols column)")
+    ap.add_argument("--recency-now", default=None,
+                    help="recency-decayed ranking: ISO timestamp to "
+                         "age against (needs a timestamp --meta-cols "
+                         "column, --recency-col)")
+    ap.add_argument("--recency-col", default="warc_ts")
+    ap.add_argument("--half-life", type=float, default=30.0,
+                    help="recency decay half-life in days")
+    ap.add_argument("--wildcard", action="store_true",
+                    help="treat --query as a wildcard pattern "
+                         "('s*m'; needs an index built with --vocab)")
+    ap.add_argument("--synonyms", default=None,
+                    help='JSON synonym map {"term": ["alt", ...]}: '
+                         "Lucene SynonymQuery blending (member tfs "
+                         "sum, group idf = max member df)")
+    ap.add_argument("--significant", action="store_true",
+                    help="significant-terms aggregation over the "
+                         "match set (JLH score); requires --docs")
+    ap.add_argument("--sample-size", type=int, default=100,
+                    help="with --significant: hits sampled for the "
+                         "foreground counts")
     ap.add_argument("--master", default="local[4]")
     args = ap.parse_args()
 
@@ -217,6 +244,71 @@ def main() -> int:
                           "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.explain:
+        t0 = time.time()
+        rows = eng.explain_topk(args.query, args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"explain": args.query, "latency_ms": round(ms, 2),
+                          "rows": [{**r, "idf": round(r["idf"], 6),
+                                    "contrib": round(r["contrib"], 6),
+                                    "score": round(r["score"], 6)}
+                                   for r in rows]}))
+    elif args.query is not None and args.collapse:
+        t0 = time.time()
+        rows = eng.collapsed_topk(args.query, k=args.k,
+                                  by=args.collapse).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "collapse": args.collapse,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": r["rank"], "key": str(r["key"]),
+                                    "doc_id": r["doc_id"],
+                                    "score": round(r["score"], 6)}
+                                   for r in rows]}))
+    elif args.query is not None and args.recency_now:
+        t0 = time.time()
+        rows = eng.recency_topk(args.query, k=args.k,
+                                ts_col=args.recency_col,
+                                now=args.recency_now,
+                                half_life_days=args.half_life).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "now": args.recency_now,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
+                                    "score": round(r["score"], 6),
+                                    "decayed": round(r["decayed"], 6)}
+                                   for r in rows]}))
+    elif args.query is not None and args.wildcard:
+        t0 = time.time()
+        hits = eng.wildcard_topk(args.query, args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"wildcard": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.synonyms:
+        t0 = time.time()
+        hits = eng.synonym_topk(args.query, json.loads(args.synonyms),
+                                k=args.k)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "synonyms": args.synonyms,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.significant:
+        if not args.docs:
+            ap.error("--significant requires --docs (the source corpus)")
+        t0 = time.time()
+        rows = eng.significant_terms(
+            args.query, spark.read.parquet(args.docs), top=args.k,
+            sample_size=args.sample_size).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "latency_ms": round(ms, 2),
+                          "terms": [{"term": r["term"],
+                                     "fg_count": r["fg_count"],
+                                     "df": r["df"],
+                                     "score": round(r["score"], 6)}
+                                    for r in rows]}))
     elif args.query is not None:
         t0 = time.time()
         hits = eng.topk(args.query, args.k,

@@ -2814,6 +2814,111 @@ def wildcard_topk(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+@_q("significant_terms", f"""
+WITH {_TOKS_SQL},
+{_SCORED_CTE},
+sample AS (SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY round(score, 9) DESC, 'doc://' || doc_id::VARCHAR) AS rn
+    FROM scored) WHERE rn <= 50),
+sn AS (SELECT count(*)::BIGINT AS sample_n FROM sample),
+fg AS (SELECT term, count(*)::BIGINT AS fg_count
+       FROM tf JOIN sample USING (doc_id)
+       GROUP BY term HAVING count(*) >= 2),
+j AS (SELECT f.term, f.fg_count, sn.sample_n, d.df,
+             (f.fg_count::DOUBLE / sn.sample_n - d.df::DOUBLE / s.n_docs)
+             * ((f.fg_count::DOUBLE / sn.sample_n)
+                / (d.df::DOUBLE / s.n_docs)) AS score
+      FROM fg f JOIN dfreq d USING (term)
+      CROSS JOIN sn CROSS JOIN stats s),
+r AS (SELECT *, row_number() OVER (ORDER BY round(score, 9) DESC, term) AS rk
+      FROM j)
+SELECT term, fg_count, sample_n, df, round(score, 6) AS score
+FROM r WHERE rk <= 15
+""")
+def significant_terms_entry(spark, sf_dir):
+    """ES significant_terms analog (engine.significant_terms): JLH-
+    scored over-represented terms in the best-50 sample of the match
+    set vs the corpus; fg tokenize touches only the sampled docs."""
+    eng = _indexed_engine(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
+    res = eng.significant_terms(_EXPL_QTEXT, docs, top=15,
+                                sample_size=50, min_doc_count=2)
+    return res.select("term", "fg_count", "sample_n", "df",
+                      F.round("score", 6).alias("score"))
+
+
+SYN_QTEXT = "fast query value"
+SYN_MAP = {"fast": ["quick", "slow"], "value": ["key"]}
+
+
+@_q("synonym_topk", f"""
+WITH {_TOKS_SQL},
+g(gid, term) AS (VALUES ('fast', 'fast'), ('fast', 'quick'),
+                        ('fast', 'slow'), ('query', 'query'),
+                        ('value', 'key'), ('value', 'value')),
+gm AS (SELECT g.gid, g.term, d.df FROM g JOIN dfreq d USING (term)),
+gdf AS (SELECT gid, max(df) AS df FROM gm GROUP BY gid),
+blend AS (SELECT gm.gid, tf.doc_id, sum(tf.tf) AS tfb
+          FROM gm JOIN tf USING (term) GROUP BY gm.gid, tf.doc_id),
+contrib AS (
+  SELECT b.gid, b.doc_id,
+         ln((s.n_docs - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+         * (b.tfb * {analysis.K1 + 1.0}) /
+           (b.tfb + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM blend b JOIN gdf USING (gid) JOIN dl USING (doc_id)
+  CROSS JOIN stats s),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+ranked AS (SELECT doc_id, score,
+                  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10
+""")
+def synonym_topk_entry(spark, sf_dir):
+    """Lucene-SynonymQuery retrieval (engine.synonym_topk): blended-
+    frequency concept groups — member tfs sum, group idf = max member
+    df; an OOV synonym ('quick') drops from its group silently."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    hits = [(int(doc_stats[d].split("doc://")[1]), s)
+            for d, s in eng.synonym_topk(SYN_QTEXT, SYN_MAP, k=10)]
+    # rank-tie attribution: same device as wildcard_topk (hit SET
+    # re-ranked in table-id order; boundary tie checked at sf0.01)
+    hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return spark.createDataFrame(
+        [(rank, tid, round(s, 6))
+         for rank, (tid, s) in enumerate(hits, start=1)],
+        "rank int, doc_id long, score double")
+
+
+@_q("pack_sequences", f"""
+WITH {_TOKS_SQL},
+sh AS (SELECT doc_id, dl AS n_tokens,
+              md5('pack:' || doc_id::VARCHAR) AS h,
+              (CAST('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8)
+                    AS BIGINT) % 8)::INT AS shard_id
+       FROM dl WHERE dl > 0),
+c AS (SELECT shard_id, doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY shard_id ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS tok_start
+      FROM sh)
+SELECT shard_id, doc_id, n_tokens, tok_start,
+       (tok_start // 512)::BIGINT AS seq_first,
+       ((tok_start + n_tokens - 1) // 512)::BIGINT AS seq_last
+FROM c
+""")
+def pack_sequences_entry(spark, sf_dir):
+    """GPT-style sequence packing (textops.pack_sequences): per-shard
+    concat-and-chunk layout — deterministic md5 shuffle order, window
+    cumsum token offsets, 512-token sequence spans."""
+    return textops.pack_sequences(_docs(spark, sf_dir), 512, n_shards=8)
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1430,6 +1430,90 @@ class BM25Engine:
             return []
         return self.topk(" ".join(sorted(expansions)), k, method=method)
 
+    # -------------------------------------------------- significant terms
+    def significant_terms(self, query: str, docs_df: DataFrame,
+                          top: int = 20, sample_size: int = 100,
+                          min_doc_count: int = 2) -> DataFrame:
+        """ES-style significant_terms over this query's match set: the
+        ``top`` terms most over-represented in the best
+        ``sample_size`` hits vs the whole corpus, JLH-scored (see
+        query/sigterms.py for the plan shape). ``docs_df`` supplies
+        the hit docs' text (the index keeps no forward index — same
+        contract as search(snippet_docs=))."""
+        from .sigterms import significant_terms as _st
+
+        engine, qtext = self._route(query)
+        return _st(self.spark, engine.store, qtext, docs_df, top=top,
+                   sample_size=sample_size, min_doc_count=min_doc_count)
+
+    # ------------------------------------------------------------ synonyms
+    def synonym_topk(self, query: str, synonyms: dict[str, list[str]],
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-SynonymQuery retrieval: each query term plus its
+        ``synonyms`` entries forms ONE concept group — member tfs SUM
+        per doc and the group idf uses the MAX member df (blended
+        frequency), so a doc saying "car car auto" scores the concept
+        like tf=3, not as three OR clauses with three idfs. Groups then
+        combine as ordinary BM25 terms (group-key-ascending sum).
+
+        Budget-gated like topk(): over-budget queries run the
+        distributed score_synonym_batch plan with identical ranking
+        (scores equal to 1e-9; doc order exact)."""
+        import numpy as np
+
+        from .scoring import score_synonym_batch
+        from .wand import vectorized_topk_arrays
+
+        engine, qtext = self._route(query)
+        groups: dict[str, list[str]] = {}
+        for t in sorted(set(tokenize(qtext))):
+            members = {t}
+            for s in synonyms.get(t, []):
+                members.update(tokenize(s))
+            groups[t] = sorted(members)
+        all_terms = sorted({t for ms in groups.values() for t in ms})
+        if not all_terms:
+            return []
+        m = engine.manifest
+        if engine._uncached_df_total(all_terms) > engine.driver_df_budget:
+            engine.driver_fallbacks += 1
+            res = score_synonym_batch(
+                self.spark, engine.store,
+                [{"query_id": 0, "groups": groups}], k=k)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        arrays = engine._load_term_arrays(all_terms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in engine._load_term_blocks(all_terms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        blended: dict[str, tuple] = {}
+        for gkey, members in groups.items():
+            present = [t for t in members if t in arrays and len(arrays[t][1])]
+            if not present:
+                continue
+            df_g = max(int(arrays[t][0]) for t in present)
+            if len(present) == 1:
+                _, docs, tfs, dls = arrays[present[0]]
+            else:
+                docs_all = np.concatenate([arrays[t][1] for t in present])
+                tfs_all = np.concatenate([arrays[t][2] for t in present])
+                dls_all = np.concatenate([arrays[t][3] for t in present])
+                docs, inv = np.unique(docs_all, return_inverse=True)
+                tfs = np.zeros(len(docs), dtype=np.int64)
+                np.add.at(tfs, inv, tfs_all.astype(np.int64))
+                dls = np.zeros(len(docs), dtype=np.int64)
+                dls[inv] = dls_all  # dl is per-doc, equal across terms
+            blended[gkey] = (df_g, docs, tfs, dls)
+        if not blended:
+            return []
+        return vectorized_topk_arrays(
+            blended, int(m["n_docs"]), float(m["avgdl"]), k,
+            k1=float(m["k1"]), b=float(m["b"]))
+
     # ------------------------------------------------------------- delete
     def delete_urls(self, urls: list[str]) -> int:
         """Tombstone the docs for these urls; returns count tombstoned.

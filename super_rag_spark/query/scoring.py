@@ -395,3 +395,78 @@ def _salt_shift(manifest: dict) -> int:
 
     salt_count = int(manifest["salt_count"])
     return DOC_ID_BITS - (salt_count.bit_length() - 1)
+
+
+def score_synonym_batch(spark: SparkSession, store: IndexStorage,
+                        queries: list[dict], k: int = 10) -> DataFrame:
+    """Distributed Lucene-SynonymQuery scoring: each query is a list of
+    synonym GROUPS; within a group the member terms' tfs SUM per doc
+    and the group idf uses the MAX member df (Lucene's blended-freq
+    SynonymQuery rule — one "concept" clause, not N OR clauses), then
+    groups combine like ordinary BM25 terms.
+
+    ``queries``: [{"query_id": int, "groups": {gkey: [terms...]}}].
+    Plan shape: ONE pruned-postings decode over all member terms ->
+    broadcast (term_id -> group) join -> group-blend shuffle
+    (sum tf per (query, group, doc)) -> per-doc sum in group-key-
+    ascending order (the sort_array fold, bit-identical to the driver
+    accumulation) -> top-k window. Two shuffles per batch.
+
+    Returns (query_id int, rank int, doc_id long, score double)."""
+    from ..analysis import term_id_for
+
+    manifest = store.read_manifest()
+    n_docs, avgdl = int(manifest["n_docs"]), float(manifest["avgdl"])
+    k1, b = float(manifest["k1"]), float(manifest["b"])
+    n_buckets = int(manifest["n_buckets"])
+    empty = "query_id int, rank int, doc_id long, score double"
+
+    rows = []
+    for q in queries:
+        for gkey, terms in q["groups"].items():
+            for t in sorted(set(terms)):
+                rows.append((int(q["query_id"]), gkey, t, term_id_for(t)))
+    if not rows:
+        return spark.createDataFrame([], empty)
+    term_ids = sorted({tid for *_, tid in rows})
+    dfs = lookup_term_dfs(store, term_ids, n_buckets,
+                          int(manifest["epoch"]))
+    rows = [r for r in rows if r[3] in dfs]
+    if not rows:
+        return spark.createDataFrame([], empty)
+    df_g: dict[tuple[int, str], int] = {}
+    for qid, gkey, _, tid in rows:
+        key = (qid, gkey)
+        df_g[key] = max(df_g.get(key, 0), dfs[tid])
+    qg = spark.createDataFrame(
+        [(qid, gkey, tid, df_g[(qid, gkey)])
+         for qid, gkey, _, tid in rows],
+        "query_id int, gkey string, term_id long, df long")
+    term_ids = sorted({r[3] for r in rows})
+
+    decoded = pruned_postings(spark, store, term_ids, n_buckets).mapInPandas(
+        decode_postings_map_in_pandas, schema=DECODED_SCHEMA)
+    tomb = store.tombstones(spark)
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+    blended = (
+        decoded.join(F.broadcast(qg), "term_id")
+        .groupBy("query_id", "gkey", "doc_id")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"),
+             F.max("df").alias("df"))
+        .withColumn("contrib", contribution_expr(n_docs, avgdl, k1, b))
+    )
+    scored = (
+        blended.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("gkey", "contrib")))
+             .alias("parts"))
+        .withColumn("score", F.aggregate(
+            "parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]))
+        .drop("parts")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))

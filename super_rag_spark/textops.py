@@ -1051,3 +1051,49 @@ def host_stats(df: DataFrame, url_col: str = "url",
                     "avg_tokens",
                     F.round(F.col("n_docs") / F.lit(float(n_total)), 6)
                     .alias("doc_share")))
+
+
+def pack_sequences(df: DataFrame, seq_len: int, n_shards: int = 32,
+                   text_col: str = "text", salt: str = "pack") -> DataFrame:
+    """GPT-style sequence packing layout: concatenate documents in a
+    deterministic pseudo-random order and chunk the token stream into
+    fixed ``seq_len``-token training sequences, recording each doc's
+    span — the layout pass that turns a cleaned corpus into trainer
+    input (docs straddle sequence boundaries by design; that IS
+    concat-and-chunk semantics).
+
+    Order is the shard_export shuffle (md5(salt:doc_id), doc_id tie)
+    so the packing is reproducible across engines, runs, and
+    partitionings, and ``salt`` draws an independent layout. Each
+    shard packs an INDEPENDENT token stream: the per-shard running
+    token offset is a window cumsum partitioned by shard — n_shards
+    parallel tasks of |corpus|/n_shards rows, never the single-task
+    global cumsum a naive ORDER BY would force; at 100 TB raise
+    n_shards, everything else is map-only.
+
+    Returns (shard_id, doc_id, n_tokens, tok_start, seq_first,
+    seq_last): doc tokens occupy [tok_start, tok_start + n_tokens)
+    of the shard's stream; sequence s covers
+    [s*seq_len, (s+1)*seq_len)."""
+    if seq_len < 1 or n_shards < 1:
+        raise ValueError("seq_len and n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
+    sid = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % n_shards).cast("int")
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc())
+    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    out = (df.select("doc_id", n_tok.alias("n_tokens"))
+           .where(F.col("n_tokens") > 0)
+           .withColumn("_h", h)
+           .withColumn("shard_id", sid)
+           .withColumn("tok_start",
+                       F.coalesce(F.sum("n_tokens").over(
+                           w.rowsBetween(Window.unboundedPreceding, -1)),
+                           F.lit(0)).cast("long"))
+           .drop("_h"))
+    return out.select(
+        "shard_id", "doc_id", "n_tokens", "tok_start",
+        F.floor(F.col("tok_start") / seq_len).alias("seq_first"),
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
+        .alias("seq_last"))

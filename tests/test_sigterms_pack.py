@@ -1,0 +1,212 @@
+"""r5: significant-terms aggregation + GPT-style sequence packing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from super_rag_spark import textops
+from super_rag_spark.analysis import tokenize
+
+
+def _corpus(spark):
+    rows = []
+    # 8 docs about "common" all carry the marker term "companion";
+    # 16 background docs carry "plain" instead
+    for i in range(8):
+        rows.append((f"https://a.example/m{i}",
+                     f"common companion topic{i % 2} word{i}"))
+    for i in range(16):
+        rows.append((f"https://a.example/b{i}",
+                     f"plain topic{i % 2} filler{i} word{i % 4}"))
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+@pytest.fixture(scope="module")
+def st_engine(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    idx = str(tmp_path_factory.mktemp("stidx") / "idx")
+    docs = _corpus(spark)
+    eng = BM25Engine(spark, idx).build(docs, text_is_extracted=True)
+    return eng, docs
+
+
+def test_significant_terms_finds_marker(spark, st_engine):
+    eng, docs = st_engine
+    res = eng.significant_terms("common", docs, top=5,
+                                sample_size=100, min_doc_count=2).collect()
+    assert res, "match set non-empty"
+    # the query term itself and its perfect co-occurrer dominate
+    top2 = {r["term"] for r in res[:2]}
+    assert top2 == {"common", "companion"}
+    # JLH cross-check vs a brute-force python pass: sample == the full
+    # match set (docs containing 'common'), fg = doc counts there
+    corpus = [(r["url"], tokenize(r["text"])) for r in docs.collect()]
+    match = [set(t) for _, t in corpus if "common" in t]
+    n_docs, sample_n = len(corpus), len(match)
+    for r in res:
+        fg = sum(1 for s in match if r["term"] in s)
+        df = sum(1 for _, t in corpus if r["term"] in set(t))
+        assert (r["fg_count"], r["sample_n"], r["df"]) == (fg, sample_n, df)
+        fg_pct, bg_pct = fg / sample_n, df / n_docs
+        assert r["score"] == pytest.approx(
+            (fg_pct - bg_pct) * (fg_pct / bg_pct), rel=1e-9)
+
+
+def test_significant_terms_min_doc_count(st_engine):
+    eng, docs = st_engine
+    res = eng.significant_terms("common", docs, top=50,
+                                sample_size=100, min_doc_count=3).collect()
+    assert all(r["fg_count"] >= 3 for r in res)
+    # the per-doc-unique wordN/topicN terms are filtered at 9
+    res9 = eng.significant_terms("common", docs, top=50,
+                                 sample_size=100, min_doc_count=9).collect()
+    assert {r["term"] for r in res9} <= {"common", "companion"}
+
+
+def test_significant_terms_validation(st_engine):
+    eng, docs = st_engine
+    with pytest.raises(ValueError):
+        eng.significant_terms("common", docs, top=0)
+
+
+# ------------------------------------------------------------- packing
+
+def _pack_corpus(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + i % 7)))
+            for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_contiguous_per_shard(spark):
+    out = textops.pack_sequences(_pack_corpus(spark), 10, n_shards=4).collect()
+    assert len(out) == 60
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["tok_start"])
+        expect = 0
+        for r in rs:
+            assert r["tok_start"] == expect, "token stream has a gap"
+            expect += r["n_tokens"]
+            assert r["seq_first"] == r["tok_start"] // 10
+            assert r["seq_last"] == (r["tok_start"] + r["n_tokens"] - 1) // 10
+
+
+def test_pack_sequences_order_is_md5(spark):
+    """The within-shard order is (md5('pack:'+id), id) — reproducible
+    from the doc_id alone."""
+    out = textops.pack_sequences(_pack_corpus(spark), 10, n_shards=2).collect()
+    for sid in {r["shard_id"] for r in out}:
+        rs = [r for r in out if r["shard_id"] == sid]
+        by_start = [r["doc_id"] for r in sorted(rs, key=lambda r: r["tok_start"])]
+        by_hash = [r["doc_id"] for r in sorted(
+            rs, key=lambda r: (hashlib.md5(
+                f"pack:{r['doc_id']}".encode()).hexdigest(), r["doc_id"]))]
+        assert by_start == by_hash
+
+
+def test_pack_sequences_partition_independent(spark):
+    df = _pack_corpus(spark)
+    a = sorted(map(tuple, textops.pack_sequences(df, 16, n_shards=4).collect()))
+    b = sorted(map(tuple, textops.pack_sequences(
+        df.repartition(7), 16, n_shards=4).collect()))
+    assert a == b
+
+
+def test_pack_sequences_salt_draws_new_layout(spark):
+    df = _pack_corpus(spark)
+    a = sorted(map(tuple, textops.pack_sequences(df, 16, n_shards=4).collect()))
+    b = sorted(map(tuple, textops.pack_sequences(
+        df, 16, n_shards=4, salt="other").collect()))
+    assert a != b
+
+
+def test_pack_sequences_validation(spark):
+    with pytest.raises(ValueError):
+        textops.pack_sequences(_pack_corpus(spark), 0)
+    # empty docs are dropped from the stream
+    df = _pack_corpus(spark).withColumn(
+        "text", F.when(F.col("doc_id") < 5, F.lit("")).otherwise(F.col("text")))
+    out = textops.pack_sequences(df, 10, n_shards=2).collect()
+    assert len(out) == 55 and all(r["n_tokens"] > 0 for r in out)
+
+
+# ------------------------------------------------------------- synonyms
+
+def _blend_brute(corpus_tokens, groups, k1=1.2, b=0.75):
+    """Pure-python SynonymQuery oracle: groups = {gkey: [terms]};
+    blended tf sums, group idf on max member df."""
+    import math
+
+    n = len(corpus_tokens)
+    avgdl = sum(len(t) for t in corpus_tokens.values()) / n
+    dfs = {}
+    for toks in corpus_tokens.values():
+        for t in set(toks):
+            dfs[t] = dfs.get(t, 0) + 1
+    scores = {}
+    for gkey in sorted(groups):
+        members = [t for t in groups[gkey] if t in dfs]
+        if not members:
+            continue
+        df_g = max(dfs[t] for t in members)
+        idf = math.log((n - df_g + 0.5) / (df_g + 0.5) + 1.0)
+        for doc, toks in corpus_tokens.items():
+            tfb = sum(toks.count(t) for t in members)
+            if tfb == 0:
+                continue
+            dl = len(toks)
+            c = idf * (tfb * (k1 + 1.0)) / (
+                tfb + k1 * ((1.0 - b) + b * dl / avgdl))
+            scores[doc] = scores.get(doc, 0.0) + c
+    return sorted(scores.items(), key=lambda x: (-round(x[1], 9), x[0]))
+
+
+def test_synonym_topk_blended_vs_brute(spark, st_engine):
+    from super_rag_spark.analysis import doc_id_for_url
+
+    eng, docs = st_engine
+    syn = {"common": ["plain", "nosuchterm"]}
+    got = eng.synonym_topk("common companion", syn, k=50)
+    corpus = {doc_id_for_url(r["url"]): tokenize(r["text"])
+              for r in docs.collect()}
+    want = _blend_brute(corpus, {"common": ["common", "plain", "nosuchterm"],
+                                 "companion": ["companion"]})
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+
+
+def test_synonym_topk_empty_map_equals_topk(st_engine):
+    eng, _ = st_engine
+    assert eng.synonym_topk("common companion", {}, k=10) == \
+        eng.topk("common companion", k=10, method="vectorized")
+
+
+def test_synonym_topk_distributed_equals_driver(st_engine):
+    eng, _ = st_engine
+    syn = {"common": ["plain"]}
+    driver = eng.synonym_topk("common companion", syn, k=10)
+    n0 = eng.driver_fallbacks
+    old = eng.driver_df_budget
+    eng.driver_df_budget = 0
+    eng._dec_cache.clear()
+    eng._term_cache.clear()
+    eng._dec_used = 0
+    try:
+        dist = eng.synonym_topk("common companion", syn, k=10)
+    finally:
+        eng.driver_df_budget = old
+    assert eng.driver_fallbacks > n0
+    assert [d for d, _ in dist] == [d for d, _ in driver]
+    for (dd, ds), (vd, vs) in zip(dist, driver):
+        assert ds == pytest.approx(vs, rel=1e-9)
+
+
+def test_synonym_topk_all_oov(st_engine):
+    eng, _ = st_engine
+    assert eng.synonym_topk("nosuchterm", {"nosuchterm": ["alsonot"]}) == []
