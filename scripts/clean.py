@@ -47,6 +47,12 @@ def main() -> int:
                          "corpus into N shards (textops.shard_export); "
                          "output is written partitioned by shard_id in "
                          "pos_in_shard order — the trainer-ready layout")
+    ap.add_argument("--pack-seq-len", type=int, default=None,
+                    help="with --shards: also emit a sequence-packing "
+                         "layout (textops.pack_sequences) mapping each "
+                         "doc to its token span in per-shard concat-"
+                         "and-chunk training sequences of this length; "
+                         "written to <output>_pack")
     ap.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job: --input is "
                          "a directory of document parquet drops; gates + "
@@ -115,6 +121,13 @@ def main() -> int:
                    .sortWithinPartitions("pos_in_shard"))
             (out.write.mode("overwrite")
              .partitionBy("shard_id").parquet(args.output))
+            if args.pack_seq_len:
+                pack = textops.pack_sequences(
+                    spark.read.parquet(args.output), args.pack_seq_len,
+                    n_shards=args.shards)
+                pack.write.mode("overwrite").parquet(args.output + "_pack")
+        elif args.pack_seq_len:
+            ap.error("--pack-seq-len requires --shards")
         else:
             out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()

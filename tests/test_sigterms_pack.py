@@ -210,3 +210,23 @@ def test_synonym_topk_distributed_equals_driver(st_engine):
 def test_synonym_topk_all_oov(st_engine):
     eng, _ = st_engine
     assert eng.synonym_topk("nosuchterm", {"nosuchterm": ["alsonot"]}) == []
+
+
+def test_significant_terms_tokenize_above_sample_join(spark, st_engine):
+    """The corpus tokenize (array_distinct chain) must sit ABOVE the
+    sample semi-join — fg counting touches only sampled docs, never a
+    full-corpus tokenize (same plan rule as phrase/snippets; the
+    plan_barrier keeps Catalyst from substituting the chain into a
+    pushed-down filter)."""
+    eng, docs = st_engine
+    df = eng.significant_terms("common", docs, top=5, sample_size=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.split("\n")
+    hits = [i for i, ln in enumerate(lines) if "array_distinct" in ln]
+    assert hits, plan
+    for ad in hits:
+        rel = next((i for i, ln in enumerate(lines)
+                    if i > ad and ("Relation" in ln or "LogicalRDD" in ln)),
+                   len(lines))
+        assert any("Join" in ln for ln in lines[ad + 1:rel]), (
+            "tokenize chain evaluated below the sample join:\n" + plan)
