@@ -67,6 +67,12 @@ def main() -> int:
                     help="with --facet on a timestamp column: "
                          "date_trunc bucket (year..hour) — a "
                          "date histogram")
+    ap.add_argument("--facet-stats", default=None, metavar="VAL_COL",
+                    help="with --facet: per-bucket numeric stats "
+                         "(n/min/max/avg/sum) of this doc_stats "
+                         "column over the match set instead of "
+                         "plain counts ('dl', or a numeric "
+                         "--meta-cols column)")
     ap.add_argument("--after", default=None,
                     help="search_after cursor 'doc_id,score' (the last "
                          "hit of the previous page): return the next "
@@ -192,14 +198,29 @@ def main() -> int:
                                    for r in rows]}))
     elif args.query is not None and args.facet:
         t0 = time.time()
-        rows = eng.facet_counts(args.query, by=args.facet,
-                                granularity=args.facet_granularity).collect()
-        ms = (time.time() - t0) * 1e3
-        print(json.dumps({"query": args.query, "facet": args.facet,
-                          "latency_ms": round(ms, 2),
-                          "buckets": [{"facet": str(r["facet"]),
-                                       "n_docs": r["n_docs"]}
-                                      for r in rows]}))
+        if args.facet_stats:
+            rows = eng.facet_stats(
+                args.query, args.facet_stats, by=args.facet,
+                granularity=args.facet_granularity).collect()
+            ms = (time.time() - t0) * 1e3
+            print(json.dumps({
+                "query": args.query, "facet": args.facet,
+                "val_col": args.facet_stats, "latency_ms": round(ms, 2),
+                "buckets": [{"facet": str(r["facet"]),
+                             "n_docs": r["n_docs"],
+                             "min": r["min_v"], "max": r["max_v"],
+                             "avg": round(r["avg_v"], 6),
+                             "sum": r["sum_v"]} for r in rows]}))
+        else:
+            rows = eng.facet_counts(
+                args.query, by=args.facet,
+                granularity=args.facet_granularity).collect()
+            ms = (time.time() - t0) * 1e3
+            print(json.dumps({"query": args.query, "facet": args.facet,
+                              "latency_ms": round(ms, 2),
+                              "buckets": [{"facet": str(r["facet"]),
+                                           "n_docs": r["n_docs"]}
+                                          for r in rows]}))
     elif args.query is not None and args.suggest:
         t0 = time.time()
         comps = eng.suggest(args.query, args.k)

@@ -2849,6 +2849,85 @@ def significant_terms_entry(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+@_q("facet_stats", f"""
+WITH {_TOKS_SQL},
+m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('scan', 'table')),
+j AS (SELECT m.doc_id, d.lang, dl.dl
+      FROM m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)),
+g AS (SELECT lang AS facet, count(*)::BIGINT AS n_docs,
+             min(dl)::DOUBLE AS min_v, max(dl)::DOUBLE AS max_v,
+             round(avg(dl), 6) AS avg_v, sum(dl)::DOUBLE AS sum_v
+      FROM j GROUP BY lang),
+r AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, facet) AS rk
+      FROM g)
+SELECT facet, n_docs, min_v, max_v, avg_v, sum_v FROM r WHERE rk <= 10
+""")
+def facet_stats_entry(spark, sf_dir):
+    """ES metric aggregation in facet buckets (engine.facet_stats):
+    per-lang doc-length stats over the 'table scan' OR-bag match set,
+    all off the index's own doc_stats."""
+    eng = _indexed_engine(spark, sf_dir)
+    res = eng.facet_stats(BM25_QUERIES[0][1], "dl", by="lang", top=10)
+    return res.select("facet", "n_docs", "min_v", "max_v",
+                      F.round("avg_v", 6).alias("avg_v"), "sum_v")
+
+
+REGEXP_QUERIES = [(0, "s[a-z]*m"), (1, "[a-z]*ow"), (2, "agg|sort")]
+
+
+def _regexp_sql(patterns: list[tuple[int, str]], max_exp: int,
+                k: int = 10) -> str:
+    """RegexpQuery oracle: full-match expansion (engine anchors with
+    ^(?:...)$), df-capped, then the standard BM25 OR-bag — the
+    wildcard oracle with regexp_full_match in place of LIKE."""
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in patterns)
+    return f"""
+WITH {_TOKS_SQL},
+p(query_id, pat) AS (VALUES {vals}),
+expanded AS (
+  SELECT p.query_id, d.term, d.df,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY d.df DESC, d.term) AS rn
+  FROM p JOIN dfreq d ON regexp_full_match(d.term, p.pat)
+),
+q AS (SELECT query_id, term FROM expanded WHERE rn <= {max_exp}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("regexp_topk", _regexp_sql(REGEXP_QUERIES, 20))
+def regexp_topk_entry(spark, sf_dir):
+    """Lucene RegexpQuery (engine.regexp_topk): anchored term-regex
+    expansion over the vocab sidecar, df-capped, OR-bag BM25; the
+    Java and RE2 dialects agree on these character-class patterns."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, pat in REGEXP_QUERIES:
+        hits = [(int(doc_stats[d].split("doc://")[1]), s)
+                for d, s in eng.regexp_topk(pat, k=10, max_expansions=20)]
+        hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        rows.extend((qid, rank, tid, round(s, 6))
+                    for rank, (tid, s) in enumerate(hits, start=1))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
 SYN_QTEXT = "fast query value"
 SYN_MAP = {"fast": ["quick", "slow"], "value": ["key"]}
 

@@ -1219,6 +1219,25 @@ class BM25Engine:
         return _fc(self.spark, self.store, expr, by=by, top=top,
                    granularity=granularity)
 
+    def facet_stats(self, query: str, val_col: str, by: str = "host",
+                    top: int = 20, boolean: bool = False,
+                    granularity: str | None = None):
+        """ES metric aggregation inside facet buckets: per-facet
+        numeric stats (n/min/max/avg/sum) of a doc_stats column over
+        the FULL match set — see query/facets.facet_stats. Same query
+        grammar as facet_counts."""
+        from .facets import facet_stats as _fs
+
+        if boolean:
+            expr = query
+        else:
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                raise ValueError("facet_stats needs at least one term")
+            expr = " OR ".join(terms)
+        return _fs(self.spark, self.store, expr, val_col, by=by, top=top,
+                   granularity=granularity)
+
     # ------------------------------------------------- collapse / recency
     def collapsed_topk(self, query: str, k: int = 10, *,
                        by: str = "host") -> DataFrame:
@@ -1413,19 +1432,57 @@ class BM25Engine:
             raise ValueError("wildcard_topk needs a non-* literal")
         if "*" not in pattern:
             return self.topk(pattern, k, method=method)
-        if not self.store.has_vocab():
-            raise ValueError(
-                "wildcard_topk needs the vocabulary sidecar — build "
-                "with vocab=True / run build_vocab")
         regex = ("^" + ".*".join(_re.escape(p)
                                  for p in pattern.split("*")) + "$")
+        expansions = self._expand_vocab(regex, max_expansions,
+                                        caller="wildcard_topk")
+        if not expansions:
+            return []
+        return self.topk(" ".join(sorted(expansions)), k, method=method)
+
+    def _expand_vocab(self, regex: str, max_expansions: int,
+                      caller: str) -> list[str]:
+        """Top-``max_expansions`` vocabulary terms matching an anchored
+        regex, by (df DESC, term) — the Lucene MultiTermQuery rewrite
+        rule shared by wildcard_topk and regexp_topk. One small Spark
+        job over the bucketed vocab sidecar's identity rows (a full
+        vocab scan is inherent: arbitrary regexes have no sort-order
+        handle)."""
+        if not self.store.has_vocab():
+            raise ValueError(
+                f"{caller} needs the vocabulary sidecar — build "
+                "with vocab=True / run build_vocab")
         epoch = int(self.manifest["epoch"])
         vdf = self.spark.read.parquet(self.store.vocab_dir_for(epoch))
         top = (vdf.where(F.col("variant") == F.col("term"))
                .where(F.col("term").rlike(regex))
                .orderBy(F.col("df").desc(), F.col("term").asc())
                .limit(max_expansions))
-        expansions = [r["term"] for r in top.collect()]
+        return [r["term"] for r in top.collect()]
+
+    def regexp_topk(self, regex: str, k: int = 10,
+                    max_expansions: int = 50,
+                    method: str = "vectorized") -> list[tuple[int, float]]:
+        """Lucene RegexpQuery analog: expand an ANCHORED regex (the
+        whole term must match, as in Lucene — '^'/'$' are implied and
+        must not be passed) against the vocabulary sidecar, cap to the
+        ``max_expansions`` highest-df matches, score the OR-bag through
+        the normal budget-gated BM25 path. The regex dialect is Spark's
+        rlike (Java regex) — validated on the driver before the scan so
+        a bad pattern fails fast, not inside an executor."""
+        import re as _re
+
+        if not regex:
+            raise ValueError("regexp_topk needs a non-empty regex")
+        if regex.startswith("^") or regex.endswith("$"):
+            raise ValueError("regexp_topk anchors implicitly — pass the "
+                             "bare term regex without ^/$")
+        try:
+            _re.compile(regex)
+        except _re.error as e:
+            raise ValueError(f"invalid regex {regex!r}: {e}") from None
+        expansions = self._expand_vocab(f"^(?:{regex})$", max_expansions,
+                                        caller="regexp_topk")
         if not expansions:
             return []
         return self.topk(" ".join(sorted(expansions)), k, method=method)

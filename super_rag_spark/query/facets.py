@@ -70,3 +70,34 @@ def facet_counts(spark: SparkSession, store, expr: str, by: str = "host",
     return (grouped
             .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
             .limit(top))
+
+
+def facet_stats(spark: SparkSession, store, expr: str, val_col: str,
+                by: str = "host", top: int = 20,
+                granularity: str | None = None) -> DataFrame:
+    """ES metric-aggregation analog (`stats` inside a bucket agg):
+    per-facet numeric statistics of a doc_stats column over the FULL
+    match set — (facet, n_docs, min_v, max_v, avg_v, sum_v). The
+    "average doc length / crawl age per host among matching docs"
+    query every search dashboard runs.
+
+    Same plan as facet_counts (index-backed match set -> doc_stats
+    join -> one partial-aggregated shuffle); ``val_col`` must be a
+    numeric doc_stats column ('dl' is always present; any numeric
+    meta_cols column works). Deterministic (n_docs DESC, facet ASC)
+    order; chronological with ``granularity``."""
+    matched = accepted_docs(spark, store, [(0, expr)]).select("doc_id")
+    stats = store.doc_stats(spark)
+    v = F.col(val_col).cast("double")
+    grouped = (
+        matched.join(stats, "doc_id")
+        .groupBy(facet_key_expr(by, granularity).alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(v).alias("min_v"), F.max(v).alias("max_v"),
+             F.avg(v).alias("avg_v"), F.sum(v).alias("sum_v"))
+    )
+    if granularity is not None:
+        return grouped.orderBy(F.col("facet").asc()).limit(top)
+    return (grouped
+            .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+            .limit(top))

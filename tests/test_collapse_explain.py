@@ -185,3 +185,22 @@ def test_wildcard_validation(rich_engine):
 
 def test_wildcard_no_match_returns_empty(rich_engine):
     assert rich_engine.wildcard_topk("zq*zq", k=5) == []
+
+
+def test_regexp_topk(spark, rich_engine):
+    got = rich_engine.regexp_topk("s[a-z]*m", k=10)
+    vocab = {t for r in _corpus(spark).collect() for t in tokenize(r["text"])}
+    import re
+    exp = sorted(t for t in vocab if re.fullmatch("s[a-z]*m", t))
+    assert exp == ["seam", "storm", "system"]
+    assert got == rich_engine.topk(" ".join(exp), k=10)
+
+
+def test_regexp_topk_validation(rich_engine):
+    with pytest.raises(ValueError):
+        rich_engine.regexp_topk("^storm$")
+    with pytest.raises(ValueError):
+        rich_engine.regexp_topk("s[a-")
+    with pytest.raises(ValueError):
+        rich_engine.regexp_topk("")
+    assert rich_engine.regexp_topk("zq+zq") == []

@@ -133,3 +133,35 @@ def test_meta_cols_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="meta_cols"):
         build_index(spark, docs, str(tmp_path / "mv"),
                     meta_cols=("nope",))
+
+
+def test_facet_stats_numeric_agg(spark, meta_engine):
+    """ES metric-agg analog: per-lang dl stats over the match set must
+    equal a brute-force pass on doc_stats."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    got = {r["facet"]: r for r in
+           meta_engine.facet_stats("common", "dl", by="lang").collect()}
+    ds = meta_engine.store.doc_stats(spark)
+    match = meta_engine.search("common", k=1000).select("doc_id")
+    want = {r["lang"]: r for r in
+            (match.join(ds, "doc_id").groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("dl").alias("mn"), F.max("dl").alias("mx"),
+                  F.avg("dl").alias("av"), F.sum("dl").alias("sm"))
+             ).collect()}
+    assert set(got) == set(want)
+    for lang, w in want.items():
+        g = got[lang]
+        assert g["n_docs"] == w["n"]
+        assert g["min_v"] == w["mn"] and g["max_v"] == w["mx"]
+        assert g["avg_v"] == _pt.approx(w["av"], rel=1e-12)
+        assert g["sum_v"] == _pt.approx(w["sm"], rel=1e-12)
+
+
+def test_facet_stats_validation(meta_engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        meta_engine.facet_stats("", "dl")
