@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("--vocab", action="store_true",
                     help="also build the vocabulary sidecar (r4):"
                          " enables typo-tolerant --fuzzy queries")
+    ap.add_argument("--vocab-depth", type=int, default=1,
+                    help="deletion-neighborhood depth of the vocab "
+                         "sidecar (2 enables fuzzy max_dist=2 at "
+                         "~L^2/2 x sidecar rows)")
     ap.add_argument("--title-weight", type=int, default=1,
                     help="BM25F: count title-field tokens this many "
                          "times (field-concatenation weighting)")
@@ -91,7 +95,7 @@ def main() -> int:
     eng = BM25Engine(spark, args.index)
     eng.build(df, text_is_extracted=not args.from_html,
               extract_mode=args.extract_mode, positions=args.positions,
-              vocab=args.vocab, **kwargs)
+              vocab=(args.vocab_depth if args.vocab else False), **kwargs)
     elapsed = time.time() - t0
     print(json.dumps({
         "event": "index_built", "index": args.index, "n_docs": n_docs,

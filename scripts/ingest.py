@@ -159,6 +159,9 @@ def main() -> int:
         help="(re)build the vocabulary sidecar for the CURRENT epoch "
              "(enables typo-tolerant --fuzzy queries; merges drop it)")
     p_voc.add_argument("--index", required=True)
+    p_voc.add_argument("--depth", type=int, default=1,
+                       help="deletion-neighborhood depth (2 enables "
+                            "fuzzy max_dist=2)")
     p_voc.add_argument("--input", required=True,
                        help="the full current corpus parquet (url, text|html)")
     p_voc.add_argument("--from-html", action="store_true")
@@ -225,7 +228,7 @@ def main() -> int:
                 spark, docs.select("url", "html" if args.from_html
                                    else "text"),
                 args.index, text_is_extracted=not args.from_html,
-                extract_mode=args.extract_mode)
+                extract_mode=args.extract_mode, depth=args.depth)
             print(json.dumps({
                 "event": "vocab_built",
                 "epoch": store.read_manifest()["epoch"],

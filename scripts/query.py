@@ -43,8 +43,11 @@ def main() -> int:
                          "pure index, no corpus needed")
     ap.add_argument("--fuzzy", action="store_true",
                     help="typo-tolerant: correct each term to its "
-                         "nearest vocabulary term within one edit "
-                         "(needs an index built with --vocab)")
+                         "nearest vocabulary term within --fuzzy-dist "
+                         "edits (needs an index built with --vocab)")
+    ap.add_argument("--fuzzy-dist", type=int, default=1,
+                    help="fuzzy edit radius; 2 needs an index built "
+                         "with --vocab-depth 2")
     ap.add_argument("--suggest", action="store_true",
                     help="treat --query as a PREFIX and return the "
                          "top-k vocabulary completions by df "
@@ -230,7 +233,7 @@ def main() -> int:
                                           for t, d in comps]}))
     elif args.query is not None and args.fuzzy:
         t0 = time.time()
-        hits = eng.fuzzy_topk(args.query, args.k)
+        hits = eng.fuzzy_topk(args.query, args.k, max_dist=args.fuzzy_dist)
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"fuzzy": args.query, "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}

@@ -1831,12 +1831,18 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
         build_positions(spark, docs, idx_dir)
-    if not eng.store.has_vocab():  # r4 fuzzy-matching sidecar
+    from .index.vocab import vocab_depth
+
+    if (not eng.store.has_vocab()  # r4 fuzzy sidecar; r5: depth 2 so
+            # both the max_dist=1 entries (depth-2 rows are a strict
+            # superset; verify still filters dist<=1) and the r5
+            # max_dist=2 entry run off one sidecar
+            or vocab_depth(eng.store, eng.store.epoch()) < 2):
         from .index.vocab import build_vocab
 
         docs = _docs(spark, sf_dir).select(
             F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"), "text")
-        build_vocab(spark, docs, idx_dir)
+        build_vocab(spark, docs, idx_dir, depth=2)
     _INDEX_CACHE[key] = eng
     return eng
 
@@ -2212,6 +2218,68 @@ def fuzzy_topk_entry(spark, sf_dir):
     rows = []
     for qid, qtext in FUZZY_QUERIES:
         for rank, (d, s) in enumerate(eng.fuzzy_topk(qtext, k=10), start=1):
+            rows.append((qid, rank, int(doc_stats[d].split("doc://")[1]),
+                         round(s, 6)))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
+FUZZY2_QUERIES = [(qid, " ".join(t + "xq" for t in text.split()))
+                  for qid, text in BM25_QUERIES[:3]]
+
+
+def _fuzzy2_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """max_dist=2 correction oracle — deliberately a FULL levenshtein
+    scan of the vocabulary (no deletion neighborhood), so it verifies
+    the engine's depth-2 SymSpell recall independently: if the depth-2
+    neighborhood join missed any distance<=2 candidate the full-scan
+    winner would differ and the entry would hash-mismatch. Winner rule
+    (dist, df DESC, term) and BM25 tail mirror _fuzzy_sql."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, qtext in queries
+                     for t in sorted(set(analysis.tokenize(qtext))))
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, qterm) AS (VALUES {vals}),
+okc AS (SELECT q.query_id, q.qterm, d.term, d.df,
+               levenshtein(q.qterm, d.term) AS dist
+        FROM q JOIN dfreq d ON levenshtein(q.qterm, d.term) <= 2),
+best AS (SELECT query_id, term FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id, qterm
+                    ORDER BY dist, df DESC, term) AS rn FROM okc)
+         WHERE rn = 1),
+cq AS (SELECT DISTINCT query_id, term FROM best),
+contrib AS (
+  SELECT cq.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B} + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM cq JOIN tf USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@_q("fuzzy_topk2", _fuzzy2_sql(FUZZY2_QUERIES))
+def fuzzy_topk2_entry(spark, sf_dir):
+    """Distance-2 typo tolerance (engine.fuzzy_topk(max_dist=2) over
+    the depth-2 vocabulary sidecar): every query term carries a
+    two-insertion typo ('xq' appended); the depth-2 neighborhood join
+    must pick the same corrections as a FULL-vocabulary levenshtein
+    scan."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, qtext in FUZZY2_QUERIES:
+        for rank, (d, s) in enumerate(
+                eng.fuzzy_topk(qtext, k=10, max_dist=2), start=1):
             rows.append((qid, rank, int(doc_stats[d].split("doc://")[1]),
                          round(s, 6)))
     return spark.createDataFrame(

@@ -98,11 +98,12 @@ def build_staging_sidecars(spark: SparkSession, store: IndexStorage,
                         text_is_extracted=text_is_extracted,
                         extract_mode=extract_mode)
     if store.has_vocab(live) and not sstore.has_vocab(0):
-        from .vocab import build_vocab
+        from .vocab import build_vocab, vocab_depth
 
         build_vocab(spark, new_docs_df, sstore.root,
                     text_is_extracted=text_is_extracted,
-                    extract_mode=extract_mode)
+                    extract_mode=extract_mode,
+                    depth=vocab_depth(store, live))
 
 
 def carry_sidecars_merge(spark: SparkSession, store: IndexStorage,
@@ -256,7 +257,10 @@ def _carry_vocab(spark: SparkSession, store: IndexStorage,
         parts = parts.unionByName(loss_terms)
     merged = (parts.groupBy("term").agg(F.sum("df").alias("df"))
               .where(F.col("df") > 0))
-    write_vocab_table(merged, store, epoch, n_buckets)
+    from .vocab import vocab_depth
+
+    write_vocab_table(merged, store, epoch, n_buckets,
+                      depth=vocab_depth(store, old_epoch))
 
 
 def carry_sidecars_compact(spark: SparkSession, store: IndexStorage, *,
@@ -340,7 +344,10 @@ def carry_sidecars_compact(spark: SparkSession, store: IndexStorage, *,
             merged = (old_id.unionByName(loss_terms)
                       .groupBy("term").agg(F.sum("df").alias("df"))
                       .where(F.col("df") > 0))
-            write_vocab_table(merged, store, epoch, n_buckets)
+            from .vocab import vocab_depth
+
+            write_vocab_table(merged, store, epoch, n_buckets,
+                              depth=vocab_depth(store, old_epoch))
 
 
 def hardlink_sidecars(store: IndexStorage, old_epoch: int,

@@ -66,9 +66,43 @@ def deletion_variants(term: str) -> list[str]:
     return uniq
 
 
+def deletion_neighborhood(term: str, depth: int) -> list[str]:
+    """All strings reachable by deleting up to ``depth`` characters
+    (the term itself included). depth=1 == deletion_variants. The
+    SymSpell guarantee generalizes: levenshtein(a, b) <= d implies a
+    depth-d deletion of a equals a depth-d deletion of b, so lookup at
+    radius d needs the query's depth-d neighborhood against an index
+    built with depth >= d."""
+    frontier = {term}
+    seen = {term}
+    for _ in range(depth):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                w = v[:i] + v[i + 1:]
+                if w not in seen:
+                    seen.add(w)
+                    nxt.add(w)
+        frontier = nxt
+    return sorted(seen)
+
+
+def vocab_depth(store: IndexStorage, epoch: int) -> int:
+    """Deletion-neighborhood depth this epoch's sidecar was built with
+    (the ``_depth`` marker written by write_vocab_table; pre-marker
+    sidecars are depth 1)."""
+    import os
+
+    p = os.path.join(store.vocab_dir_for(epoch), "_depth")
+    if not os.path.exists(p):
+        return 1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 def build_vocab(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 text_is_extracted: bool = True,
-                extract_mode: str = "html") -> IndexStorage:
+                extract_mode: str = "html", depth: int = 1) -> IndexStorage:
     """Build the vocabulary sidecar for the CURRENT epoch of an
     existing index. ``docs_df`` must be the corpus build_index saw;
     df(term) here equals the index's term_stats df (same duplicate-url
@@ -96,20 +130,36 @@ def build_vocab(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                     F.explode(F.array_distinct("tokens")).alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    write_vocab_table(vocab, store, epoch, n_buckets)
+    write_vocab_table(vocab, store, epoch, n_buckets, depth=depth)
     return store
 
 
 def write_vocab_table(vocab: DataFrame, store: IndexStorage, epoch: int,
-                      n_buckets: int) -> None:
+                      n_buckets: int, depth: int = 1) -> None:
     """(term, df) -> the sidecar's variant table for ``epoch``: explode
     deletion variants, bucket by term_id(variant), variant-sorted files
     (pyarrow point lookups prune buckets + row groups). Shared by the
-    fresh build and the incremental merge fold (index/sidecars.py)."""
-    variants = (
-        vocab.select(
+    fresh build and the incremental merge fold (index/sidecars.py).
+
+    ``depth`` (r5): deletion-neighborhood depth. depth=2 enables
+    fuzzy_topk(max_dist=2) at ~(1 + L + L(L-1)/2)x vocab rows (still
+    vocabulary-sized, not corpus-sized); each extra level is one more
+    explode over the previous frontier — a second small shuffle, never
+    a nested-lambda Catalyst expression (which would re-inline the
+    level-1 chain per element). Recorded in a ``_depth`` marker so
+    queries and merge folds know the guarantee."""
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    variants = vocab.select(
+        "term", "df",
+        F.explode(deletion_variants_expr("term")).alias("variant"))
+    for _ in range(depth - 1):
+        variants = (variants.select(
             "term", "df",
-            F.explode(deletion_variants_expr("term")).alias("variant"))
+            F.explode(deletion_variants_expr("variant")).alias("variant"))
+            .dropDuplicates(["term", "variant"]))
+    variants = (
+        variants
         .withColumn("bucket",
                     F.pmod(term_id_expr("variant"),
                            F.lit(n_buckets)).cast("int"))
@@ -119,6 +169,10 @@ def write_vocab_table(vocab: DataFrame, store: IndexStorage, epoch: int,
     )
     variants.write.mode("overwrite").partitionBy("bucket").parquet(
         store.vocab_dir_for(epoch))
+    import os
+
+    with open(os.path.join(store.vocab_dir_for(epoch), "_depth"), "w") as f:
+        f.write(str(depth))
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -173,11 +227,13 @@ def suggest_batch(spark: SparkSession, store: IndexStorage,
 
 
 def correct_terms_batch(spark: SparkSession, store: IndexStorage,
-                        terms: list[str]) -> DataFrame:
+                        terms: list[str],
+                        max_dist: int = 1) -> DataFrame:
     """DISTRIBUTED correction for a term batch: explode the query
-    terms' deletion variants, equi-join the sidecar's variant rows
-    (bucket + variant pruned), levenshtein<=1 verify, pick the best
-    candidate per term by (distance, df DESC, term). Returns
+    terms' deletion variants (to ``max_dist`` depth — must not exceed
+    the sidecar's own depth), equi-join the sidecar's variant rows
+    (bucket + variant pruned), levenshtein<=max_dist verify, pick the
+    best candidate per term by (distance, df DESC, term). Returns
     (qterm, term, dist, df) — one row per correctable input term."""
     from pyspark.sql import Window
 
@@ -190,10 +246,15 @@ def correct_terms_batch(spark: SparkSession, store: IndexStorage,
         raise ValueError(
             "vocabulary sidecar absent for the current epoch — build "
             "with vocab=True / run build_vocab")
+    depth = vocab_depth(store, epoch)
+    if max_dist > depth:
+        raise ValueError(
+            f"max_dist={max_dist} exceeds the sidecar's deletion-"
+            f"neighborhood depth {depth}")
     from ..analysis import term_id_for
 
     qrows = [(t, v) for t in sorted(set(terms))
-             for v in deletion_variants(t)]
+             for v in deletion_neighborhood(t, max(max_dist, 1))]
     qv = spark.createDataFrame(qrows, "qterm string, variant string")
     buckets = sorted({bucket_of_term_id(term_id_for(v), n_buckets)
                       for _, v in qrows})
@@ -203,7 +264,7 @@ def correct_terms_batch(spark: SparkSession, store: IndexStorage,
     cand = (vv.join(F.broadcast(qv), "variant")
             .select("qterm", "term", "df").distinct()
             .withColumn("dist", F.levenshtein("qterm", "term"))
-            .where(F.col("dist") <= 1))
+            .where(F.col("dist") <= max_dist))
     w = Window.partitionBy("qterm").orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
     return (cand.withColumn("_rn", F.row_number().over(w))

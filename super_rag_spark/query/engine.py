@@ -143,11 +143,13 @@ class BM25Engine:
 
     # ------------------------------------------------------------- build
     def build(self, docs_df: DataFrame, positions: bool = False,
-              vocab: bool = False, **kwargs) -> "BM25Engine":
+              vocab: "bool | int" = False, **kwargs) -> "BM25Engine":
         """``positions=True`` (r4) also builds the positional sidecar
         (index/positions.py) so phrase queries run index-only;
         ``vocab=True`` builds the vocabulary sidecar (index/vocab.py)
-        enabling typo-tolerant fuzzy_topk."""
+        enabling typo-tolerant fuzzy_topk; ``vocab=2`` (r5) builds the
+        depth-2 deletion neighborhood so fuzzy_topk(max_dist=2)
+        works."""
         build_index(self.spark, docs_df, self.store.root, **kwargs)
         if positions:
             from ..index.positions import build_positions
@@ -159,10 +161,13 @@ class BM25Engine:
         if vocab:
             from ..index.vocab import build_vocab
 
+            # vocab=True -> depth-1 neighborhood; vocab=2 -> depth-2
+            # (enables fuzzy_topk(max_dist=2))
             build_vocab(
                 self.spark, docs_df, self.store.root,
                 text_is_extracted=kwargs.get("text_is_extracted", True),
-                extract_mode=kwargs.get("extract_mode", "html"))
+                extract_mode=kwargs.get("extract_mode", "html"),
+                depth=int(vocab))
         self._manifest = None
         self._ds_cache.clear()
         self._term_cache.clear()
@@ -1080,22 +1085,25 @@ class BM25Engine:
         best. Returns None when nothing is within ``max_dist``. An
         in-vocab term returns itself (distance 0 always wins).
 
-        ``max_dist`` must be 0 or 1: the sidecar stores the DISTANCE-1
-        deletion neighborhood only (index/vocab.py), so a larger radius
-        would silently under-recall — candidates at distance 2 that
-        share no single-deletion variant are never joined. Raising here
-        (ADVICE r4) beats returning a quietly incomplete answer."""
-        if max_dist > 1:
-            raise ValueError(
-                "max_dist > 1 is not supported: the vocabulary sidecar "
-                "stores the distance-1 deletion neighborhood only, so a "
-                "wider radius would silently miss candidates")
-        from ..index.vocab import deletion_variants, levenshtein
+        ``max_dist`` must not exceed the sidecar's deletion-
+        neighborhood depth (1 unless built with vocab=2 /
+        build_vocab(depth=2)): a wider radius would silently
+        under-recall — candidates at distance d that share no
+        depth-d variant are never joined. Raising here (ADVICE r4)
+        beats returning a quietly incomplete answer."""
+        from ..index.vocab import (deletion_neighborhood, levenshtein,
+                                   vocab_depth)
 
         epoch = int(self.manifest["epoch"])
+        depth = vocab_depth(self.store, epoch)
+        if max_dist > depth:
+            raise ValueError(
+                f"max_dist={max_dist} exceeds the vocabulary sidecar's "
+                f"deletion-neighborhood depth {depth} — rebuild with "
+                f"vocab={max_dist} / build_vocab(depth={max_dist})")
         n_buckets = int(self.manifest["n_buckets"])
         base = self.store.vocab_dir_for(epoch)
-        variants = deletion_variants(term)
+        variants = deletion_neighborhood(term, max(max_dist, 1))
         by_bucket: dict[int, list[str]] = {}
         for v in variants:
             b = bucket_of_term_id(term_id_for(v), n_buckets)
@@ -1160,8 +1168,9 @@ class BM25Engine:
         deletion-neighborhood against the vocab sidecar; in-vocab terms
         pass through at distance 0; uncorrectable terms drop), then the
         corrected terms run the normal BM25 path. Needs an index built
-        with ``vocab=True``. ``max_dist`` is capped at 1 (the sidecar's
-        deletion-neighborhood guarantee — _correct_term raises above)."""
+        with ``vocab=True``. ``max_dist`` is capped at the sidecar's
+        deletion-neighborhood depth (1 for vocab=True, 2 for vocab=2 —
+        _correct_term raises above it)."""
         if not self.store.has_vocab():
             raise ValueError(
                 "fuzzy_topk needs the vocabulary sidecar — build with"

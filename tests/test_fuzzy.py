@@ -150,3 +150,79 @@ def test_prefix_topk_wildcard(spark, fuzzy_engine):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         eng.prefix_topk("", k=5)
+
+
+# --------------------------------------------------------- depth-2 (r5)
+
+@pytest.fixture(scope="module")
+def fuzzy2_engine(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://f2.example/{i}",
+             ["alpha beta gamma common", "alpha delta common zz",
+              "gamma epsilon common qq"][i % 3] + f" pad{i}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("fuzz2idx") / "idx")
+    return BM25Engine(spark, idx).build(docs, vocab=2,
+                                        text_is_extracted=True)
+
+
+@given(st.text(alphabet="abc", min_size=0, max_size=6),
+       st.text(alphabet="abc", min_size=0, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_depth2_neighborhood_property(a, b):
+    """distance<=2 implies a shared depth-2 deletion variant — the
+    SymSpell guarantee fuzzy max_dist=2 rests on."""
+    from super_rag_spark.index.vocab import deletion_neighborhood
+
+    if levenshtein(a, b) <= 2:
+        assert set(deletion_neighborhood(a, 2)) & \
+            set(deletion_neighborhood(b, 2))
+
+
+def test_fuzzy2_corrects_distance2(spark, fuzzy2_engine):
+    from super_rag_spark.index.vocab import vocab_depth
+
+    assert vocab_depth(fuzzy2_engine.store, 0) == 2
+    # two substitutions / two deletions / two insertions
+    assert fuzzy2_engine._correct_term("olphq", max_dist=2) == "alpha"
+    assert fuzzy2_engine._correct_term("gam", max_dist=2) == "gamma"
+    assert fuzzy2_engine._correct_term("commonxy", max_dist=2) == "common"
+    # distance-3 stays out of reach
+    assert fuzzy2_engine._correct_term("xxxxha", max_dist=2) is None
+    # d2 typo query retrieves like the corrected query
+    assert fuzzy2_engine.fuzzy_topk("olphq commn", k=5, max_dist=2) == \
+        fuzzy2_engine.topk("alpha common", k=5)
+
+
+def test_fuzzy_depth1_rejects_max_dist2(fuzzy_engine):
+    with pytest.raises(ValueError):
+        fuzzy_engine._correct_term("olphq", max_dist=2)
+    with pytest.raises(ValueError):
+        fuzzy_engine.fuzzy_topk("alpha", max_dist=2)
+
+
+def test_fuzzy2_distributed_equals_driver(spark, fuzzy2_engine):
+    from super_rag_spark.index.vocab import correct_terms_batch
+
+    terms = ["olphq", "gam", "commonxy", "alpja", "zzzzzzzzz"]
+    dist = {r["qterm"]: r["term"] for r in
+            correct_terms_batch(spark, fuzzy2_engine.store, terms,
+                                max_dist=2).collect()}
+    for t in terms:
+        assert dist.get(t) == fuzzy2_engine._correct_term(t, max_dist=2), t
+
+
+def test_fuzzy2_depth_survives_merge(spark, fuzzy2_engine):
+    from super_rag_spark.index.merge import merge_append
+    from super_rag_spark.index.vocab import vocab_depth
+
+    delta = spark.createDataFrame(
+        [(f"https://f2.example/d{i}", f"omega common fresh{i}")
+         for i in range(4)], "url string, text string")
+    merge_append(spark, fuzzy2_engine.store.root, delta, mode="segment")
+    epoch = fuzzy2_engine.store.epoch()
+    assert vocab_depth(fuzzy2_engine.store, epoch) == 2
+    fuzzy2_engine._manifest = None  # re-read the bumped epoch
+    assert fuzzy2_engine._correct_term("omga", max_dist=2) == "omega"
