@@ -173,6 +173,14 @@ def main() -> int:
         "stats", help="index health/metrics snapshot (no Spark job)")
     p_st.add_argument("--index", required=True)
 
+    p_vf = sub.add_parser(
+        "verify",
+        help="integrity check (fsck): decode every posting block and "
+             "cross-check df / doc_stats / avgdl / block metadata "
+             "(O(index) — run on the compaction cadence)")
+    p_vf.add_argument("--index", required=True)
+    p_vf.add_argument("--master", default=None)
+
     args = ap.parse_args()
     if args.cmd == "stats":
         print(json.dumps(_stats(args.index)))
@@ -233,6 +241,13 @@ def main() -> int:
                 "event": "vocab_built",
                 "epoch": store.read_manifest()["epoch"],
                 "elapsed_sec": round(time.time() - t0, 3)}))
+        elif args.cmd == "verify":
+            from super_rag_spark.index.verify import verify_index
+
+            report = verify_index(spark, args.index)
+            report["elapsed_sec"] = round(time.time() - t0, 3)
+            print(json.dumps({"event": "verified", **report}))
+            return 0 if report["ok"] else 1
         else:
             from super_rag_spark.index.merge import compact_index, compact_tail
 

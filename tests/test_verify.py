@@ -1,0 +1,69 @@
+"""r5 index fsck (index/verify.verify_index): a healthy index reports
+ok with recomputed totals; each seeded corruption is detected."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from super_rag_spark.index.verify import verify_index
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://v.example/{i}",
+             f"alpha beta common{i % 4} word{i} tail{i % 7}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("vfyidx") / "idx")
+    BM25Engine(spark, idx).build(docs, text_is_extracted=True,
+                                 n_buckets=4)
+    return idx
+
+
+def _copy(idx, tmp_path, name):
+    dst = str(tmp_path / name)
+    shutil.copytree(idx, dst)
+    return dst
+
+
+def test_verify_clean(spark, small_index):
+    rep = verify_index(spark, small_index)
+    assert rep["ok"], rep["errors"]
+    assert rep["n_docs"] == 40
+    assert rep["n_terms"] > 0 and rep["n_postings"] > rep["n_terms"]
+
+
+def test_verify_detects_manifest_drift(spark, small_index, tmp_path):
+    bad = _copy(small_index, tmp_path, "drift")
+    mp = os.path.join(bad, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    m["n_docs"] += 7
+    m["avgdl"] *= 2
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    rep = verify_index(spark, bad)
+    assert not rep["ok"]
+    msgs = " ".join(rep["errors"])
+    assert "n_docs" in msgs and "avgdl" in msgs
+
+
+def test_verify_detects_df_mismatch(spark, small_index, tmp_path):
+    """Dropping one term_stats bucket partition makes every term in it
+    an orphan (decoded postings with no df row)."""
+    bad = _copy(small_index, tmp_path, "dfdrop")
+    ts = [d for d in os.listdir(bad) if d.startswith("term_stats_e")][0]
+    bucket = os.path.join(bad, ts, "bucket=0")
+    shutil.rmtree(bucket)
+    rep = verify_index(spark, bad)
+    assert not rep["ok"]
+    assert any("term_stats df" in e for e in rep["errors"])
+
+
+def test_verify_detects_missing_manifest(spark, tmp_path):
+    rep = verify_index(spark, str(tmp_path / "nowhere"))
+    assert not rep["ok"] and "manifest" in rep["errors"][0]
