@@ -47,6 +47,12 @@ def main() -> int:
                          "corpus into N shards (textops.shard_export); "
                          "output is written partitioned by shard_id in "
                          "pos_in_shard order — the trainer-ready layout")
+    ap.add_argument("--dedup-spans", type=int, default=None, metavar="N",
+                    help="after doc-level dedup, excise cross-document "
+                         "duplicated N-token spans from all but one "
+                         "canonical copy (textops.remove_dup_spans — "
+                         "the Lee et al.-style rewrite; rewritten "
+                         "text is single-space token-joined)")
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="with --shards: also emit a sequence-packing "
                          "layout (textops.pack_sequences) mapping each "
@@ -116,6 +122,14 @@ def main() -> int:
                 "doc_id", F.col("scrubbed").alias("text"))
             out = (out.drop("text")
                    .join(scrubbed, "doc_id"))
+        if args.dedup_spans:
+            from pyspark.sql import functions as F
+
+            spans = textops.remove_dup_spans(
+                out, n=args.dedup_spans).select(
+                "doc_id", F.col("text").alias("_rw"), "n_removed")
+            out = (out.drop("text").join(spans, "doc_id")
+                   .withColumnRenamed("_rw", "text"))
         if args.shards:
             out = (textops.shard_export(out, n_shards=args.shards)
                    .sortWithinPartitions("pos_in_shard"))

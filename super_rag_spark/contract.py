@@ -1137,6 +1137,40 @@ def cross_doc_ngram_dup(spark, sf_dir):
     return textops.cross_doc_ngram_dup(_docs(spark, sf_dir), n=_XDUP_N)
 
 
+@_q("remove_dup_spans", f"""
+WITH docs_l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(l[i:i+{_XDUP_N - 1}], ' ') AS gram
+  FROM docs_l, LATERAL (SELECT unnest(range(1, len(l) - {_XDUP_N - 2})) AS i) r
+),
+gd AS (SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS canon
+       FROM wins GROUP BY gram),
+marked AS (
+  SELECT DISTINCT w.doc_id, p
+  FROM wins w JOIN gd USING (gram),
+       LATERAL (SELECT unnest(range(w.pos, w.pos + {_XDUP_N})) AS p) r
+  WHERE gd.nd >= 2 AND w.doc_id != gd.canon),
+toks2 AS (SELECT doc_id, i AS p, l[i] AS tok
+          FROM docs_l, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r),
+kept AS (SELECT t.doc_id, t.p, t.tok
+         FROM toks2 t ANTI JOIN marked m USING (doc_id, p)),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id),
+sizes AS (SELECT doc_id, len(l)::BIGINT AS nb FROM docs_l)
+SELECT s.doc_id, COALESCE(r.text, '') AS text, s.nb AS n_tokens_before,
+       (s.nb - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+""")
+def remove_dup_spans_entry(spark, sf_dir):
+    """Duplicate-span removal (textops.remove_dup_spans): the Lee et
+    al.-style rewrite — every cross-doc duplicated {_XDUP_N}-gram
+    window keeps its min-doc_id canonical copy, all other docs lose
+    the covered tokens; per-doc rewritten text must hash-match the
+    string-level oracle."""
+    return textops.remove_dup_spans(_docs(spark, sf_dir), n=_XDUP_N)
+
+
 # Synthetic URLs for the canonicalization entries (the test tables carry
 # no url column): one expression string valid in BOTH dialects, covering
 # every rule — mixed-case scheme/host, www., default port, tracking

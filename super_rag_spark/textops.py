@@ -1097,3 +1097,79 @@ def pack_sequences(df: DataFrame, seq_len: int, n_shards: int = 32,
         F.floor(F.col("tok_start") / seq_len).alias("seq_first"),
         F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / seq_len)
         .alias("seq_last"))
+
+
+def remove_dup_spans(df: DataFrame, n: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Duplicate-span REMOVAL (the rewrite half of Lee et al. 2022 —
+    cross_doc_ngram_dup detects, this excises): every length-``n``
+    token window whose n-gram occurs in >= 2 distinct docs keeps ONE
+    canonical copy (the min-doc_id holder keeps all its occurrences)
+    and is deleted from every other doc's token stream; surviving
+    tokens re-join with single spaces. Operates on the tokenized
+    stream (the engine's analyzer view of the text) — the byte-exact
+    suffix-array form of the paper is a different machine; this is
+    its windowed Spark analog, deterministic and oracle-checkable.
+
+    Shape at 100 TB: windows derive map-side (one transform; grams as
+    xxhash64 int64s); the gram agg and the mark join are linear; the
+    posexplode re-assembly runs ONLY for affected docs (semi-join) —
+    unaffected docs pass through with their original text untouched.
+    Worst-case amplification is n rows per marked window (interval
+    explode), the price of exact token masking without per-row UDFs.
+
+    Returns (doc_id, text, n_tokens_before, n_removed)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = with_tokens(df, text_col).select("doc_id", "tokens")
+    wins = (
+        toks.where(F.size("tokens") >= n)
+        .select("doc_id", F.explode(F.expr(
+            f"transform(sequence(1, size(tokens) - {n} + 1),"
+            f" i -> struct(i AS pos,"
+            f" xxhash64(concat_ws(' ', slice(tokens, i, {n}))) AS g))"
+        )).alias("w"))
+        .select("doc_id", "w.pos", "w.g"))
+    gram = (wins.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"),
+                 F.min("doc_id").alias("canon")))
+    marked = (
+        wins.join(gram, "g")
+        .where((F.col("nd") >= 2) & (F.col("doc_id") != F.col("canon")))
+        .select("doc_id",
+                F.explode(F.expr(f"sequence(pos, pos + {n} - 1)"))
+                .alias("p"))
+        .distinct())
+    affected = marked.select("doc_id").distinct()
+    pt = (toks.join(affected, "doc_id", "left_semi")
+          .select("doc_id", F.size("tokens").alias("n_before"),
+                  F.posexplode("tokens").alias("p0", "tok"))
+          .select("doc_id", "n_before",
+                  (F.col("p0") + 1).alias("p"), "tok"))
+    rebuilt = (
+        pt.join(marked, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(F.max("n_before").alias("n_before"),
+             F.count(F.lit(1)).alias("n_kept"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(
+                     F.struct("p", "tok"))), lambda x: x["tok"]),
+                 " ").alias("_text")))
+    # a doc whose every token is marked vanishes from `rebuilt`
+    # (no surviving rows) — it still must appear, fully emptied
+    sizes = toks.select("doc_id", F.size("tokens").alias("_nb"))
+    rewritten = (
+        affected.join(sizes, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+                F.col("_nb").cast("long").alias("n_tokens_before"),
+                (F.col("_nb") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long").alias("n_removed")))
+    untouched = (
+        df.join(affected, "doc_id", "left_anti")
+        .join(sizes, "doc_id")
+        .select("doc_id", text_col,
+                F.col("_nb").cast("long").alias("n_tokens_before"),
+                F.lit(0).cast("long").alias("n_removed")))
+    return rewritten.unionByName(untouched)

@@ -230,3 +230,55 @@ def test_significant_terms_tokenize_above_sample_join(spark, st_engine):
                    len(lines))
         assert any("Join" in ln for ln in lines[ad + 1:rel]), (
             "tokenize chain evaluated below the sample join:\n" + plan)
+
+
+# ------------------------------------------------------- span removal
+
+def test_remove_dup_spans_planted(spark):
+    """A 4-token span shared by three docs survives only in the
+    min-doc_id canonical; other docs lose exactly the covered
+    tokens."""
+    span = "aa bb cc dd"
+    rows = [
+        (1, f"x1 x2 {span} x3 x4"),
+        (2, f"y1 {span} y2 y3"),
+        (3, f"{span} z1 z2"),
+        (4, "u1 u2 u3 u4 u5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.remove_dup_spans(df, n=4).collect()}
+    assert out[1]["text"] == f"x1 x2 {span} x3 x4"  # canonical keeps
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "y1 y2 y3" and out[2]["n_removed"] == 4
+    assert out[3]["text"] == "z1 z2" and out[3]["n_removed"] == 4
+    assert out[4]["text"] == "u1 u2 u3 u4 u5"
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens_before"] == 5
+
+
+def test_remove_dup_spans_full_doc_emptied(spark):
+    rows = [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"), (3, "qq ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.remove_dup_spans(df, n=3).collect()}
+    assert out[1]["text"] == "aa bb cc dd ee"
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 5
+    assert out[3]["text"] == "qq ww"
+
+
+def test_remove_dup_spans_overlapping_windows(spark):
+    """Overlapping duplicate windows mark the UNION of their token
+    ranges, not double-remove."""
+    shared = "aa bb cc dd ee"  # two overlapping 4-windows
+    rows = [(1, f"{shared} p1"), (2, f"{shared} q1 q2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.remove_dup_spans(df, n=4).collect()}
+    assert out[2]["text"] == "q1 q2" and out[2]["n_removed"] == 5
+
+
+def test_remove_dup_spans_validation(spark):
+    with pytest.raises(ValueError):
+        textops.remove_dup_spans(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            n=0)
