@@ -1249,7 +1249,7 @@ class BM25Engine:
 
     # ------------------------------------------------- collapse / recency
     def collapsed_topk(self, query: str, k: int = 10, *,
-                       by: str = "host") -> DataFrame:
+                       by: str = "host", per_key: int = 1) -> DataFrame:
         """Field-collapsed top-k (Lucene/ES collapse): at most ONE hit
         — the best-scoring doc — per value of the doc_stats facet
         ``by`` ('host' derives from the url; anything else names a
@@ -1264,10 +1264,16 @@ class BM25Engine:
         stacks two windows: per-(query, key) best, then per-query
         top-k — both WindowGroupLimit-prunable.
 
+        ``per_key`` > 1 keeps the best N hits per key instead of one —
+        the ES collapse inner_hits shape (site-diversified results
+        with a couple of deep links each).
+
         Returns a DataFrame (query_id, rank, key, doc_id, score)."""
         from .facets import facet_key_expr
         from .scoring import scored_matches
 
+        if per_key < 1:
+            raise ValueError("per_key must be >= 1")
         engine, qtext = self._route(query)
         sm = scored_matches(self.spark, engine.store,
                             [{"query_id": 0, "text": qtext}])
@@ -1282,7 +1288,7 @@ class BM25Engine:
             F.round(F.col("score"), 9).desc(), F.col("url").asc())
         return (sm.join(ds, "doc_id")
                 .withColumn("_rn", F.row_number().over(wk))
-                .where(F.col("_rn") == 1).drop("_rn")
+                .where(F.col("_rn") <= per_key).drop("_rn")
                 .withColumn("rank", F.row_number().over(wq))
                 .where(F.col("rank") <= k)
                 .select("query_id", "rank", "key", "doc_id", "score"))

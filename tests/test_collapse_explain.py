@@ -204,3 +204,24 @@ def test_regexp_topk_validation(rich_engine):
     with pytest.raises(ValueError):
         rich_engine.regexp_topk("")
     assert rich_engine.regexp_topk("zq+zq") == []
+
+
+def test_collapsed_topk_per_key(spark, rich_engine):
+    """per_key=2 (ES inner_hits): at most two hits per host, each
+    host's pair being its two best-scoring matches."""
+    res = rich_engine.collapsed_topk("common", k=24, by="host",
+                                     per_key=2).collect()
+    per = {}
+    for r in res:
+        per.setdefault(r["key"], []).append(r["doc_id"])
+    assert per and all(len(v) <= 2 for v in per.values())
+    scores = _all_matches(rich_engine, "common")
+    urls = _url_of(spark, rich_engine)
+    host = lambda u: u.split("//")[1].split("/")[0]  # noqa: E731
+    for h, docs in per.items():
+        ranked = sorted(
+            (d for d in scores if host(urls[d]) == h),
+            key=lambda d: (-round(scores[d], 9), urls[d]))
+        assert set(docs) == set(ranked[:2])
+    with pytest.raises(ValueError):
+        rich_engine.collapsed_topk("common", per_key=0)
