@@ -59,6 +59,16 @@ def main() -> int:
                          "doc to its token span in per-shard concat-"
                          "and-chunk training sequences of this length; "
                          "written to <output>_pack")
+    ap.add_argument("--train-bpe", type=int, default=None, metavar="N",
+                    help="after cleaning, train an N-merge BPE "
+                         "tokenizer on the clean corpus "
+                         "(textops.bpe_train: one word-count "
+                         "aggregation + a driver merge loop) and "
+                         "write the ordered merge list to --bpe-out; "
+                         "per-doc BPE token counts + sequence md5 "
+                         "land in <output>_bpe")
+    ap.add_argument("--bpe-out", default=None,
+                    help="merge-list parquet path for --train-bpe")
     ap.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job: --input is "
                          "a directory of document parquet drops; gates + "
@@ -145,9 +155,24 @@ def main() -> int:
         else:
             out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
+        n_merges = None
+        if args.train_bpe:
+            if not args.bpe_out:
+                ap.error("--train-bpe requires --bpe-out")
+            clean_df = spark.read.parquet(args.output)
+            merges = textops.bpe_train(clean_df, n_merges=args.train_bpe)
+            n_merges = len(merges)
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank int, left string, right string"
+            ).coalesce(1).write.mode("overwrite").parquet(args.bpe_out)
+            if n_merges <= 200:
+                textops.bpe_encode(clean_df, merges).write.mode(
+                    "overwrite").parquet(args.output + "_bpe")
         print(json.dumps({
             "event": "cleaned", "n_in": n_in, "n_out": n_out,
             "dropped": n_in - n_out, "shards": args.shards,
+            "bpe_merges": n_merges,
             "elapsed_sec": round(time.time() - t0, 3),
         }))
     finally:

@@ -1171,6 +1171,41 @@ def remove_dup_spans_entry(spark, sf_dir):
     return textops.remove_dup_spans(_docs(spark, sf_dir), n=_XDUP_N)
 
 
+# Fixed literal merge list for the BPE-encode oracle (training is a
+# driver-side loop verified by units against a reference impl; the
+# APPLICATION of an ordered merge list is what the oracle can mirror
+# exactly — each merge is one global left-to-right replace in the
+# char-space symbol string, identical semantics in both engines)
+BPE_MERGES = [("t", "h"), ("a", "n"), ("an", "_"), ("e", "_"),
+              ("s", "_"), ("th", "e_"), ("r", "o"), ("c", "an_")]
+
+
+def _bpe_replace_chain(col: str) -> str:
+    s = f"array_to_string(string_split({col}, ''), ' ') || ' _'"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+    return s
+
+
+@_q("bpe_encode", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+enc AS (SELECT doc_id, len(l)::BIGINT AS n_tokens,
+               array_to_string(list_transform(l,
+                   w -> {_bpe_replace_chain('w')}), ' ') AS e
+        FROM t)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE len(string_split(e, ' ')) END::BIGINT AS n_bpe_tokens,
+       md5(e) AS bpe_md5
+FROM enc
+""")
+def bpe_encode_entry(spark, sf_dir):
+    """BPE encoding (textops.bpe_encode): the fixed merge list applied
+    as a Catalyst replace chain; per-doc symbol-sequence md5 must
+    hash-match DuckDB's replace chain symbol for symbol."""
+    return textops.bpe_encode(_docs(spark, sf_dir), BPE_MERGES)
+
+
 # Synthetic URLs for the canonicalization entries (the test tables carry
 # no url column): one expression string valid in BOTH dialects, covering
 # every rule — mixed-case scheme/host, www., default port, tracking

@@ -1173,3 +1173,101 @@ def remove_dup_spans(df: DataFrame, n: int = 8,
                 F.col("_nb").cast("long").alias("n_tokens_before"),
                 F.lit(0).cast("long").alias("n_removed")))
     return rewritten.unionByName(untouched)
+
+
+BPE_EOW = "_"  # end-of-word marker; tokens are [a-z0-9]+ so '_' is free
+
+
+def bpe_train(df: DataFrame, n_merges: int = 100,
+              text_col: str = "text",
+              max_words: int = 1_000_000) -> list[tuple[str, str]]:
+    """Train a BPE merge list (Sennrich et al. 2016) on the corpus —
+    the tokenizer-training step of an LLM data pipeline.
+
+    The Spark part is ONE word-frequency aggregation (classic BPE
+    operates on the word-count dict, not the running corpus — that is
+    what makes it trainable at 100 TB: the dict is vocabulary-sized).
+    The merge loop runs on the driver over the collected dict, capped
+    at the ``max_words`` most frequent words ((count DESC, word) —
+    the standard frequency-pruned training set). Deterministic: the
+    best pair ties break lexicographically.
+
+    Returns the ordered merge list [(left, right), ...]."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wc = (with_tokens(df, text_col)
+          .select(F.explode("tokens").alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.col("c").desc(), F.col("w").asc())
+          .limit(max_words).collect())
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + (BPE_EOW,): int(r["c"]) for r in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:  # nothing repeats -> merges stop helping
+            break
+        merges.append(best)
+        la, lb = best
+        merged = la + lb
+        nxt: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if (i + 1 < len(word) and word[i] == la
+                        and word[i + 1] == lb):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    return merges
+
+
+def _bpe_encode_expr(tok_col, merges: list[tuple[str, str]]):
+    """Catalyst encoder for one token column: char-split + EOW, then
+    the ordered merge chain as literal replace()s. Each merge is ONE
+    global left-to-right non-overlapping replace of 'a b' -> 'ab' in
+    the space-separated symbol string — exactly BPE's leftmost-first
+    application. Chain depth == len(merges) (flat, no nested lambdas),
+    so the merge list is capped; past the cap use a Pandas-UDF
+    encoder."""
+    s = F.concat(F.concat_ws(" ", F.split(tok_col, "")),
+                 F.lit(" " + BPE_EOW))
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+    return s
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Apply an ordered BPE merge list to every doc: returns
+    (doc_id, n_tokens, n_bpe_tokens, bpe_md5) where bpe_md5 hashes the
+    full encoded symbol sequence (verifiable content, not just
+    counts). Map-only — no shuffle, no UDF; the encode chain fuses
+    into the scan."""
+    if len(merges) > 200:
+        raise ValueError("Catalyst encode chain capped at 200 merges; "
+                         "use a Pandas-UDF encoder for larger models")
+    toks = with_tokens(df, text_col)
+    enc = F.concat_ws(
+        " ", F.transform(F.col("tokens"),
+                         lambda t: _bpe_encode_expr(t, merges)))
+    return (toks
+            .select("doc_id", F.size("tokens").alias("n_tokens"),
+                    enc.alias("_enc"))
+            .select("doc_id", F.col("n_tokens").cast("long"),
+                    F.when(F.col("n_tokens") == 0, F.lit(0))
+                    .otherwise(F.size(F.split("_enc", " ")))
+                    .cast("long").alias("n_bpe_tokens"),
+                    F.md5("_enc").alias("bpe_md5")))

@@ -282,3 +282,92 @@ def test_remove_dup_spans_validation(spark):
         textops.remove_dup_spans(
             spark.createDataFrame([(1, "a")], "doc_id long, text string"),
             n=0)
+
+
+# ------------------------------------------------------------------ BPE
+
+def _ref_bpe_train(word_counts, n_merges):
+    """Independent textbook BPE (Sennrich et al.) for cross-checking."""
+    vocab = {tuple(w) + ("_",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for word, c in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[word[i], word[i + 1]] = \
+                    pairs.get((word[i], word[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nv = {}
+        for word, c in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and (word[i], word[i + 1]) == best:
+                    out.append(word[i] + word[i + 1]); i += 2
+                else:
+                    out.append(word[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _ref_bpe_encode(token, merges):
+    syms = list(token) + ["_"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_train_matches_reference(spark):
+    text = ("low low low lower lower newest newest newest newest widest")
+    df = spark.createDataFrame([(1, text), (2, "low newest")],
+                               "doc_id long, text string")
+    merges = textops.bpe_train(df, n_merges=6)
+    wc = {}
+    for t in (text + " low newest").split():
+        wc[t] = wc.get(t, 0) + 1
+    assert merges == _ref_bpe_train(wc, 6)
+    # (w,e) tops: lower x2 + newest x5 (hand-counted) beat (e,s) at 6
+    assert merges[0] == ("w", "e")
+
+
+def test_bpe_train_partition_independent(spark):
+    rows = [(i, f"alpha beta gamma word{i % 5}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = textops.bpe_train(df, n_merges=10)
+    b = textops.bpe_train(df.repartition(7), n_merges=10)
+    assert a == b and len(a) == 10
+
+
+def test_bpe_encode_matches_reference(spark):
+    rows = [(1, "lowest newest low"), (2, "wider widest"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("e", "s"), ("es", "t"), ("est", "_"), ("l", "o"), ("lo", "w")]
+    got = {r["doc_id"]: r for r in textops.bpe_encode(df, merges).collect()}
+    import hashlib
+    for doc_id, text in rows:
+        enc = " ".join(" ".join(_ref_bpe_encode(t, merges))
+                       for t in text.split())
+        n_sym = 0 if not text else len(enc.split(" "))
+        assert got[doc_id]["n_bpe_tokens"] == n_sym, doc_id
+        assert got[doc_id]["bpe_md5"] == \
+            hashlib.md5(enc.encode()).hexdigest(), doc_id
+    assert got[3]["n_tokens"] == 0 and got[3]["n_bpe_tokens"] == 0
+
+
+def test_bpe_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.bpe_train(df, n_merges=0)
+    with pytest.raises(ValueError):
+        textops.bpe_encode(df, [("a", "b")] * 201)
