@@ -69,6 +69,10 @@ def main() -> int:
                          "land in <output>_bpe")
     ap.add_argument("--bpe-out", default=None,
                     help="merge-list parquet path for --train-bpe")
+    ap.add_argument("--bpe-ids", action="store_true",
+                    help="with --train-bpe: also write the trainer-"
+                         "ready per-doc id streams "
+                         "(textops.bpe_encode_ids) to <output>_bpe_ids")
     ap.add_argument("--stream", action="store_true",
                     help="run as a Structured Streaming job: --input is "
                          "a directory of document parquet drops; gates + "
@@ -169,6 +173,9 @@ def main() -> int:
             if n_merges <= 200:
                 textops.bpe_encode(clean_df, merges).write.mode(
                     "overwrite").parquet(args.output + "_bpe")
+            if args.bpe_ids:
+                textops.bpe_encode_ids(clean_df, merges).write.mode(
+                    "overwrite").parquet(args.output + "_bpe_ids")
         print(json.dumps({
             "event": "cleaned", "n_in": n_in, "n_out": n_out,
             "dropped": n_in - n_out, "shards": args.shards,

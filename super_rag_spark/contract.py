@@ -1206,6 +1206,35 @@ def bpe_encode_entry(spark, sf_dir):
     return textops.bpe_encode(_docs(spark, sf_dir), BPE_MERGES)
 
 
+_BPE_ID_CASE = ("CASE s " + " ".join(
+    f"WHEN '{sym}' THEN {i}"
+    for sym, i in sorted(textops.bpe_vocab(BPE_MERGES).items(),
+                         key=lambda kv: kv[1])) + " ELSE NULL END")
+
+
+@_q("bpe_encode_ids", f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+enc AS (SELECT doc_id, len(l)::BIGINT AS n_tokens,
+               array_to_string(list_transform(l,
+                   w -> {_bpe_replace_chain('w')}), ' ') AS e
+        FROM t)
+SELECT doc_id,
+       CASE WHEN n_tokens = 0 THEN CAST([] AS INT[])
+            ELSE list_transform(string_split(e, ' '),
+                                s -> ({_BPE_ID_CASE})::INT) END AS ids,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE len(string_split(e, ' ')) END::BIGINT AS n_bpe_tokens
+FROM enc
+""")
+def bpe_encode_ids_entry(spark, sf_dir):
+    """Trainer-ready BPE ids (textops.bpe_encode_ids, the uncapped
+    Arrow mapInPandas encoder): every doc's full id stream must match
+    the SQL replace-chain + symbol-id lookup element for element —
+    this also proves the Pandas encoder agrees with the Catalyst
+    bpe_encode chain."""
+    return textops.bpe_encode_ids(_docs(spark, sf_dir), BPE_MERGES)
+
+
 # Synthetic URLs for the canonicalization entries (the test tables carry
 # no url column): one expression string valid in BOTH dialects, covering
 # every rule — mixed-case scheme/host, www., default port, tracking

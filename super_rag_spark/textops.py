@@ -1054,7 +1054,8 @@ def host_stats(df: DataFrame, url_col: str = "url",
 
 
 def pack_sequences(df: DataFrame, seq_len: int, n_shards: int = 32,
-                   text_col: str = "text", salt: str = "pack") -> DataFrame:
+                   text_col: str = "text", salt: str = "pack",
+                   count_col: str | None = None) -> DataFrame:
     """GPT-style sequence packing layout: concatenate documents in a
     deterministic pseudo-random order and chunk the token stream into
     fixed ``seq_len``-token training sequences, recording each doc's
@@ -1074,7 +1075,12 @@ def pack_sequences(df: DataFrame, seq_len: int, n_shards: int = 32,
     Returns (shard_id, doc_id, n_tokens, tok_start, seq_first,
     seq_last): doc tokens occupy [tok_start, tok_start + n_tokens)
     of the shard's stream; sequence s covers
-    [s*seq_len, (s+1)*seq_len)."""
+    [s*seq_len, (s+1)*seq_len).
+
+    ``count_col`` (r5): pack on a precomputed per-doc token count
+    instead of whitespace tokens — e.g. bpe_encode_ids's
+    ``n_bpe_tokens``, so the layout matches what the trainer actually
+    consumes."""
     if seq_len < 1 or n_shards < 1:
         raise ValueError("seq_len and n_shards must be >= 1")
     h = F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string")))
@@ -1082,7 +1088,8 @@ def pack_sequences(df: DataFrame, seq_len: int, n_shards: int = 32,
            % n_shards).cast("int")
     w = Window.partitionBy("shard_id").orderBy(
         F.col("_h").asc(), F.col("doc_id").asc())
-    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    n_tok = (F.col(count_col).cast("long") if count_col
+             else F.size(tokens_expr(text_col)).cast("long"))
     out = (df.select("doc_id", n_tok.alias("n_tokens"))
            .where(F.col("n_tokens") > 0)
            .withColumn("_h", h)
@@ -1271,3 +1278,73 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
                     .otherwise(F.size(F.split("_enc", " ")))
                     .cast("long").alias("n_bpe_tokens"),
                     F.md5("_enc").alias("bpe_md5")))
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol -> id table for a merge list: base symbols
+    ([a-z0-9] + the EOW marker, sorted) take ids 0..36, merged symbols
+    follow in merge order — the id assignment every BPE tokenizer
+    fixes at train time."""
+    base = sorted("abcdefghijklmnopqrstuvwxyz0123456789") + [BPE_EOW]
+    vocab = {s: i for i, s in enumerate(base)}
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(df: DataFrame, merges: list[tuple[str, str]],
+                   text_col: str = "text") -> DataFrame:
+    """Trainer-ready BPE encoding: (doc_id, ids array<int>,
+    n_bpe_tokens) — the id stream a training pipeline feeds to
+    pack_sequences(count_col='n_bpe_tokens').
+
+    Arrow-batched mapInPandas (no merge-count cap, unlike the
+    Catalyst chain in bpe_encode): merges apply per DISTINCT token
+    with a per-batch memo, so the per-row cost is a dict hit for
+    every repeated token — Zipf makes that the common case. Merge
+    application is the straightforward ordered scan (O(n_merges x
+    token length) per distinct token); a production 30k-merge
+    tokenizer would swap in priority-queue merging behind the same
+    signature."""
+    import pandas as pd
+
+    from .analysis import tokenize
+
+    vocab = bpe_vocab(merges)
+    merge_list = list(merges)
+
+    def encode_partition(batches):
+        cache: dict[str, list[int]] = {}
+
+        def enc(tok: str) -> list[int]:
+            ids = cache.get(tok)
+            if ids is None:
+                syms = list(tok) + [BPE_EOW]
+                for a, b in merge_list:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                ids = [vocab[s] for s in syms]
+                cache[tok] = ids
+            return ids
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                ids = [i for t in tokenize(text or "") for i in enc(t)]
+                rows.append((doc_id, ids, len(ids)))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "ids", "n_bpe_tokens"])
+
+    return df.select("doc_id", text_col).mapInPandas(
+        encode_partition,
+        schema="doc_id long, ids array<int>, n_bpe_tokens long")

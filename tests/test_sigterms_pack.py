@@ -371,3 +371,46 @@ def test_bpe_validation(spark):
         textops.bpe_train(df, n_merges=0)
     with pytest.raises(ValueError):
         textops.bpe_encode(df, [("a", "b")] * 201)
+
+
+def test_bpe_encode_ids_agrees_with_catalyst(spark):
+    rows = [(1, "lowest newest low"), (2, "wider widest"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("e", "s"), ("es", "t"), ("est", "_"), ("l", "o"), ("lo", "w")]
+    ids = {r["doc_id"]: r for r in
+           textops.bpe_encode_ids(df, merges).collect()}
+    cat = {r["doc_id"]: r for r in textops.bpe_encode(df, merges).collect()}
+    inv = {i: s for s, i in textops.bpe_vocab(merges).items()}
+    import hashlib
+    for d in (1, 2, 3):
+        assert ids[d]["n_bpe_tokens"] == cat[d]["n_bpe_tokens"]
+        recon = " ".join(inv[i] for i in ids[d]["ids"])
+        assert hashlib.md5(recon.encode()).hexdigest() == cat[d]["bpe_md5"]
+    assert ids[3]["ids"] == []
+
+
+def test_bpe_ids_roundtrip_and_pack_on_counts(spark):
+    """ids decode back to the original tokens; pack_sequences lays out
+    the stream on the BPE counts when count_col is given."""
+    rows = [(i, f"alpha beta word{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = textops.bpe_train(df, n_merges=8)
+    enc = textops.bpe_encode_ids(df, merges)
+    inv = {i: s for s, i in textops.bpe_vocab(merges).items()}
+    for r in enc.collect():
+        text = "".join(inv[i] for i in r["ids"]).replace(
+            textops.BPE_EOW, " ").strip()
+        assert text == [t for d, t in rows if d == r["doc_id"]][0]
+    packed = textops.pack_sequences(enc, 16, n_shards=2,
+                                    count_col="n_bpe_tokens").collect()
+    n = {r["doc_id"]: r["n_bpe_tokens"] for r in enc.collect()}
+    by_shard = {}
+    for r in packed:
+        assert r["n_tokens"] == n[r["doc_id"]]
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r["tok_start"])
+        expect = 0
+        for r in rs:
+            assert r["tok_start"] == expect
+            expect += r["n_tokens"]
