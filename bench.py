@@ -250,6 +250,24 @@ def main() -> int:
                 best = min(best, time.time() - t0)
             comp[name] = round(best, 3)
 
+        # --- the composed cleaning pipeline over the WEBTEXT corpus
+        # (quality -> lang -> exact + LSH near-dup) — prices the
+        # training-data half of the engine at the same SF as the build
+        from super_rag_spark import textops as _textops
+
+        corpus_docs = (spark.read.parquet(webtext_path)
+                       .selectExpr("abs(hash(url)) AS doc_id",
+                                   "text"))
+        # keep_langs includes 'und': the synthetic webtext is pseudo-
+        # word prose with no real-language marker words, so the lang
+        # gate would empty it — the leg prices the gates + BOTH dedup
+        # shuffles (exact + MinHash-LSH-verified) over 100k docs
+        t0 = time.time()
+        n_clean = _textops.clean_corpus(
+            corpus_docs, keep_langs=("und",)).count()
+        comp["clean_corpus_sf"] = round(time.time() - t0, 3)
+        extra["clean_n_out"] = int(n_clean)
+
         # --- O(delta) append cost: fold a 1%-ish delta of FRESH urls
         # into the just-built index as a SEGMENT (the streaming-ingest
         # path): staging build of the delta + hardlinks; no old group is
