@@ -18,6 +18,10 @@ against fixtures. Every check is a full-evidence recomputation:
   7. orphan check: no postings term absent from term_stats and
      vice versa
   8. sidecar presence/depth markers consistent with has_* probes
+  9. sidecar contents (the r5 merge-carry surface): the positional
+     sidecar's (term, doc) set must equal the postings' exactly, with
+     per-posting position count == tf (unweighted indexes); the vocab
+     sidecar's identity-row df must equal term_stats df per term
 
 Cost: one postings decode + two shuffles — O(index), the price of an
 fsck; run it on the compaction cadence, not per query.
@@ -113,8 +117,52 @@ def verify_index(spark: SparkSession, index_dir: str,
         if nmb:
             err(f"{nmb} posting blocks with inconsistent metadata "
                 "(first>last / n<=0 / block_max_tf<=0)")
+
+        if store.has_positions(epoch):
+            from .positions import (DECODED_POSITIONS_SCHEMA,
+                                    decode_positions_map_in_pandas)
+            from .storage import POSITIONS_SCHEMA
+
+            pdec = (spark.read.schema(POSITIONS_SCHEMA)
+                    .parquet(store.positions_dir_for(epoch))
+                    .drop("bucket")
+                    .mapInPandas(decode_positions_map_in_pandas,
+                                 schema=DECODED_POSITIONS_SCHEMA)
+                    .select("term_id", "doc_id",
+                            F.size("positions").alias("npos")))
+            pj = pdec.join(dec.select("term_id", "doc_id", "tf"),
+                           ["term_id", "doc_id"], "full_outer")
+            cond = F.col("npos").isNull() | F.col("tf").isNull()
+            if int(m.get("title_weight", 1)) == 1:
+                # weighted indexes count title tokens tf-side only
+                cond = cond | (F.col("npos") != F.col("tf"))
+            for r in pj.where(cond).limit(max_errors).collect():
+                err(f"positions/postings mismatch term_id "
+                    f"{r['term_id']} doc_id {r['doc_id']}: "
+                    f"npos {r['npos']} vs tf {r['tf']}")
+
+        if store.has_vocab(epoch):
+            from .build import term_id_expr
+            from .vocab import VOCAB_SCHEMA
+
+            vid = (spark.read.schema(VOCAB_SCHEMA)
+                   .parquet(store.vocab_dir_for(epoch))
+                   .where(F.col("variant") == F.col("term"))
+                   .withColumn("term_id", term_id_expr("term"))
+                   .select("term_id", F.col("df").alias("vdf")))
+            vj = vid.join(ts, "term_id", "full_outer")
+            vb = vj.where(F.col("vdf").isNull() | F.col("df").isNull()
+                          | (F.col("vdf") != F.col("df")))
+            for r in vb.limit(max_errors).collect():
+                err(f"vocab/term_stats df mismatch term_id "
+                    f"{r['term_id']}: vocab {r['vdf']} vs "
+                    f"term_stats {r['df']}")
     finally:
         ds.unpersist()
+        try:
+            dec.unpersist()
+        except Exception:
+            pass
 
     tomb = store.tombstones(spark)
     report["pending_tombstones"] = 0 if tomb is None else tomb.count()

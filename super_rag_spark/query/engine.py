@@ -210,7 +210,8 @@ class BM25Engine:
         working set is the right prefetch list."""
         hot = [t for (e, t) in self._dec_cache if e == old_epoch]
         self._ds_cache = {k: v for k, v in self._ds_cache.items()
-                          if (k[1] if k[0] in ("pos", "voc", "ts")
+                          if (k[1] if k[0] in ("pos", "voc", "ts",
+                                               "vdepth")
                               else k[0]) != old_epoch}
         for key in [k for k in self._term_cache if k[0] == old_epoch]:
             del self._term_cache[key]
@@ -1095,7 +1096,10 @@ class BM25Engine:
                                    vocab_depth)
 
         epoch = int(self.manifest["epoch"])
-        depth = vocab_depth(self.store, epoch)
+        depth = self._ds_cache.get(("vdepth", epoch))
+        if depth is None:  # marker file read once per epoch
+            depth = vocab_depth(self.store, epoch)
+            self._ds_cache[("vdepth", epoch)] = depth
         if max_dist > depth:
             raise ValueError(
                 f"max_dist={max_dist} exceeds the vocabulary sidecar's "

@@ -67,3 +67,45 @@ def test_verify_detects_df_mismatch(spark, small_index, tmp_path):
 def test_verify_detects_missing_manifest(spark, tmp_path):
     rep = verify_index(spark, str(tmp_path / "nowhere"))
     assert not rep["ok"] and "manifest" in rep["errors"][0]
+
+
+@pytest.fixture(scope="module")
+def sidecar_index(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://sv.example/{i}",
+             f"alpha beta common{i % 4} word{i} tail{i % 7}")
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("vfy2idx") / "idx")
+    BM25Engine(spark, idx).build(docs, text_is_extracted=True,
+                                 n_buckets=4, positions=True, vocab=True)
+    return idx
+
+
+def test_verify_clean_with_sidecars(spark, sidecar_index):
+    rep = verify_index(spark, sidecar_index)
+    assert rep["ok"], rep["errors"]
+    assert rep["has_positions"] and rep["has_vocab"]
+    assert rep["vocab_depth"] == 1
+
+
+def test_verify_detects_positions_loss(spark, sidecar_index, tmp_path):
+    bad = _copy(sidecar_index, tmp_path, "posloss")
+    pos = [d for d in os.listdir(bad) if d.startswith("positions_e")][0]
+    shutil.rmtree(os.path.join(bad, pos, "bucket=1"))
+    rep = verify_index(spark, bad)
+    assert not rep["ok"]
+    assert any("positions/postings mismatch" in e for e in rep["errors"])
+
+
+def test_verify_detects_vocab_drift(spark, sidecar_index, tmp_path):
+    bad = _copy(sidecar_index, tmp_path, "vocdrift")
+    voc = [d for d in os.listdir(bad) if d.startswith("vocab_e")][0]
+    b0 = os.path.join(bad, voc, "bucket=2")
+    for fn in os.listdir(b0):
+        if fn.endswith(".parquet"):
+            os.remove(os.path.join(b0, fn))
+    rep = verify_index(spark, bad)
+    assert not rep["ok"]
+    assert any("vocab/term_stats df mismatch" in e for e in rep["errors"])
