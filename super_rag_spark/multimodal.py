@@ -12,7 +12,10 @@ per-row unfilter incl. Paeth; 8-bit gray/RGB/palette/alpha,
 non-interlaced), baseline-sequential JPEG (jpeg.py: stream-parsed
 Huffman tables + NumPy IDCT; gray/YCbCr, any integer subsampling,
 restart markers) to NumPy arrays, WAV audio through the stdlib
-``wave`` module. Only video (MP4) remains a documented stub; exotic
+``wave`` module. Video (MP4) is parsed at the CONTAINER level for
+real (mp4.py ISO-BMFF walker: movie/track metadata + the sample table,
+so frame sampling reads actual mdat sample bytes); decoding the video
+frames themselves (H.264/H.265) is the remaining non-goal. Exotic
 variants of the real codecs (progressive/arithmetic JPEG, 16-bit or
 Adam7 PNG) raise ``NotImplementedError`` and `decode_image` degrades
 to the deterministic fake — a pure function of the payload bytes —
@@ -364,17 +367,87 @@ def image_metadata(assets_df: DataFrame) -> DataFrame:
         extract_image_metadata, schema=IMAGE_META_SCHEMA)
 
 
-def sample_frames(assets_df: DataFrame, every_n: int = 10,
-                  max_frames: int = 8) -> DataFrame:
-    """Deterministic frame sampling for video payloads (stub: frame k is
-    a sha1 slice of the payload — the real decoder would seek keyframes).
-    Emits (asset_id, frame_index, frame_sha1), 1 row per sampled frame."""
+VIDEO_META_SCHEMA = ("asset_id long, n_bytes long, brand string, "
+                     "timescale long, duration_s double, n_tracks int, "
+                     "width double, height double, codec string, "
+                     "n_samples long, decoder string")
+
+
+def video_metadata(assets_df: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> ISO-BMFF container metadata (mp4.py r5:
+    brand, movie duration, first video track geometry + sample-entry
+    fourcc + sample count). Real container parsing; frame DECODE
+    (H.264 entropy coding) is the documented non-goal. Malformed
+    payloads keep their row with decoder='error: ...' — the per-asset
+    taxonomy the image path uses."""
+    from .mp4 import parse_mp4
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 payload = bytes(payload)
+                base = {"asset_id": int(asset_id), "n_bytes": len(payload),
+                        "brand": None, "timescale": None,
+                        "duration_s": None, "n_tracks": None,
+                        "width": None, "height": None, "codec": None,
+                        "n_samples": None}
+                try:
+                    m = parse_mp4(payload)
+                    base.update(
+                        brand=m["brand"], timescale=m["timescale"],
+                        duration_s=m["duration_s"],
+                        n_tracks=m["n_tracks"], width=m["width"],
+                        height=m["height"], codec=m["codec"],
+                        n_samples=m["n_samples"],
+                        decoder="bmff-parser")
+                except (ValueError, struct.error, IndexError) as e:
+                    base["decoder"] = f"error: {e}"
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "n_bytes", "brand", "timescale",
+                "duration_s", "n_tracks", "width", "height", "codec",
+                "n_samples", "decoder"])
+
+    return assets_df.select("asset_id", "payload").mapInPandas(
+        gen, schema=VIDEO_META_SCHEMA)
+
+
+def sample_frames(assets_df: DataFrame, every_n: int = 10,
+                  max_frames: int = 8) -> DataFrame:
+    """Deterministic frame sampling for video payloads. ISO-BMFF
+    payloads sample REAL container samples (mp4.py stsc/stsz/stco
+    expansion): frame k = sample k*every_n, hashed from the actual
+    mdat byte range. Non-BMFF payloads keep the r4 slice stub (sha1 of
+    a payload slice). Emits (asset_id, frame_index, frame_sha1)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import parse_mp4
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    m = parse_mp4(payload,
+                                  max_samples=max_frames * every_n)
+                    spans = m["samples"]
+                except (ValueError, struct.error, IndexError):
+                    spans = None
+                if spans:
+                    for k, si in enumerate(
+                            range(0, len(spans), max(every_n, 1))):
+                        if k >= max_frames:
+                            break
+                        off, n = spans[si]
+                        rows.append({
+                            "asset_id": int(asset_id),
+                            "frame_index": si,
+                            "frame_sha1": hashlib.sha1(
+                                payload[off:off + n] or b"\x00"
+                            ).hexdigest(),
+                        })
+                    continue
                 n_frames = max(1, len(payload) // max(every_n, 1))
                 for k in range(min(n_frames, max_frames)):
                     rows.append({
@@ -513,8 +586,8 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic asset table for tests: four of every five assets
     are REAL decodable payloads (BMP, WAV, PNG with all five row
     filters, or — r5 — baseline JPEG, built by the encoders in this
-    package); the fifth is an opaque pseudo-MP4 byte string (no
-    external data anywhere)."""
+    package); the fifth is a REAL minimal ISO-BMFF MP4 (mp4.py writer)
+    whose container parses back exactly (no external data anywhere)."""
     from .jpeg import encode_jpeg
 
     rows = []
@@ -542,7 +615,13 @@ def synth_assets(spark, n: int = 64) -> DataFrame:
                                   subsample=i % 2 == 1)
             media = "image/jpeg"
         else:
-            payload = (seed * (8 + i % 32))[: 160 + (i * 37) % 4096]
+            from .mp4 import encode_mp4
+
+            payload = encode_mp4(
+                16 + 8 * (i % 3), 16, [40 + (i + j) % 25
+                                       for j in range(4 + i % 5)],
+                timescale=1000, duration=500 * (1 + i % 4),
+                seed=seed[:1])
             media = "video/mp4"
         rows.append((i, media, bytearray(payload)))
     return spark.createDataFrame(

@@ -1,0 +1,72 @@
+"""r5 ISO-BMFF container parsing (mp4.py): writer/parser roundtrip,
+malformed-input taxonomy, and the Spark video_metadata/sample_frames
+surfaces over the synthetic asset corpus."""
+
+import hashlib
+
+import pytest
+
+from super_rag_spark.mp4 import encode_mp4, parse_mp4
+
+
+def test_roundtrip_exact():
+    p = encode_mp4(24, 16, [50, 60, 70], timescale=1000, duration=2500)
+    m = parse_mp4(p)
+    assert (m["brand"], m["timescale"], m["duration_s"]) == \
+        ("isom", 1000, 2.5)
+    assert (m["width"], m["height"], m["codec"], m["n_tracks"],
+            m["n_samples"]) == (24.0, 16.0, "avc1", 1, 3)
+    # sample spans point at the actual mdat payload bytes
+    for i, (off, n) in enumerate(m["samples"]):
+        assert p[off:off + n] == bytes(
+            (0x5A + i + j) % 256 for j in range(n))
+
+
+def test_parse_rejects_malformed():
+    p = encode_mp4(8, 8, [10, 10])
+    with pytest.raises(ValueError):
+        parse_mp4(p[:40])  # truncated inside moov
+    with pytest.raises(ValueError):
+        parse_mp4(b"garbage!" * 16)
+    with pytest.raises(ValueError):
+        parse_mp4(p[len(p) // 2:])  # no ftyp
+
+
+def test_sample_cap():
+    p = encode_mp4(8, 8, [4] * 50)
+    m = parse_mp4(p, max_samples=10)
+    assert len(m["samples"]) == 10 and m["n_samples"] == 50
+
+
+def test_video_metadata_over_synth_assets(spark):
+    from super_rag_spark import multimodal as mm
+
+    assets = mm.synth_assets(spark, n=20)
+    vids = assets.where("media_type = 'video/mp4'")
+    meta = {r["asset_id"]: r for r in mm.video_metadata(vids).collect()}
+    assert meta and all(r["decoder"] == "bmff-parser"
+                        for r in meta.values())
+    assert all(r["codec"] == "avc1" and r["height"] == 16.0
+               and r["n_samples"] >= 4 for r in meta.values())
+    # a malformed payload keeps its row with the error taxonomy
+    bad = spark.createDataFrame([(99, bytearray(b"nope" * 10))],
+                                "asset_id long, payload binary")
+    rows = mm.video_metadata(bad).collect()
+    assert rows[0]["decoder"].startswith("error:")
+
+
+def test_sample_frames_real_bmff_samples(spark):
+    from super_rag_spark import multimodal as mm
+
+    sizes = [40, 41, 42, 43, 44, 45]
+    p = encode_mp4(16, 16, sizes, seed=b"\x07")
+    df = spark.createDataFrame([(1, bytearray(p))],
+                               "asset_id long, payload binary")
+    got = {r["frame_index"]: r["frame_sha1"]
+           for r in mm.sample_frames(df, every_n=2, max_frames=3).collect()}
+    m = parse_mp4(p)
+    want = {}
+    for si in (0, 2, 4):
+        off, n = m["samples"][si]
+        want[si] = hashlib.sha1(p[off:off + n]).hexdigest()
+    assert got == want
