@@ -96,11 +96,20 @@ def _expand_sample_table(buf: bytes, stbl_b: int, stbl_e: int,
 
 
 def parse_mp4(payload: bytes, max_samples: int = 64) -> dict:
-    """Parse the container: raises ValueError on malformed input.
+    """Parse the container: raises ValueError on ANY malformed input
+    (out-of-range reads inside a structurally valid box tree are
+    normalized to ValueError too — fuzz-tested contract).
 
     Returns {brand, timescale, duration_s, n_tracks, width, height,
     codec, n_samples, samples: [(offset, size), ...] (first video
     track, capped at ``max_samples``)}."""
+    try:
+        return _parse_mp4(payload, max_samples)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed ISO-BMFF: {e}") from None
+
+
+def _parse_mp4(payload: bytes, max_samples: int) -> dict:
     buf = bytes(payload)
     top = list(_walk(buf, 0, len(buf)))
     ftyp = next(((b, e) for t, b, e in top if t == b"ftyp"), None)

@@ -70,3 +70,26 @@ def test_sample_frames_real_bmff_samples(spark):
         off, n = m["samples"][si]
         want[si] = hashlib.sha1(p[off:off + n]).hexdigest()
     assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = encode_mp4(16, 16, [30, 31, 32, 33])
+
+
+@given(st.integers(0, len(_BASE) - 1), st.integers(0, 255),
+       st.integers(0, len(_BASE)))
+@settings(max_examples=300, deadline=None)
+def test_parser_fuzz_never_crashes(pos, byte, cut):
+    """Single-byte mutations and truncations either parse or raise
+    ValueError — never IndexError/struct.error (the per-asset error
+    taxonomy depends on this contract)."""
+    mutated = bytearray(_BASE)
+    mutated[pos] = byte
+    for payload in (bytes(mutated), bytes(mutated[:cut])):
+        try:
+            m = parse_mp4(payload)
+            assert isinstance(m, dict)
+        except ValueError:
+            pass
