@@ -98,6 +98,12 @@ def main() -> int:
     ap.add_argument("--meta", default=None,
                     help="parquet of doc metadata with a doc_id column "
                          "(optional filter target table)")
+    ap.add_argument("--rescore", type=int, default=None, metavar="WINDOW",
+                    help="two-stage proximity rescore: re-rank the "
+                         "BM25 top-WINDOW with a min-cover-span bonus "
+                         "from the positions sidecar (--positions at "
+                         "build time)")
+    ap.add_argument("--rescore-weight", type=float, default=1.0)
     ap.add_argument("--explain", action="store_true",
                     help="return the per-term BM25 breakdown (tf, dl, "
                          "df, idf, contrib) of every top-k hit")
@@ -267,6 +273,16 @@ def main() -> int:
         print(json.dumps({"query": args.query, "after": args.after,
                           "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.rescore:
+        t0 = time.time()
+        hits = eng.rescore_topk(args.query, args.k, window=args.rescore,
+                                weight=args.rescore_weight)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "rescore": args.rescore,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
     elif args.query is not None and args.explain:
         t0 = time.time()

@@ -2917,6 +2917,54 @@ def score_explain(spark, sf_dir):
              " dl int, df long, idf double, contrib double, score double")
 
 
+_RESC_TERMS = sorted(set(analysis.tokenize(_EXPL_QTEXT)))
+
+
+@_q("rescore_topk", f"""
+WITH {_TOKS_SQL},
+{_SCORED_CTE},
+docs_l AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+occ AS (SELECT d.doc_id, t.i AS pos, d.l[t.i] AS term
+        FROM docs_l d,
+             LATERAL (SELECT unnest(range(1, len(d.l) + 1)) AS i) t(i)
+        WHERE d.l[t.i] IN ({", ".join(f"'{t}'" for t in _RESC_TERMS)})),
+starts AS (SELECT DISTINCT doc_id, pos AS s FROM occ),
+cand AS (SELECT st.doc_id, st.s, o.term, min(o.pos) AS minp
+         FROM starts st
+         JOIN occ o ON o.doc_id = st.doc_id AND o.pos >= st.s
+         GROUP BY st.doc_id, st.s, o.term),
+cover AS (SELECT doc_id, s, max(minp) AS e FROM cand
+          GROUP BY doc_id, s HAVING count(*) = {len(_RESC_TERMS)}),
+span AS (SELECT doc_id, min(e - s + 1) AS sp FROM cover GROUP BY doc_id),
+fin AS (SELECT sc.doc_id,
+               sc.score + COALESCE(0.5 / (1 + sp - {len(_RESC_TERMS)}),
+                                   0.0) AS final
+        FROM scored sc LEFT JOIN span USING (doc_id)),
+r AS (SELECT doc_id, final,
+             row_number() OVER (ORDER BY round(final, 9) DESC, doc_id)
+             AS rank
+      FROM fin)
+SELECT rank::INT AS rank, doc_id, round(final, 6) AS final
+FROM r WHERE rank <= 10
+""")
+def rescore_topk_entry(spark, sf_dir):
+    """ES-rescore analog (engine.rescore_topk): BM25 window + a
+    min-cover-span proximity bonus from the positions sidecar; window
+    covers the whole match set at sf0.01, so the oracle re-ranks the
+    identical doc set (anchor-at-occurrence span SQL)."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    hits = [(int(doc_stats[d].split("doc://")[1]), s)
+            for d, s in eng.rescore_topk(_EXPL_QTEXT, k=10, window=600,
+                                         weight=0.5)]
+    hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return spark.createDataFrame(
+        [(rank, tid, round(s, 6))
+         for rank, (tid, s) in enumerate(hits, start=1)],
+        "rank int, doc_id long, final double")
+
+
 WILDCARD_QUERIES = [(0, "*ow*"), (1, "s*m"), (2, "*t")]
 
 

@@ -253,3 +253,39 @@ def chain_match(pos_lists: list[np.ndarray], slop: int = 0) -> bool:
         hi = np.searchsorted(s, nxt - 1, side="right")
         s = nxt[hi > lo]
     return bool(len(s))
+
+
+def min_cover_span(pos_lists: "list[np.ndarray]") -> int | None:
+    """Length of the SMALLEST token window containing at least one
+    position from every list (the classic k-sorted-lists minimum
+    covering range; the proximity signal ES/Lucene rescorers use).
+    Returns None when any list is empty. Anchor argument: some optimal
+    window starts at a term occurrence, so the merged-occurrence sweep
+    below is exact."""
+    k = len(pos_lists)
+    if k == 0 or any(len(p) == 0 for p in pos_lists):
+        return None
+    tagged = np.concatenate(
+        [np.stack([np.asarray(p, dtype=np.int64),
+                   np.full(len(p), i, dtype=np.int64)], axis=1)
+         for i, p in enumerate(pos_lists)])
+    tagged = tagged[np.argsort(tagged[:, 0], kind="stable")]
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    best = None
+    lo = 0
+    for hi in range(len(tagged)):
+        lid = int(tagged[hi, 1])
+        if counts[lid] == 0:
+            covered += 1
+        counts[lid] += 1
+        while covered == k:
+            span = int(tagged[hi, 0] - tagged[lo, 0] + 1)
+            if best is None or span < best:
+                best = span
+            left = int(tagged[lo, 1])
+            counts[left] -= 1
+            if counts[left] == 0:
+                covered -= 1
+            lo += 1
+    return best

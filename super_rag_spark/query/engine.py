@@ -1522,6 +1522,65 @@ class BM25Engine:
         return _st(self.spark, engine.store, qtext, docs_df, top=top,
                    sample_size=sample_size, min_doc_count=min_doc_count)
 
+    # ------------------------------------------------------------- rescore
+    def rescore_topk(self, query: str, k: int = 10, *, window: int = 50,
+                     weight: float = 1.0) -> list[tuple[int, float]]:
+        """ES rescore analog: rank the BM25 top-``window`` once more
+        with a positional proximity bonus —
+
+            final = bm25 + weight / (1 + min_cover_span - n_terms)
+
+        where min_cover_span is the smallest token window containing
+        every query term at least once (index/positions.min_cover_span
+        over the positions sidecar; an exact adjacent run scores the
+        full ``weight``, scattered terms decay hyperbolically) and
+        docs missing any term keep their BM25 score. The classic
+        two-stage trade: cheap recall over the corpus, expensive
+        precision over a bounded window — the window is top-k-sized,
+        so the rescore never touches more than ``window`` docs no
+        matter the corpus size. Needs an index built with positions.
+
+        Returns (doc_id, final) ordered by (round(final, 9) DESC,
+        doc_id)."""
+        import numpy as np
+
+        from ..index.positions import min_cover_span
+
+        if window < k:
+            raise ValueError("window must be >= k")
+        if not self.store.has_positions():
+            raise ValueError(
+                "rescore_topk needs the positional sidecar — build "
+                "with positions=True / run build_positions")
+        engine, qtext = self._route(query)
+        terms = sorted(set(tokenize(qtext)))
+        if not terms:
+            return []
+        base = self.topk(query, window)
+        if not base:
+            return []
+        runs = {t: engine._load_positions_term(t) for t in terms}
+        out = []
+        for doc, score in base:
+            pls = []
+            for t in terms:
+                r = runs.get(t)
+                if r is None:
+                    break
+                docs, off, flat = r
+                i = int(np.searchsorted(docs, doc))
+                if i >= len(docs) or int(docs[i]) != doc:
+                    break
+                pls.append(flat[off[i]:off[i + 1]])
+            bonus = 0.0
+            if len(pls) == len(terms):
+                span = min_cover_span(pls)
+                if span is not None:
+                    bonus = float(weight) / (1.0 + span - len(terms))
+            out.append((int(doc), float(score) + bonus))
+        out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        return out[:k]
+
     # ------------------------------------------------------------ synonyms
     def synonym_topk(self, query: str, synonyms: dict[str, list[str]],
                      k: int = 10) -> list[tuple[int, float]]:

@@ -39,7 +39,7 @@ def rich_engine(spark, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("richidx") / "idx")
     return BM25Engine(spark, idx).build(
         _corpus(spark), text_is_extracted=True,
-        meta_cols=("warc_ts",), vocab=True)
+        meta_cols=("warc_ts",), vocab=True, positions=True)
 
 
 def _all_matches(eng, qtext):
@@ -225,3 +225,56 @@ def test_collapsed_topk_per_key(spark, rich_engine):
         assert set(docs) == set(ranked[:2])
     with pytest.raises(ValueError):
         rich_engine.collapsed_topk("common", per_key=0)
+
+
+# -------------------------------------------------------------- rescore
+
+def _brute_span(pls):
+    if not pls or any(not p for p in pls):
+        return None
+    best = None
+    for s in sorted({x for p in pls for x in p}):
+        ends = []
+        for p in pls:
+            cand = [x for x in p if x >= s]
+            if not cand:
+                ends = None
+                break
+            ends.append(min(cand))
+        if ends is None:
+            continue
+        span = max(ends) - s + 1
+        best = span if best is None or span < best else best
+    return best
+
+
+def test_rescore_topk_formula(spark, rich_engine):
+    res = rich_engine.rescore_topk("common storm", k=24, window=24,
+                                   weight=0.7)
+    assert res
+    base = dict(rich_engine.topk("common storm", k=24, use_wand=False))
+    corpus = {doc_id_for_url(r["url"]): tokenize(r["text"])
+              for r in _corpus(spark).collect()}
+    bonuses = set()
+    for doc, final in res:
+        toks = corpus[doc]
+        pls = [[i + 1 for i, t in enumerate(toks) if t == q]
+               for q in ("common", "storm")]
+        span = _brute_span(pls)
+        bonus = 0.7 / (1 + span - 2) if span is not None else 0.0
+        assert final == pytest.approx(base[doc] + bonus, rel=1e-9), doc
+        bonuses.add(round(bonus, 6))
+    assert len(bonuses) > 1, "proximity must differentiate the window"
+    finals = [f for _, f in res]
+    assert finals == sorted(finals, key=lambda x: -round(x, 9))
+
+
+def test_rescore_validation(spark, rich_engine, tmp_path):
+    from super_rag_spark.query.engine import BM25Engine
+
+    with pytest.raises(ValueError):
+        rich_engine.rescore_topk("common", k=10, window=5)
+    nopos = BM25Engine(spark, str(tmp_path / "np")).build(
+        _corpus(spark).limit(6), text_is_extracted=True)
+    with pytest.raises(ValueError):
+        nopos.rescore_topk("common", k=2, window=4)
