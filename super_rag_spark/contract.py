@@ -2917,6 +2917,36 @@ def score_explain(spark, sf_dir):
              " dl int, df long, idf double, contrib double, score double")
 
 
+PERC_QUERIES = [
+    {"query_id": 0, "text": "table scan"},               # conjunctive
+    {"query_id": 1, "text": "fast query value", "msm": 2},
+    {"query_id": 2, "text": "dup"},                       # rare alert
+]
+
+
+@_q("percolate", f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {", ".join(
+    f"({q['query_id']}, '{t}')" for q in PERC_QUERIES
+    for t in sorted(set(analysis.tokenize(q['text']))))}),
+th(query_id, msm) AS (VALUES {", ".join(
+    f"({q['query_id']}, "
+    f"{int(q.get('msm', len(set(analysis.tokenize(q['text'])))))})"
+    for q in PERC_QUERIES)}),
+m AS (SELECT tf.doc_id, q.query_id, count(*)::BIGINT AS n_matched
+      FROM q JOIN tf USING (term) GROUP BY tf.doc_id, q.query_id)
+SELECT m.doc_id, m.query_id, m.n_matched
+FROM m JOIN th USING (query_id) WHERE m.n_matched >= th.msm
+""")
+def percolate_entry(spark, sf_dir):
+    """Reverse search / ES percolator (query/percolate.py): which
+    stored queries fire for each doc — broadcast query table, one
+    shuffle, per-query msm (default all-terms conjunctive)."""
+    from .query.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), PERC_QUERIES)
+
+
 _RESC_TERMS = sorted(set(analysis.tokenize(_EXPL_QTEXT)))
 
 

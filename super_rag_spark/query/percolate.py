@@ -1,0 +1,69 @@
+"""Reverse search (the ES percolator analog): match STORED QUERIES
+against a document stream — "which alerts fire for this new page?".
+
+The forward engine answers "which docs match this query"; an alerting
+pipeline needs the transpose: thousands of standing queries, a feed of
+new docs, and per doc the set of queries it satisfies. The reference
+has no analog (its retrieval is pull-only); this is the classic
+saved-search/alerting surface every production search ships.
+
+Semantics: a stored query is a bag of terms with a per-query
+``msm`` (minimum distinct matching terms; default = ALL terms — the
+conjunctive alert). A doc matches when it contains >= msm of the
+query's distinct terms.
+
+Plan shape (100 TB-safe): the stored-query table is broadcast (a
+million stored queries is a few MB of (query_id, term) rows); docs
+tokenize map-side, explode DISTINCT terms, hash-join the broadcast,
+and ONE groupBy (doc, query) counts matched terms against the
+broadcast threshold — one shuffle per batch, cost linear in matched
+(doc, query) pairs, never |docs| x |queries|. The streaming variant
+(streaming.stream_percolate) runs the same body per micro-batch with
+exactly-once batch=<id> sinks, mirroring stream_clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis import tokenize
+from ..index.build import tokens_expr
+
+
+def _query_frames(spark, queries: list[dict]):
+    """queries: [{"query_id": int, "text": str, "msm": int?}] ->
+    (qterms_df broadcast-sized, thresholds_df). msm defaults to ALL
+    distinct terms (conjunctive); msm > n_terms can never fire and
+    raises."""
+    qrows, trows = [], []
+    for q in queries:
+        terms = sorted(set(tokenize(q["text"])))
+        if not terms:
+            raise ValueError(f"query {q['query_id']} has no terms")
+        msm = int(q.get("msm", len(terms)))
+        if msm < 1 or msm > len(terms):
+            raise ValueError(
+                f"query {q['query_id']}: msm={msm} outside 1..{len(terms)}")
+        trows.append((int(q["query_id"]), msm))
+        qrows.extend((int(q["query_id"]), t) for t in terms)
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    thresholds = spark.createDataFrame(trows, "query_id int, msm int")
+    return qterms, thresholds
+
+
+def percolate(docs_df: DataFrame, queries: list[dict],
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, query_id, n_matched) — one row per (doc, stored query)
+    the doc fires, ordered semantics-free (sort downstream)."""
+    spark = docs_df.sparkSession
+    qterms, thresholds = _query_frames(spark, queries)
+    toks = docs_df.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"))
+    return (toks.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .join(F.broadcast(thresholds), "query_id")
+            .where(F.col("n_matched") >= F.col("msm"))
+            .select("doc_id", "query_id", "n_matched"))

@@ -196,3 +196,34 @@ def stream_clean(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_percolate(spark: SparkSession, input_dir: str, output_dir: str,
+                     checkpoint_dir: str, queries: list[dict], *,
+                     max_files_per_trigger: int = 4,
+                     available_now: bool = True):
+    """Streaming reverse search (query/percolate.py as a continuous
+    alerting job): every micro-batch of new documents is matched
+    against the stored-query table; fired (doc_id, query_id,
+    n_matched) rows land in exactly-once ``batch=<id>`` sinks (the
+    stream_clean device — a replayed batch overwrites its own output).
+    Stateless across batches by design: a percolator alert is a
+    per-document decision, so there is no streaming state at all."""
+    import os as _os
+
+    from .query.percolate import percolate
+
+    s = (spark.readStream.schema(DOCS_SCHEMA_DDL)
+         .option("maxFilesPerTrigger", max_files_per_trigger)
+         .parquet(input_dir))
+
+    def fold(batch_df, batch_id: int) -> None:
+        out = percolate(batch_df, queries)
+        (out.write.mode("overwrite")
+            .parquet(_os.path.join(output_dir, f"batch={batch_id}")))
+
+    w = (s.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,74 @@
+"""r5 reverse search (query/percolate.py + streaming.stream_percolate):
+stored queries fire per doc; streaming batches equal the batch op."""
+
+import pytest
+
+from super_rag_spark.query.percolate import percolate
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "beta gamma delta"),
+        (4, "unrelated words only"),
+        (5, "alpha alpha alpha"),  # repeats count once (distinct terms)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_percolate_semantics(spark):
+    queries = [
+        {"query_id": 0, "text": "alpha beta"},            # conjunctive
+        {"query_id": 1, "text": "alpha beta gamma", "msm": 2},
+        {"query_id": 2, "text": "delta"},
+    ]
+    got = {(r["doc_id"], r["query_id"]): r["n_matched"]
+           for r in percolate(_docs(spark), queries).collect()}
+    assert got == {
+        (1, 0): 2, (2, 0): 2,            # both terms present
+        (1, 1): 3, (2, 1): 2, (3, 1): 2,  # msm=2 of 3
+        (3, 2): 1,
+    }
+
+
+def test_percolate_validation(spark):
+    with pytest.raises(ValueError):
+        percolate(_docs(spark), [{"query_id": 0, "text": "   "}])
+    with pytest.raises(ValueError):
+        percolate(_docs(spark), [{"query_id": 0, "text": "a b", "msm": 3}])
+
+
+def test_stream_percolate_equals_batch(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_rag_spark.streaming import stream_percolate
+
+    rows = [(i, ["alpha beta pad", "beta gamma pad", "noise only pad",
+                 "alpha beta gamma pad"][i % 4], "en", None, None)
+            for i in range(40)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for part in range(4):
+        chunk = rows[part * 10:(part + 1) * 10]
+        pq.write_table(pa.table({
+            "doc_id": [r[0] for r in chunk],
+            "text": [r[1] for r in chunk],
+            "lang": [r[2] for r in chunk],
+            "url": [str(r[0]) for r in chunk],
+            "warc_ts": [None] * len(chunk),
+        }), str(in_dir / f"part{part}.parquet"))
+    queries = [{"query_id": 7, "text": "alpha beta"},
+               {"query_id": 8, "text": "gamma"}]
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_percolate(spark, str(in_dir), out_dir, ckpt, queries,
+                         max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"]): r["n_matched"]
+           for r in spark.read.parquet(out_dir + "/batch=*").collect()}
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, text string")
+    want = {(r["doc_id"], r["query_id"]): r["n_matched"]
+            for r in percolate(docs, queries).collect()}
+    assert got == want and len(got) > 0
