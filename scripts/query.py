@@ -121,6 +121,15 @@ def main() -> int:
     ap.add_argument("--wildcard", action="store_true",
                     help="treat --query as a wildcard pattern "
                          "('s*m'; needs an index built with --vocab)")
+    ap.add_argument("--qs", action="store_true",
+                    help="treat --query as Lucene query-string syntax "
+                         "(parens, AND/OR/NOT, \"phrase\"~slop, "
+                         "term^boost, pre*, term~dist); prefix/fuzzy "
+                         "need --vocab, phrases need --positions or "
+                         "--docs")
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    help="with --qs: df-capped prefix/fuzzy expansion "
+                         "limit (Lucene MultiTermQuery rewrite)")
     ap.add_argument("--synonyms", default=None,
                     help='JSON synonym map {"term": ["alt", ...]}: '
                          "Lucene SynonymQuery blending (member tfs "
@@ -168,7 +177,19 @@ def main() -> int:
         return 0
     eng = BM25Engine(spark, args.index)
 
-    if args.query is not None and args.boolean:
+    if args.query is not None and args.qs:
+        t0 = time.time()
+        hits = eng.query_string_topk(
+            args.query, k=args.k,
+            docs_df=spark.read.parquet(args.docs) if args.docs else None,
+            max_expansions=args.max_expansions)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query_string": args.query,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.boolean:
         t0 = time.time()
         hits = eng.boolean_topk(args.query, k=args.k)
         ms = (time.time() - t0) * 1e3

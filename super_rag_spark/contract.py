@@ -3242,6 +3242,158 @@ def pack_sequences_entry(spark, sf_dir):
     return textops.pack_sequences(_docs(spark, sf_dir), 512, n_shards=8)
 
 
+# ---- Lucene query-string search (query/qstring.py, engine method) ----------
+
+QS_QUERIES = [
+    (0, "table AND (hash OR join) -slow"),
+    (1, '"customer join" OR scan^2'),
+    (2, 'qu* AND -"slow hash"'),
+    (3, "filte~1 AND window^1.5"),
+    (4, '"window fast"~1 AND (batch OR stream)'),
+]
+QS_MAX_EXPANSIONS = 20
+
+
+def _qs_term_pred(leaf, maxe: int) -> str:
+    """Scoring/membership predicate over the term column for one
+    positive leaf — expansion caps mirror the engine's deterministic
+    (df DESC, term) MultiTermQuery rewrite exactly."""
+    from .query import qstring as qs
+
+    if isinstance(leaf, qs.Term):
+        return f"term = '{leaf.text}'"
+    if isinstance(leaf, qs.Prefix):
+        inner = (f"SELECT term, row_number() OVER (ORDER BY df DESC, term)"
+                 f" AS rn FROM dfreq WHERE term LIKE '{leaf.stem}%'")
+        return f"term IN (SELECT term FROM ({inner}) WHERE rn <= {maxe})"
+    if isinstance(leaf, qs.Fuzzy):
+        inner = (f"SELECT term, row_number() OVER (ORDER BY df DESC, term)"
+                 f" AS rn FROM dfreq"
+                 f" WHERE levenshtein(term, '{leaf.text}') <= {leaf.dist}")
+        return f"term IN (SELECT term FROM ({inner}) WHERE rn <= {maxe})"
+    if isinstance(leaf, qs.Phrase):
+        terms = ", ".join(f"'{t}'" for t in sorted(set(leaf.terms)))
+        return f"term IN ({terms})"
+    raise TypeError(type(leaf).__name__)
+
+
+def _qs_cand_sql(node, maxe: int) -> str:
+    """The candidate doc-id set of a qstring AST as explicitly
+    parenthesized SQL set ops (the boolean_sql_cand device generalized
+    to trees; phrase leaves match on the space-joined token stream)."""
+    from .query import qstring as qs
+    from .query.phrase import phrase_pattern
+
+    if isinstance(node, (qs.Term, qs.Prefix, qs.Fuzzy)):
+        return (f"SELECT DISTINCT doc_id FROM tf"
+                f" WHERE {_qs_term_pred(node, maxe)}")
+    if isinstance(node, qs.Phrase):
+        pat = phrase_pattern(node.terms, node.slop)
+        verify = (f"strpos(jt, '{pat}') > 0" if node.slop == 0
+                  else f"regexp_matches(jt, '{pat}')")
+        return f"SELECT doc_id FROM jt WHERE {verify}"
+    if isinstance(node, qs.And):
+        pos = [c for c in node.children if not isinstance(c, qs.Not)]
+        neg = [c for c in node.children if isinstance(c, qs.Not)]
+        sql = f"({_qs_cand_sql(pos[0], maxe)})"
+        for c in pos[1:]:
+            sql = f"({sql} INTERSECT ({_qs_cand_sql(c, maxe)}))"
+        for c in neg:
+            sql = f"({sql} EXCEPT ({_qs_cand_sql(c.child, maxe)}))"
+        return f"SELECT doc_id FROM {sql} AS _s"
+    if isinstance(node, qs.Or):
+        sql = f"({_qs_cand_sql(node.children[0], maxe)})"
+        for c in node.children[1:]:
+            sql = f"({sql} UNION ({_qs_cand_sql(c, maxe)}))"
+        return f"SELECT doc_id FROM {sql} AS _s"
+    raise TypeError(type(node).__name__)
+
+
+def _qs_positive_leaves(node) -> list:
+    from .query import qstring as qs
+
+    out = []
+
+    def walk(n):
+        if isinstance(n, (qs.Term, qs.Prefix, qs.Fuzzy, qs.Phrase)):
+            out.append(n)
+        elif isinstance(n, (qs.And, qs.Or)):
+            for c in n.children:
+                walk(c)
+        # Not subtrees never score
+
+    walk(node)
+    return out
+
+
+def _qstring_sql(queries: list[tuple[int, str]], maxe: int,
+                 k: int = 10) -> str:
+    """Oracle for query-string retrieval: per query, the candidate set
+    evaluates as recursive INTERSECT/UNION/EXCEPT (phrases verify on
+    the joined token stream), the scoring bag is the per-term SUM of
+    positive-leaf boosts (engine's bag-merge — benign half-integral
+    weights keep the float sums exact), and BM25 ranks candidates with
+    GLOBAL stats."""
+    from .query.qstring import parse_query_string
+
+    bm25 = (f"ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+            f" * (tf.tf * {analysis.K1 + 1.0}) /"
+            f" (tf.tf + {analysis.K1} * ({1.0 - analysis.B}"
+            f" + {analysis.B} * dl.dl / s.avgdl))")
+    ctes, finals = [], []
+    for qid, qtext in queries:
+        node = parse_query_string(qtext)
+        legs = []
+        for leaf in _qs_positive_leaves(node):
+            legs.append(f"SELECT term, CAST({leaf.boost} AS DOUBLE) AS w"
+                        f" FROM dfreq WHERE {_qs_term_pred(leaf, maxe)}")
+        union = " UNION ALL ".join(legs)
+        ctes.append(f"bag_{qid} AS (SELECT term, sum(w) AS w"
+                    f" FROM ({union}) GROUP BY term)")
+        ctes.append(f"""scored_{qid} AS (
+  SELECT tf.doc_id, sum(b.w * ({bm25})) AS score
+  FROM tf JOIN bag_{qid} b USING (term)
+  JOIN dfreq d USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN ({_qs_cand_sql(node, maxe)})
+  GROUP BY tf.doc_id)""")
+        finals.append(f"""SELECT {qid} AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id)
+             AS rank
+      FROM scored_{qid}) WHERE rank <= {k}""")
+    jt = ("jt AS (SELECT doc_id, ' ' || array_to_string("
+          "list_filter(string_split(text, ' '), x -> x <> ''), ' ')"
+          " || ' ' AS jt FROM documents)")
+    return (f"WITH {_TOKS_SQL}, {jt}, " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+@_q("query_string_topk", _qstring_sql(QS_QUERIES, QS_MAX_EXPANSIONS))
+def query_string_topk_entry(spark, sf_dir):
+    """Lucene query-string retrieval (engine.query_string_topk): the
+    full DSL — parens/AND/OR/NOT precedence, phrase + slop, per-clause
+    boosts, prefix and fuzzy leaves — compiled onto the index's own
+    primitives (postings set algebra + sidecar expansions + positional
+    phrase verify + weighted BM25 over the candidates). Rank-tie
+    attribution: hit SET re-ranked in table-id order, the
+    wildcard_topk/synonym_topk device."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, qtext in QS_QUERIES:
+        hits = [(int(doc_stats[d].split("doc://")[1]), s)
+                for d, s in eng.query_string_topk(
+                    qtext, k=10, max_expansions=QS_MAX_EXPANSIONS)]
+        hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        rows.extend((qid, rank, tid, round(s, 6))
+                    for rank, (tid, s) in enumerate(hits, start=1))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1209,6 +1209,207 @@ class BM25Engine:
             return []
         return self.topk(" ".join(sorted(expansions)), k, method=method)
 
+    def fuzzy_expansions(self, term: str, max_dist: int = 1,
+                         max_expansions: int = 50) -> list[str]:
+        """ALL vocabulary terms within ``max_dist`` edits of ``term``
+        (the Lucene FuzzyQuery expansion set — _correct_term keeps only
+        the best ONE for did-you-mean), deterministic (df DESC, term)
+        and capped at ``max_expansions`` like every MultiTermQuery
+        rewrite here. Same SymSpell deletion-variant join against the
+        vocab sidecar, driver-side pyarrow, no Spark job; ``max_dist``
+        is bounded by the sidecar's neighborhood depth exactly as in
+        _correct_term."""
+        from ..index.vocab import (deletion_neighborhood, levenshtein,
+                                   vocab_depth)
+
+        epoch = int(self.manifest["epoch"])
+        depth = self._ds_cache.get(("vdepth", epoch))
+        if depth is None:
+            depth = vocab_depth(self.store, epoch)
+            self._ds_cache[("vdepth", epoch)] = depth
+        if max_dist > depth:
+            raise ValueError(
+                f"max_dist={max_dist} exceeds the vocabulary sidecar's "
+                f"deletion-neighborhood depth {depth} — rebuild with "
+                f"vocab={max_dist} / build_vocab(depth={max_dist})")
+        n_buckets = int(self.manifest["n_buckets"])
+        base = self.store.vocab_dir_for(epoch)
+        variants = deletion_neighborhood(term, max(max_dist, 1))
+        by_bucket: dict[int, list[str]] = {}
+        for v in variants:
+            b = bucket_of_term_id(term_id_for(v), n_buckets)
+            by_bucket.setdefault(b, []).append(v)
+        found: dict[str, int] = {}
+        for bkt, vs in by_bucket.items():
+            p = os.path.join(base, f"bucket={bkt}")
+            if not os.path.isdir(p):
+                continue
+            dataset = self._ds_cache.get(("voc", epoch, bkt))
+            if dataset is None:
+                dataset = ds.dataset(p, format="parquet")
+                self._ds_cache[("voc", epoch, bkt)] = dataset
+            tbl = dataset.to_table(filter=ds.field("variant").isin(vs),
+                                   columns=["term", "df"])
+            for cand, df_c in zip(tbl["term"].to_pylist(),
+                                  tbl["df"].to_pylist()):
+                if cand not in found and levenshtein(term, cand) <= max_dist:
+                    found[cand] = int(df_c)
+        ordered = sorted(found.items(), key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in ordered[:max_expansions]]
+
+    # ------------------------------------------------- query string DSL
+    def query_string_topk(self, query: str, k: int = 10, *,
+                          docs_df: DataFrame | None = None,
+                          max_expansions: int = 50
+                          ) -> list[tuple[int, float]]:
+        """Lucene query-string search (query/qstring.py grammar):
+        parentheses, AND/OR/NOT precedence, quoted phrases with
+        ``~slop``, per-clause ``^boost``, trailing-* prefix and
+        ``term~d`` fuzzy leaves — compiled onto the index's own
+        primitives. Candidates evaluate as set algebra over the tree;
+        scoring is weighted BM25 over the positive leaves restricted to
+        the candidates (GLOBAL stats, the filtered-search convention).
+
+        Phrase leaves verify against ``docs_df`` (match-then-verify) or
+        the positional sidecar when ``docs_df=None``; prefix/fuzzy
+        leaves need the vocabulary sidecar. Budget-gated like every
+        driver path: over-budget trees run the distributed step-bitmask
+        plan (qstring.accepted_docs_df) + score_query_batch,
+        rank-identically (tests assert)."""
+        import numpy as np
+
+        from . import qstring
+        from .scoring import score_query_batch
+        from .wand import weighted_topk_arrays
+
+        node = qstring.parse_query_string(query)
+        node = qstring.expand_leaves(self, node, max_expansions)
+        phrases = qstring.phrase_leaves(node)
+        if phrases and docs_df is None and not self.store.has_positions():
+            raise ValueError(
+                "phrase clauses need docs_df or the positional sidecar"
+                " — build with positions=True / run build_positions")
+        bag = qstring.scoring_bag(node)
+        if not bag:
+            return []  # every positive leaf expanded to nothing
+        allt = sorted(qstring.referenced_terms(node))
+        m = self.manifest
+        if self._uncached_df_total(allt) > self.driver_df_budget:
+            self.driver_fallbacks += 1
+            cand_df = qstring.accepted_docs_df(self.spark, self.store,
+                                               node, docs_df)
+            res = score_query_batch(
+                self.spark, self.store,
+                [{"query_id": 0, "text": " ".join(sorted(bag)),
+                  "boosts": bag}], k=k, candidates=cand_df)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        arrays = self._load_term_arrays(allt)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in self._load_term_blocks(allt).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        cand = self._eval_qstring_driver(node, arrays, docs_df)
+        if not len(cand):
+            return []
+        bag_arrays = {t: arrays[t] for t in bag if t in arrays}
+        return weighted_topk_arrays(
+            bag_arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+            weights=bag, candidates=cand,
+            k1=float(m["k1"]), b=float(m["b"]))
+
+    def _eval_qstring_driver(self, node, arrays, docs_df):
+        """Candidate doc-id set of an (expanded) qstring tree on the
+        driver: numpy set algebra over decoded postings, phrase leaves
+        verified in full (positions sidecar or candidate-semi-joined
+        corpus scan). Returns a sorted unique int64 array."""
+        import numpy as np
+
+        from . import qstring
+
+        empty = np.empty(0, dtype=np.int64)
+
+        def docs_of(t):
+            return arrays[t][1] if t in arrays else empty
+
+        def ev(n):
+            if isinstance(n, qstring.Term):
+                return docs_of(n.text)
+            if isinstance(n, (qstring.Prefix, qstring.Fuzzy)):
+                exps = n.expansions or ()
+                if not exps:
+                    return empty
+                return np.unique(np.concatenate(
+                    [docs_of(t) for t in exps] or [empty]))
+            if isinstance(n, qstring.Phrase):
+                uts = sorted(set(n.terms))
+                if any(t not in arrays for t in uts):
+                    return empty
+                by_rarity = sorted(uts, key=lambda t: len(arrays[t][1]))
+                cand = arrays[by_rarity[0]][1]
+                for t in by_rarity[1:]:
+                    cand = cand[np.isin(cand, arrays[t][1],
+                                        assume_unique=True)]
+                    if not len(cand):
+                        return empty
+                return self._phrase_verified_driver(
+                    n.terms, cand, n.slop, docs_df)
+            if isinstance(n, qstring.And):
+                pos = [c for c in n.children
+                       if not isinstance(c, qstring.Not)]
+                neg = [c for c in n.children if isinstance(c, qstring.Not)]
+                out = ev(pos[0])
+                for c in pos[1:]:
+                    if not len(out):
+                        return empty
+                    out = np.intersect1d(out, ev(c), assume_unique=True)
+                for c in neg:
+                    if not len(out):
+                        return empty
+                    out = np.setdiff1d(out, ev(c.child), assume_unique=True)
+                return out
+            if isinstance(n, qstring.Or):
+                parts = [ev(c) for c in n.children]
+                return np.unique(np.concatenate(parts)) if parts else empty
+            raise TypeError(type(n).__name__)
+
+        return ev(node)
+
+    def _phrase_verified_driver(self, terms, cand, slop, docs_df):
+        """FULL phrase verify of a conjunctive candidate array (set
+        composition needs every survivor, unlike phrase_topk's lazy
+        score-ordered verify): positions sidecar when ``docs_df`` is
+        None, else the candidate-semi-joined corpus scan with the
+        plan_barrier (phrase.py's r5 join-order rule). Returns a sorted
+        unique int64 array."""
+        import numpy as np
+
+        from ..index.build import doc_id_expr
+        from .phrase import (joined_tokens_expr, phrase_pattern,
+                             plan_barrier)
+
+        if docs_df is None:
+            ver = self._verify_positions_driver(terms, np.sort(cand), slop)
+            return np.unique(np.asarray(ver, dtype=np.int64))
+        src = docs_df
+        if "doc_id" not in src.columns:
+            src = src.withColumn("doc_id", doc_id_expr("url"))
+        cdf = self.spark.createDataFrame(
+            [(int(d),) for d in cand.tolist()], "doc_id long")
+        jt = (src.join(F.broadcast(cdf), "doc_id")
+              .select("doc_id",
+                      plan_barrier(joined_tokens_expr("text")).alias("jt")))
+        pat = phrase_pattern(terms, slop)
+        matcher = (F.col("jt").contains(pat) if slop == 0
+                   else F.col("jt").rlike(pat))
+        return np.unique(np.array(
+            [r["doc_id"] for r in
+             jt.where(matcher).select("doc_id").collect()],
+            dtype=np.int64))
+
     # ------------------------------------------------------------- facets
     def facet_counts(self, query: str, by: str = "host", top: int = 20,
                      boolean: bool = False, granularity: str | None = None):

@@ -516,7 +516,8 @@ def accumulate_scores(term_arrays: dict[str, tuple], n_docs: int,
 def weighted_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
                          avgdl: float, k: int, *,
                          weights: dict[str, float] | None = None,
-                         msm: int = 1, k1: float = K1, b: float = B
+                         msm: int = 1, k1: float = K1, b: float = B,
+                         candidates: np.ndarray | None = None
                          ) -> list[tuple[int, float]]:
     """Boosted / minimum-should-match top-k over pre-decoded arrays
     (Lucene BooleanQuery analog: per-clause boost + minimumShouldMatch).
@@ -525,7 +526,10 @@ def weighted_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
     query terms are dropped BEFORE ranking (a zero-weight term still
     counts as a match, exactly like a boost-0 Lucene clause). With
     ``weights=None`` and ``msm=1`` this ranks identically to
-    vectorized_topk_arrays (asserted in tests)."""
+    vectorized_topk_arrays (asserted in tests). ``candidates``:
+    optional sorted unique doc_id array — only these docs survive to
+    ranking (filtered-search semantics; stats stay GLOBAL), the same
+    contract as vectorized_topk_arrays' parameter."""
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for term in sorted(term_arrays):
         df, docs, tfs, dls = term_arrays[term]
@@ -552,6 +556,9 @@ def weighted_topk_arrays(term_arrays: dict[str, tuple], n_docs: int,
         off += len(docs)
     if msm > 1:
         keep = nmatch >= msm
+        uniq, scores = uniq[keep], scores[keep]
+    if candidates is not None and len(uniq):
+        keep = np.isin(uniq, candidates, assume_unique=True)
         uniq, scores = uniq[keep], scores[keep]
     if not len(uniq):
         return []
