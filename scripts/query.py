@@ -56,6 +56,11 @@ def main() -> int:
                     help="treat --query as an exact phrase (match-then-"
                          "verify: postings conjunction + adjacency check "
                          "against --docs); requires --docs")
+    ap.add_argument("--span-near", action="store_true",
+                    help="unordered proximity (Lucene SpanNear "
+                         "inOrder=false): all --query terms within a "
+                         "--slop-surplus window in ANY order; needs "
+                         "an index built with --positions")
     ap.add_argument("--slop", type=int, default=0,
                     help="with --phrase: allow up to N extra tokens "
                          "between consecutive phrase terms")
@@ -194,6 +199,15 @@ def main() -> int:
         hits = eng.boolean_topk(args.query, k=args.k)
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"boolean": args.query, "latency_ms": round(ms, 2),
+                          "hits": [{"rank": i + 1, "doc_id": d,
+                                    "score": round(s, 6)}
+                                   for i, (d, s) in enumerate(hits)]}))
+    elif args.query is not None and args.span_near:
+        t0 = time.time()
+        hits = eng.span_near_topk(args.query, k=args.k, slop=args.slop)
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"span_near": args.query, "slop": args.slop,
+                          "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d,
                                     "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))

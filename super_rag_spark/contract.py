@@ -3394,6 +3394,84 @@ def query_string_topk_entry(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+# ---- unordered span-near (engine.span_near_topk, Lucene SpanNearQuery) -----
+
+SPAN_QUERIES = [
+    (0, "join customer", 1),
+    (1, "hash table", 0),      # slop-0 unordered: adjacent in ANY order
+    (2, "scan filter part", 3),
+]
+
+
+def _span_near_sql(queries: list[tuple[int, str, int]], k: int = 10) -> str:
+    """Oracle for unordered proximity: a doc matches when SOME choice
+    of one occurrence per term spans at most slop + n_terms tokens
+    (greatest-least+1-n <= slop over the zipped token-position
+    relation — an exact reformulation of the min-cover window test:
+    the minimum over combinations clears the threshold iff some
+    combination does). BM25 over the query's terms ranks survivors
+    with GLOBAL stats."""
+    bm25 = (f"ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+            f" * (tf.tf * {analysis.K1 + 1.0}) /"
+            f" (tf.tf + {analysis.K1} * ({1.0 - analysis.B}"
+            f" + {analysis.B} * dl.dl / s.avgdl))")
+    ctes, finals = [], []
+    for qid, qtext, slop in queries:
+        terms = sorted(set(analysis.tokenize(qtext)))
+        n = len(terms)
+        joins = " ".join(
+            f"JOIN tokpos p{i} ON p{i}.doc_id = p0.doc_id"
+            for i in range(1, n))
+        conds = " AND ".join(f"p{i}.term = '{t}'"
+                             for i, t in enumerate(terms))
+        poss = ", ".join(f"p{i}.pos" for i in range(n))
+        ctes.append(f"""cand_{qid} AS (
+  SELECT p0.doc_id FROM tokpos p0 {joins}
+  WHERE {conds}
+    AND greatest({poss}) - least({poss}) + 1 - {n} <= {slop}
+  GROUP BY p0.doc_id)""")
+        terms_in = ", ".join(f"'{t}'" for t in terms)
+        ctes.append(f"""scored_{qid} AS (
+  SELECT tf.doc_id, sum({bm25}) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ({terms_in})
+    AND tf.doc_id IN (SELECT doc_id FROM cand_{qid})
+  GROUP BY tf.doc_id)""")
+        finals.append(f"""SELECT {qid} AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id)
+             AS rank
+      FROM scored_{qid}) WHERE rank <= {k}""")
+    tokpos = ("tokpos AS (SELECT doc_id, unnest(lst) AS term, "
+              "unnest(generate_series(1, len(lst))) AS pos "
+              "FROM (SELECT doc_id, list_filter(string_split(text, ' '), "
+              "x -> x <> '') AS lst FROM documents))")
+    return (f"WITH {_TOKS_SQL}, {tokpos}, " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+@_q("span_near_topk", _span_near_sql(SPAN_QUERIES))
+def span_near_topk_entry(spark, sf_dir):
+    """Unordered proximity retrieval (engine.span_near_topk): Lucene
+    SpanNearQuery(inOrder=false) — min_cover_span - n <= slop over the
+    positional sidecar, BM25-ranked survivors. Rank-tie attribution:
+    hit SET re-ranked in table-id order (the wildcard_topk device)."""
+    eng = _indexed_engine(spark, sf_dir)
+    doc_stats = {r["doc_id"]: r["url"]
+                 for r in eng.store.doc_stats(spark).collect()}
+    rows = []
+    for qid, qtext, slop in SPAN_QUERIES:
+        hits = [(int(doc_stats[d].split("doc://")[1]), s)
+                for d, s in eng.span_near_topk(qtext, k=10, slop=slop)]
+        hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+        rows.extend((qid, rank, tid, round(s, 6))
+                    for rank, (tid, s) in enumerate(hits, start=1))
+    return spark.createDataFrame(
+        rows, "query_id int, rank int, doc_id long, score double")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -255,6 +255,16 @@ def chain_match(pos_lists: list[np.ndarray], slop: int = 0) -> bool:
     return bool(len(s))
 
 
+def span_match(pos_lists: "list[np.ndarray]", slop: int) -> bool:
+    """Lucene SpanNearQuery(inOrder=false) acceptance for single-token
+    clauses: some token window holds one occurrence of EVERY list with
+    at most ``slop`` surplus width — i.e. min_cover_span(pos_lists)
+    - n_lists <= slop (slop=0 means the n terms sit in n adjacent
+    slots, any order). False when any list is empty."""
+    span = min_cover_span(pos_lists)
+    return span is not None and span - len(pos_lists) <= slop
+
+
 def min_cover_span(pos_lists: "list[np.ndarray]") -> int | None:
     """Length of the SMALLEST token window containing at least one
     position from every list (the classic k-sorted-lists minimum

@@ -1782,6 +1782,88 @@ class BM25Engine:
         out.sort(key=lambda x: (-round(x[1], 9), x[0]))
         return out[:k]
 
+    # --------------------------------------------------------- span near
+    def span_near_topk(self, query: str, k: int = 10, *,
+                       slop: int = 2) -> list[tuple[int, float]]:
+        """Unordered proximity search — the Lucene
+        SpanNearQuery(inOrder=false) analog for single-token clauses: a
+        doc matches when SOME token window holds every query term with
+        at most ``slop`` surplus width (min_cover_span - n_terms <=
+        slop; slop=0 means the n terms occupy n adjacent slots in ANY
+        order — the unordered counterpart of phrase_topk, whose slop
+        bounds each ordered gap). Survivors are BM25-ranked over the
+        query's terms with GLOBAL stats, the family's filtered-search
+        convention. Needs the positional sidecar (there is no corpus
+        regex for unordered windows; positions are the primitive).
+
+        Budget-gated: over-budget queries run the distributed plan —
+        score_phrase_batch with positions.span_match as the verify,
+        one pruned postings pass + the positional verify, no corpus
+        access at all."""
+        import numpy as np
+
+        from ..index.positions import span_match
+        from .wand import vectorized_topk_arrays
+
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        if not self.store.has_positions():
+            raise ValueError(
+                "span_near_topk needs the positional sidecar — build"
+                " with positions=True / run build_positions")
+        engine, qtext = self._route(query)
+        terms = sorted(set(tokenize(qtext)))
+        if len(terms) < 2:
+            raise ValueError("span_near_topk needs >= 2 distinct terms")
+        m = engine.manifest
+        if engine._uncached_df_total(terms) > engine.driver_df_budget:
+            engine.driver_fallbacks += 1
+            from .phrase import score_phrase_batch
+
+            res = score_phrase_batch(
+                self.spark, engine.store, None,
+                [(0, " ".join(terms))], k=k, slop=slop,
+                match_fn=span_match)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()]
+        arrays = engine._load_term_arrays(terms)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in engine._load_term_blocks(terms).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        if len(arrays) < len(terms):
+            return []  # some term has no postings at all
+        by_rarity = sorted(terms, key=lambda t: len(arrays[t][1]))
+        cand = arrays[by_rarity[0]][1]
+        for t in by_rarity[1:]:
+            cand = cand[np.isin(cand, arrays[t][1], assume_unique=True)]
+            if not len(cand):
+                return []
+        runs = {t: engine._load_positions_term(t) for t in terms}
+        keep = []
+        for doc in cand.tolist():
+            pls = []
+            for t in terms:
+                r = runs.get(t)
+                if r is None:
+                    break
+                docs, off, flat = r
+                i = int(np.searchsorted(docs, doc))
+                if i >= len(docs) or int(docs[i]) != doc:
+                    break
+                pls.append(flat[off[i]:off[i + 1]])
+            if len(pls) == len(terms) and span_match(pls, slop):
+                keep.append(doc)
+        if not keep:
+            return []
+        verified = np.asarray(keep, dtype=np.int64)
+        return vectorized_topk_arrays(
+            arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+            k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
+
     # ------------------------------------------------------------ synonyms
     def synonym_topk(self, query: str, synonyms: dict[str, list[str]],
                      k: int = 10) -> list[tuple[int, float]]:

@@ -89,7 +89,7 @@ def plan_barrier(col):
 
 def score_phrase_batch(spark, store, docs_df: DataFrame | None,
                        phrases: list[tuple[int, str]], k: int = 10,
-                       slop: int = 0) -> DataFrame:
+                       slop: int = 0, match_fn=None) -> DataFrame:
     """Index-backed DISTRIBUTED phrase search (r4): candidates come from
     the INVERTED INDEX, not a corpus re-tokenize.
 
@@ -167,8 +167,12 @@ def score_phrase_batch(spark, store, docs_df: DataFrame | None,
 
     if docs_df is None:
         verified = _verified_by_positions(spark, store, phrases, cand,
-                                          qpdf, slop)
+                                          qpdf, slop, match_fn=match_fn)
     else:
+        if match_fn is not None:
+            raise ValueError(
+                "match_fn verification needs the positional sidecar —"
+                " the corpus path verifies with the phrase regex only")
         src = docs_df
         if "doc_id" not in src.columns:
             src = src.withColumn("doc_id", doc_id_expr("url"))
@@ -209,13 +213,21 @@ def score_phrase_batch(spark, store, docs_df: DataFrame | None,
 
 
 def _verified_by_positions(spark, store, phrases, cand: DataFrame,
-                           qpdf, slop: int) -> DataFrame:
+                           qpdf, slop: int,
+                           match_fn=None) -> DataFrame:
     """Distributed index-only verify (r4): the candidates' position
     runs decode from the positional sidecar (bucket + term_id pruned),
     group per (query, doc), and chain-match against each phrase's
-    ordered term sequence. Returns (query_id, doc_id) survivors."""
+    ordered term sequence. Returns (query_id, doc_id) survivors.
+
+    ``match_fn(pos_lists, slop) -> bool`` overrides the acceptance
+    test (default positions.chain_match — ordered phrase); spans pass
+    positions.span_match for the unordered SpanNear semantics (r5)."""
     from ..index.positions import (DECODED_POSITIONS_SCHEMA, chain_match,
                                    decode_positions_map_in_pandas)
+
+    if match_fn is None:
+        match_fn = chain_match
     from ..index.storage import POSITIONS_SCHEMA, bucket_of_term_id
 
     manifest = store.read_manifest()
@@ -261,7 +273,7 @@ def _verified_by_positions(spark, store, phrases, cand: DataFrame,
                     pls = [got[t] for t in row.phrase_terms]
                 except KeyError:
                     continue
-                if chain_match(pls, slop):
+                if match_fn(pls, slop):
                     keep_q.append(row.query_id)
                     keep_d.append(row.doc_id)
             yield pd.DataFrame({

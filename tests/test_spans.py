@@ -1,0 +1,157 @@
+"""Unordered span-near retrieval (engine.span_near_topk +
+positions.span_match): semantics vs a brute-force combination checker,
+driver == distributed, and validation."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+from super_rag_spark import analysis
+from super_rag_spark.analysis import doc_id_for_url, tokenize
+from super_rag_spark.index.positions import min_cover_span, span_match
+
+# ------------------------------------------------------ span_match unit
+
+
+def _brute_cover(pos_lists):
+    best = None
+    for combo in itertools.product(*[p.tolist() for p in pos_lists]):
+        span = max(combo) - min(combo) + 1
+        best = span if best is None else min(best, span)
+    return best
+
+
+def test_min_cover_span_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        k = int(rng.integers(1, 4))
+        lists = [np.unique(rng.integers(0, 30, size=rng.integers(1, 5)))
+                 for _ in range(k)]
+        assert min_cover_span(lists) == _brute_cover(lists)
+    assert min_cover_span([np.array([1, 5]), np.array([], dtype=int)]) is None
+
+
+def test_span_match_semantics():
+    # 'a b' in any order, adjacent: slop 0
+    assert span_match([np.array([3]), np.array([4])], 0)
+    assert span_match([np.array([4]), np.array([3])], 0)  # reversed order
+    assert not span_match([np.array([3]), np.array([5])], 0)
+    assert span_match([np.array([3]), np.array([5])], 1)
+    assert not span_match([np.array([3]), np.array([])], 9)
+
+
+# ------------------------------------------------------- engine fixture
+
+TEXTS = [
+    "alpha beta gamma common stream",      # alpha..gamma adjacent
+    "gamma zz zz alpha common batch",      # gamma ... alpha, 2 between
+    "beta common alpha qq gamma",          # scattered
+    "common window beta alpha",            # beta alpha adjacent (reversed)
+]
+
+
+@pytest.fixture(scope="module")
+def span_setup(spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [(f"https://span.example/{i}", TEXTS[i % 4] + f" pad{i}")
+            for i in range(32)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("spanidx") / "idx")
+    eng = BM25Engine(spark, idx).build(
+        docs, positions=True, text_is_extracted=True,
+        n_buckets=8, salt_df_threshold=200)
+    return eng, rows
+
+
+def _ref_span_topk(rows, qtext, slop, k=10):
+    terms = sorted(set(tokenize(qtext)))
+    toks = {doc_id_for_url(u): tokenize(t) for u, t in rows}
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n_docs
+    hits = []
+    for d, tt in toks.items():
+        pls = [np.array([i for i, x in enumerate(tt) if x == t])
+               for t in terms]
+        if any(len(p) == 0 for p in pls):
+            continue
+        if _brute_cover(pls) - len(terms) > slop:
+            continue
+        dl = len(tt)
+        s = 0.0
+        for t in terms:
+            tf = tt.count(t)
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (analysis.K1 + 1.0)) / (
+                tf + analysis.K1 * (1.0 - analysis.B
+                                    + analysis.B * dl / avgdl))
+        hits.append((d, s))
+    hits.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return hits[:k]
+
+
+SPAN_CASES = [
+    ("alpha gamma", 0),   # only the adjacent doc types
+    ("alpha gamma", 2),   # admits 'gamma zz zz alpha'
+    ("beta alpha", 0),    # reversed adjacency matches (unordered)
+    ("alpha beta gamma", 1),
+    ("alpha beta gamma", 4),
+    ("common stream", 5),
+]
+
+
+@pytest.mark.parametrize("qtext,slop", SPAN_CASES)
+def test_span_near_matches_reference(span_setup, qtext, slop):
+    eng, rows = span_setup
+    got = eng.span_near_topk(qtext, k=10, slop=slop)
+    want = _ref_span_topk(rows, qtext, slop, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+@pytest.mark.parametrize("qtext,slop", SPAN_CASES)
+def test_span_near_distributed_equals_driver(span_setup, qtext, slop):
+    eng, _rows = span_setup
+    driver = eng.span_near_topk(qtext, k=10, slop=slop)
+    budget = eng.driver_df_budget
+    try:
+        eng.driver_df_budget = -1  # force the distributed plan
+        dist = eng.span_near_topk(qtext, k=10, slop=slop)
+    finally:
+        eng.driver_df_budget = budget
+    assert [d for d, _ in dist] == [d for d, _ in driver]
+    for (_, a), (_, b) in zip(dist, driver):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_span_near_unordered_vs_phrase(span_setup):
+    """slop-0 span-near accepts BOTH orders; slop-0 phrase only one."""
+    eng, rows = span_setup
+    span_hits = {d for d, _ in eng.span_near_topk("beta alpha", k=32, slop=0)}
+    phrase_ab = {d for d, _ in eng.phrase_topk("alpha beta", k=32)}
+    phrase_ba = {d for d, _ in eng.phrase_topk("beta alpha", k=32)}
+    assert span_hits == phrase_ab | phrase_ba
+    assert phrase_ab and phrase_ba  # both orders exist in the corpus
+
+
+def test_span_near_validation(span_setup, spark, tmp_path_factory):
+    from super_rag_spark.query.engine import BM25Engine
+
+    eng, _rows = span_setup
+    with pytest.raises(ValueError, match="2 distinct terms"):
+        eng.span_near_topk("alpha", slop=1)
+    with pytest.raises(ValueError, match="slop"):
+        eng.span_near_topk("alpha beta", slop=-1)
+    rows = [(f"https://nspan.example/{i}", "alpha beta") for i in range(4)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    idx = str(tmp_path_factory.mktemp("nspan") / "idx")
+    nop = BM25Engine(spark, idx).build(docs, text_is_extracted=True)
+    with pytest.raises(ValueError, match="positional sidecar"):
+        nop.span_near_topk("alpha beta", slop=1)
