@@ -67,6 +67,12 @@ def main() -> int:
     ap.add_argument("--docs", default=None,
                     help="source corpus parquet (url|doc_id, text) for "
                          "phrase verification — the index stores no text")
+    ap.add_argument("--sort-by", default=None, metavar="COL",
+                    help="ES sort clause: rank the match set by a "
+                         "doc_stats key ('host', 'dl', or a meta_cols "
+                         "column) instead of relevance")
+    ap.add_argument("--sort-asc", action="store_true",
+                    help="with --sort-by: ascending order")
     ap.add_argument("--facet", default=None,
                     help="facet the query's FULL match set by this "
                          "doc_stats column ('host', or any --meta-cols "
@@ -194,7 +200,7 @@ def main() -> int:
                           "hits": [{"rank": i + 1, "doc_id": d,
                                     "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
-    elif args.query is not None and args.boolean:
+    elif args.query is not None and args.boolean and not args.sort_by:
         t0 = time.time()
         hits = eng.boolean_topk(args.query, k=args.k)
         ms = (time.time() - t0) * 1e3
@@ -239,6 +245,17 @@ def main() -> int:
                           "latency_ms": round(ms, 2),
                           "hits": [{"rank": r["rank"], "doc_id": r["doc_id"],
                                     "score": round(r["score"], 6)}
+                                   for r in rows]}))
+    elif args.query is not None and args.sort_by:
+        t0 = time.time()
+        rows = eng.sorted_topk(args.query, by=args.sort_by, k=args.k,
+                               ascending=args.sort_asc,
+                               boolean=args.boolean).collect()
+        ms = (time.time() - t0) * 1e3
+        print(json.dumps({"query": args.query, "sort_by": args.sort_by,
+                          "latency_ms": round(ms, 2),
+                          "hits": [{"rank": r["rank"], "url": r["url"],
+                                    "sort_value": str(r["sort_value"])}
                                    for r in rows]}))
     elif args.query is not None and args.facet:
         t0 = time.time()

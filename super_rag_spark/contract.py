@@ -3472,6 +3472,45 @@ def span_near_topk_entry(spark, sf_dir):
         rows, "query_id int, rank int, doc_id long, score double")
 
 
+# ---- sort-by-field retrieval (engine.sorted_topk, the ES sort clause) ------
+
+_SORT_QTEXT = BM25_QUERIES[4][1]  # "stream batch window"
+_SORT_TERMS_IN = ", ".join(
+    f"('{t}')" for t in sorted(set(analysis.tokenize(_SORT_QTEXT))))
+
+
+@_q("sorted_topk", f"""
+WITH {_TOKS_SQL},
+q(term) AS (VALUES {_SORT_TERMS_IN}),
+matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q USING (term)),
+keyed AS (SELECT doc_id,
+                 TIMESTAMP '2026-01-01 00:00:00'
+                   + INTERVAL (doc_id % 365) DAY AS ts,
+                 'doc://' || doc_id::VARCHAR AS url
+          FROM matched),
+ranked AS (SELECT doc_id, ts,
+                  row_number() OVER (ORDER BY ts DESC, url ASC) AS rank
+           FROM keyed)
+SELECT rank::INT AS rank, doc_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS sort_value
+FROM ranked WHERE rank <= 10
+""")
+def sorted_topk_entry(spark, sf_dir):
+    """Sort-by-field retrieval (engine.sorted_topk): newest matching
+    docs — the OR-bag match set ordered by the index's OWN meta_cols
+    crawl timestamp (the synthetic warc_ts analog baked by
+    _indexed_engine), url ASC tie-break mirrored lexicographically by
+    the oracle ('doc://' || doc_id)."""
+    eng = _indexed_engine(spark, sf_dir)
+    out = eng.sorted_topk(_SORT_QTEXT, by="ts", k=10)
+    return out.select(
+        "rank",
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+        .alias("doc_id"),
+        F.date_format("sort_value", "yyyy-MM-dd HH:mm:ss")
+        .alias("sort_value"))
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

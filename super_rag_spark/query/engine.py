@@ -1452,6 +1452,29 @@ class BM25Engine:
         return _fs(self.spark, self.store, expr, val_col, by=by, top=top,
                    granularity=granularity)
 
+    def sorted_topk(self, query: str, by: str, k: int = 10, *,
+                    ascending: bool = False, boolean: bool = False):
+        """Sort-by-field retrieval (the ES ``sort`` clause): top-k of
+        the FULL match set ordered by a doc_stats key — 'host', 'dl',
+        or any meta_cols column — instead of relevance ("newest
+        matching pages" over a meta_cols crawl timestamp). Same query
+        grammar as facet_counts; runs the index-backed distributed
+        plan (a field sort reorders the whole match set, so there is
+        no rank-safe driver shortcut — see facets.sort_topk for the
+        TakeOrdered shape). Returns a DataFrame (rank, doc_id, url,
+        sort_value)."""
+        from .facets import sort_topk as _st
+
+        if boolean:
+            expr = query
+        else:
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                raise ValueError("sorted_topk needs at least one term")
+            expr = " OR ".join(terms)
+        return _st(self.spark, self.store, expr, by, k=k,
+                   ascending=ascending)
+
     # ------------------------------------------------- collapse / recency
     def collapsed_topk(self, query: str, k: int = 10, *,
                        by: str = "host", per_key: int = 1) -> DataFrame:

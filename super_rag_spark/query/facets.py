@@ -101,3 +101,36 @@ def facet_stats(spark: SparkSession, store, expr: str, val_col: str,
     return (grouped
             .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
             .limit(top))
+
+
+def sort_topk(spark: SparkSession, store, expr: str, by: str,
+              k: int = 10, *, ascending: bool = False) -> DataFrame:
+    """ES sort-by-field: the top-``k`` docs of the FULL match set of a
+    boolean ``expr`` ordered by a doc_stats key instead of relevance —
+    "newest matching docs" when ``by`` is a meta_cols crawl timestamp.
+    ``by`` is any doc_stats column or 'host' (facet_key_expr). Ties
+    break on url ASC (the stable external key, as in collapsed_topk);
+    NULL sort keys order last either direction.
+
+    Plan shape: the index-backed match set (one pruned-postings pass +
+    one shuffle, accepted_docs) joins the (doc_id, url, by)-pruned
+    doc_stats scan, and orderBy().limit(k) executes as a DISTRIBUTED
+    TakeOrdered — per-partition top-k then a k-sized driver merge,
+    never a single-task global sort. The rank window runs over the k
+    survivors only. Returns (rank, doc_id, url, sort_value)."""
+    from pyspark.sql import Window
+
+    matched = accepted_docs(spark, store, [(0, expr)]).select("doc_id")
+    stats = store.doc_stats(spark)
+    key = facet_key_expr(by)
+    order = [(key.asc_nulls_last() if ascending
+              else key.desc_nulls_last()), F.col("url").asc()]
+    topk = (matched.join(stats, "doc_id")
+            .select("doc_id", "url", key.alias("sort_value"))
+            .orderBy(*order)
+            .limit(k))
+    sv = F.col("sort_value")
+    w = Window.orderBy(sv.asc_nulls_last() if ascending
+                       else sv.desc_nulls_last(), F.col("url").asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "url", "sort_value"))

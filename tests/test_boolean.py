@@ -310,3 +310,48 @@ def test_facet_counts_plan_reads_only_index(spark, tmp_path):
     # dirs, so assert on plan features, not directory names
     assert "decode_postings_map_in_pandas" in plan
     assert "struct<doc_id:bigint,url:string>" in plan
+
+
+def test_sorted_topk_by_field(spark, tmp_path):
+    """r5: engine.sorted_topk orders the FULL match set by a doc_stats
+    key (meta_cols column / dl / host), url ASC tie-break, NULLs last,
+    ascending flag, boolean grammar."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [
+        ("https://a.example/1", "alpha beta", 30),
+        ("https://a.example/2", "alpha gamma", 10),
+        ("https://b.example/1", "alpha delta", 20),
+        ("https://b.example/2", "beta delta", 20),   # tie with b1 on prio
+        ("https://c.example/1", "epsilon only", 99),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string, prio int")
+    eng = BM25Engine(spark, str(tmp_path / "sortidx")).build(
+        docs, text_is_extracted=True, meta_cols=("prio",))
+
+    got = [(r["rank"], r["url"], r["sort_value"])
+           for r in eng.sorted_topk("alpha beta", by="prio").collect()]
+    assert got == [
+        (1, "https://a.example/1", 30),
+        (2, "https://b.example/1", 20),   # tie -> url ASC
+        (3, "https://b.example/2", 20),
+        (4, "https://a.example/2", 10),
+    ]
+
+    asc = [r["url"] for r in
+           eng.sorted_topk("alpha beta", by="prio", ascending=True,
+                           k=2).collect()]
+    assert asc == ["https://a.example/2", "https://b.example/1"]
+
+    # boolean grammar narrows the match set first
+    got = [r["url"] for r in
+           eng.sorted_topk("alpha NOT beta", boolean=True,
+                           by="prio").collect()]
+    assert got == ["https://b.example/1", "https://a.example/2"]
+
+    # sort by host (facet_key_expr derivation) and by dl both run
+    assert eng.sorted_topk("alpha", by="host").count() == 3
+    assert eng.sorted_topk("alpha", by="dl").count() == 3
+
+    with pytest.raises(ValueError, match="at least one term"):
+        eng.sorted_topk("", by="prio")
