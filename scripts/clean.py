@@ -42,6 +42,16 @@ def main() -> int:
                     help="eval-corpus parquet (doc_id, text); overlapping docs drop")
     ap.add_argument("--decontaminate-n", type=int, default=8)
     ap.add_argument("--pii-scrub", action="store_true")
+    ap.add_argument("--mix-target", type=int, default=None, metavar="N",
+                    help="temperature-mix the cleaned corpus to ~N docs "
+                         "(textops.temperature_mix): per-language share "
+                         "~ n^alpha; rates>1 upsample with copy_id")
+    ap.add_argument("--mix-alpha", type=float, default=0.5,
+                    help="with --mix-target: temperature exponent "
+                         "(1=natural proportions, 0=equal shares)")
+    ap.add_argument("--mix-by", default=None,
+                    help="with --mix-target: group column (default: "
+                         "the pipeline's own pred_lang, else lang)")
     ap.add_argument("--shards", type=int, default=None,
                     help="deterministic shuffle-and-shard the cleaned "
                          "corpus into N shards (textops.shard_export); "
@@ -144,9 +154,32 @@ def main() -> int:
                 "doc_id", F.col("text").alias("_rw"), "n_removed")
             out = (out.drop("text").join(spans, "doc_id")
                    .withColumnRenamed("_rw", "text"))
+        mixed = False
+        if args.mix_target:
+            mix_by = args.mix_by or (
+                "pred_lang" if "pred_lang" in out.columns else "lang")
+            out = textops.temperature_mix(out, args.mix_target,
+                                          by=mix_by,
+                                          alpha=args.mix_alpha)
+            mixed = True
         if args.shards:
-            out = (textops.shard_export(out, n_shards=args.shards)
-                   .sortWithinPartitions("pos_in_shard"))
+            if mixed:
+                # upsampled copies share a doc_id: shard on the
+                # (doc_id, copy_id) composite so duplicates scatter
+                # across shards instead of stacking at one position
+                from pyspark.sql import functions as F
+
+                out = out.withColumn(
+                    "_mix_key",
+                    F.concat_ws(":", F.col("doc_id").cast("string"),
+                                F.col("copy_id").cast("string")))
+                out = (textops.shard_export(out, n_shards=args.shards,
+                                            key_col="_mix_key")
+                       .drop("_mix_key")
+                       .sortWithinPartitions("pos_in_shard"))
+            else:
+                out = (textops.shard_export(out, n_shards=args.shards)
+                       .sortWithinPartitions("pos_in_shard"))
             (out.write.mode("overwrite")
              .partitionBy("shard_id").parquet(args.output))
             if args.pack_seq_len:

@@ -3511,6 +3511,36 @@ def sorted_topk_entry(spark, sf_dir):
         .alias("sort_value"))
 
 
+# ---- temperature-based corpus mixing (textops.temperature_mix) -------------
+
+@_q("temperature_mix", """
+WITH sizes AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+zt AS (SELECT sum(pow(n, 0.3) ORDER BY lang) AS z FROM sizes),
+rates AS (SELECT lang, 600 * pow(n, 0.3) / zt.z / n AS rate FROM sizes, zt),
+th AS (SELECT lang, floor(rate)::BIGINT AS base,
+              floor((rate - floor(rate)) * 4294967296.0)::BIGINT AS thr
+       FROM rates),
+hv AS (SELECT doc_id, lang,
+              CAST(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))
+                   AS BIGINT) AS hv
+       FROM documents),
+nc AS (SELECT doc_id, lang,
+              base + CASE WHEN hv < thr THEN 1 ELSE 0 END AS n_copies
+       FROM hv JOIN th USING (lang))
+SELECT doc_id, lang, unnest(generate_series(1, n_copies))::INT AS copy_id
+FROM nc WHERE n_copies >= 1
+""")
+def temperature_mix_entry(spark, sf_dir):
+    """Temperature sampling for training-mix composition
+    (textops.temperature_mix, alpha=0.3, target 600 docs): shares
+    flatten toward rare languages, head groups downsample by hash
+    threshold, tail groups UPSAMPLE deterministically (copy_id > 1
+    rows) — the exact emitted multiset must match the oracle's
+    bit-identical rate arithmetic."""
+    return (textops.temperature_mix(_docs(spark, sf_dir), 600, alpha=0.3)
+            .select("doc_id", "lang", "copy_id"))
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -395,6 +395,62 @@ def stratified_hash_sample(df: DataFrame, rates: dict,
     return df.where(h < thr)
 
 
+def temperature_mix(df: DataFrame, target_n: int, by: str = "lang",
+                    alpha: float = 0.5, key_col: str = "doc_id",
+                    salt: str = "mix") -> DataFrame:
+    """Temperature-based corpus mixing (the XLM-R / mT5 multilingual
+    sampling rule): group g gets an output share proportional to
+    ``n_g ** alpha`` — alpha=1 keeps natural proportions, alpha=0
+    equalizes groups, the 0.2-0.7 range is the usual low-resource
+    boost. Unlike stratified_hash_sample (hand-given rates) the
+    per-group rate is COMPUTED from the corpus: rate_g = target_n *
+    n_g**alpha / sum_h(n_h**alpha) / n_g. Rates above 1 UPSAMPLE
+    deterministically: every doc emits floor(rate) copies plus one
+    more when its md5 hash clears the fractional threshold, tagged
+    ``copy_id`` (1..k) so a downstream shuffle can spread duplicates.
+
+    Determinism: a doc's copy count is a pure function of (key, salt,
+    group stats) — reproducible across runs/engines/partitionings; the
+    group table is collected (one small agg: groups are languages or
+    host TLDs, human-scale by construction) and the rate arithmetic
+    runs driver-side in the exact expression order the DuckDB oracle
+    uses (ordered sum over group keys), so both engines see
+    bit-identical thresholds. At 100 TB the plan is one count shuffle
+    + a broadcast-joined map-side explode, nothing wider."""
+    import math
+
+    if target_n <= 0:
+        raise ValueError("target_n must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    sizes = {r[by]: int(r["n"]) for r in
+             df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not sizes:
+        return df.sparkSession.createDataFrame(
+            [], df.schema.add("copy_id", "int"))
+    z = 0.0
+    for g in sorted(sizes):  # ordered sum == the oracle's ORDER BY
+        z += math.pow(sizes[g], alpha)
+    rows = []
+    for g, n in sizes.items():
+        rate = target_n * math.pow(n, alpha) / z / n
+        base = int(rate)
+        thr = int((rate - base) * 4294967296.0)
+        rows.append((g, base, thr))
+    rates = df.sparkSession.createDataFrame(
+        rows, f"{by} string, base int, thr long")
+    hv = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return (df.join(F.broadcast(rates), by)
+            .withColumn("n_copies", F.col("base")
+                        + F.when(hv < F.col("thr"), 1).otherwise(0))
+            .where(F.col("n_copies") >= 1)
+            .withColumn("copy_id",
+                        F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+            .drop("base", "thr", "n_copies"))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        ns: tuple = (2, 3)) -> DataFrame:
     """Gopher/C4-style REPETITION quality features (r4) — the filter

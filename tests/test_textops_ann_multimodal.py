@@ -603,3 +603,52 @@ def test_cross_doc_ngram_dup_planted(spark):
     assert got[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert (got[3]["n_windows"], got[3]["n_dup"]) == (2, 0)
     assert got[3]["dup_frac"] == 0.0
+
+
+def test_temperature_mix_semantics(spark):
+    """r5: temperature_mix — alpha flattens group shares, rates>1
+    upsample with deterministic copy_ids, partition-independent."""
+    import pytest as _pt
+
+    from super_rag_spark.textops import temperature_mix
+
+    rows = ([(i, "en") for i in range(400)]
+            + [(400 + i, "de") for i in range(40)]
+            + [(440 + i, "fr") for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # alpha=0: every group targets an equal share (150 each) -> the
+    # 10-doc fr group upsamples 15x (every doc emits 15 copies)
+    out = temperature_mix(docs, 450, alpha=0.0).collect()
+    fr = [r for r in out if r["lang"] == "fr"]
+    per_doc = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    assert len(per_doc) == 10
+    assert all(sorted(v) == list(range(1, 16)) for v in per_doc.values())
+    en = [r for r in out if r["lang"] == "en"]
+    assert 100 <= len(en) <= 200  # ~150 of 400 survive the hash gate
+
+    # alpha=1: natural proportions — target == corpus size keeps ALL
+    # docs exactly once
+    out1 = temperature_mix(docs, 450, alpha=1.0).collect()
+    assert sorted((r["doc_id"], r["copy_id"]) for r in out1) == [
+        (i, 1) for i in range(450)]
+
+    # deterministic + partition-independent multiset
+    a = sorted((r["doc_id"], r["copy_id"])
+               for r in temperature_mix(docs, 100, alpha=0.5).collect())
+    b = sorted((r["doc_id"], r["copy_id"])
+               for r in temperature_mix(docs.repartition(7), 100,
+                                        alpha=0.5).collect())
+    assert a == b and a
+    # another salt draws an independent sample
+    c = sorted((r["doc_id"], r["copy_id"])
+               for r in temperature_mix(docs, 100, alpha=0.5,
+                                        salt="other").collect())
+    assert c != a
+
+    with _pt.raises(ValueError, match="target_n"):
+        temperature_mix(docs, 0)
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mix(docs, 10, alpha=-0.1)
