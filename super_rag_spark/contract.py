@@ -3541,6 +3541,86 @@ def temperature_mix_entry(spark, sf_dir):
             .select("doc_id", "lang", "copy_id"))
 
 
+# ---- ranking-quality evaluation (query/rankeval.py, ES _rank_eval) ---------
+
+_RANKEVAL_QVALS = ", ".join(
+    f"({qid}, '{t}')" for qid, qtext in BM25_QUERIES
+    for t in sorted(set(analysis.tokenize(qtext))))
+
+
+@_q("rank_eval", f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {_RANKEVAL_QVALS}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (tf.tf * {analysis.K1 + 1.0}) /
+           (tf.tf + {analysis.K1} * ({1.0 - analysis.B}
+            + {analysis.B} * dl.dl / s.avgdl)) AS c
+  FROM q JOIN tf USING (term) JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+hits AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 9) DESC, doc_id)
+                  AS rank
+           FROM scored) WHERE rank <= 10),
+qrels AS (SELECT q.query_id, tf.doc_id,
+                 count(DISTINCT tf.term)::DOUBLE AS grade
+          FROM q JOIN tf USING (term) GROUP BY q.query_id, tf.doc_id),
+graded AS (SELECT h.query_id, h.rank, COALESCE(r.grade, 0.0) AS grade
+           FROM hits h LEFT JOIN qrels r
+             ON r.query_id = h.query_id AND r.doc_id = h.doc_id),
+got AS (SELECT query_id,
+               sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel_hit,
+               min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+               sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)
+                   ORDER BY rank) AS dcg
+        FROM graded GROUP BY query_id),
+totals AS (SELECT query_id, count(*)::BIGINT AS n_rel_total
+           FROM qrels WHERE grade > 0 GROUP BY query_id),
+ideal AS (SELECT query_id, grade,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY grade DESC, doc_id ASC)
+                 AS rank
+          FROM qrels WHERE grade > 0),
+idcg AS (SELECT query_id,
+                sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)
+                    ORDER BY rank) AS idcg
+         FROM ideal WHERE rank <= 10 GROUP BY query_id)
+SELECT g.query_id,
+       round(g.n_rel_hit / 10.0, 9) AS precision_k,
+       round(CASE WHEN t.n_rel_total > 0
+                  THEN g.n_rel_hit / t.n_rel_total::DOUBLE
+                  ELSE 0.0 END, 9) AS recall_k,
+       round(COALESCE(1.0 / g.first_rel, 0.0), 9) AS mrr,
+       round(CASE WHEN i.idcg > 0 THEN g.dcg / i.idcg ELSE 0.0 END, 9)
+       AS ndcg_k
+FROM got g LEFT JOIN totals t USING (query_id)
+LEFT JOIN idcg i USING (query_id)
+""")
+def rank_eval_entry(spark, sf_dir):
+    """Ranking-quality evaluation (query/rankeval.py, the ES _rank_eval
+    analog): the BM25 batch scored against graded judgments derived
+    from the corpus itself (grade = distinct query terms the doc
+    contains) — precision@10, recall@10, MRR, nDCG@10 per query, DCG
+    folded in rank order on both engines."""
+    from .query.rankeval import rank_eval
+
+    qrows = [(qid, t) for qid, qtext in BM25_QUERIES
+             for t in sorted(set(analysis.tokenize(qtext)))]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    hits = _bm25_score_qterms(spark, sf_dir, qterms)
+    qrels = (_tok_docs(spark, sf_dir)
+             .join(F.broadcast(qterms), "term")
+             .groupBy("query_id", "doc_id")
+             .agg(F.count_distinct("term").cast("double").alias("grade")))
+    return rank_eval(hits, qrels, k=10)
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1805,6 +1805,20 @@ class BM25Engine:
         out.sort(key=lambda x: (-round(x[1], 9), x[0]))
         return out[:k]
 
+    # --------------------------------------------------------- rank eval
+    def rank_eval(self, queries: list[dict], qrels: DataFrame,
+                  k: int = 10) -> DataFrame:
+        """ES ``_rank_eval`` analog: run the batch through the
+        distributed exact top-k plan and score it against graded
+        judgments ``qrels`` (query_id, doc_id, grade) — per-query
+        precision@k, recall@k, MRR and nDCG@k (see query/rankeval.py).
+        ``qrels`` doc ids live in the index's doc-id space (sha1 of
+        url, analysis.doc_id_for_url)."""
+        from .rankeval import rank_eval as _re
+
+        hits = self.query_batch(queries, k=k)
+        return _re(hits, qrels, k=k)
+
     # --------------------------------------------------------- span near
     def span_near_topk(self, query: str, k: int = 10, *,
                        slop: int = 2) -> list[tuple[int, float]]:

@@ -1,0 +1,102 @@
+"""Ranking-quality evaluation — the ES ``_rank_eval`` endpoint analog.
+
+Given a ranking (query_id, rank, doc_id) and graded relevance
+judgments (query_id, doc_id, grade >= 0), compute the standard IR
+metrics per query:
+
+  precision_k  relevant hits (grade > 0) in the top-k / k
+  recall_k     relevant hits in the top-k / total relevant for the query
+  mrr          1 / rank of the first relevant hit (0 when none)
+  ndcg_k       DCG@k / ideal-DCG@k with the exponential gain
+               (2^grade - 1) / log2(rank + 1); 0 when the query has no
+               positive judgments
+
+This is how a search team regression-tests relevance at corpus scale:
+the ranking side is whatever the engine returns (any of the top-k
+paths), the judgment side is a plain DataFrame, and the metric pass is
+two broadcast-joined aggregations — no corpus access, linear in
+|hits| + |qrels|.
+
+Determinism: DCG sums fold in rank order via F.aggregate over a
+sort_array'd collect_list (the repo's deterministic-float-sum device),
+matching an ``ORDER BY rank`` aggregate on the oracle side
+bit-for-bit. The reference has no evaluation surface at all (its API
+returns hits only, /root/reference/api/query.py); Lucene/ES rank_eval
+is the public model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dcg_fold(parts_col: str):
+    """Sequential rank-ordered fold of (2^grade - 1)/log2(rank + 1)."""
+    return F.aggregate(
+        parts_col, F.lit(0.0),
+        lambda acc, x: acc + (F.pow(F.lit(2.0), x["grade"]) - F.lit(1.0))
+        / F.log2(x["rank"].cast("double") + F.lit(1.0)))
+
+
+def rank_eval(hits: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """Evaluate ``hits`` (query_id, rank, doc_id — rank 1-based, any
+    extra columns ignored) against ``qrels`` (query_id, doc_id, grade).
+    Docs absent from qrels count as grade 0. Only ranks <= k are
+    scored. Returns one row per query_id present in EITHER input:
+    (query_id, precision_k, recall_k, mrr, ndcg_k), metrics rounded to
+    9 dp for stable cross-engine compares."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = (hits.select("query_id", "rank", "doc_id")
+         .where(F.col("rank") <= k))
+    q = qrels.select("query_id", "doc_id",
+                     F.col("grade").cast("double").alias("grade"))
+
+    graded = (h.join(q, ["query_id", "doc_id"], "left")
+              .withColumn("grade", F.coalesce("grade", F.lit(0.0))))
+    got = (graded.groupBy("query_id")
+           .agg(F.sum(F.when(F.col("grade") > 0, 1).otherwise(0))
+                .alias("n_rel_hit"),
+                F.min(F.when(F.col("grade") > 0, F.col("rank")))
+                .alias("first_rel"),
+                F.sort_array(F.collect_list(F.struct("rank", "grade")))
+                .alias("parts"))
+           .withColumn("dcg", _dcg_fold("parts"))
+           .drop("parts"))
+
+    # ideal DCG: the query's judgments re-ranked by grade DESC (tie
+    # order is irrelevant — equal grades carry equal gains), cut at k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), F.col("doc_id").asc())
+    ideal = (q.where(F.col("grade") > 0)
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k))
+    totals = (q.groupBy("query_id")
+              .agg(F.sum(F.when(F.col("grade") > 0, 1).otherwise(0))
+                   .alias("n_rel_total")))
+    idcg = (ideal.groupBy("query_id")
+            .agg(F.sort_array(F.collect_list(F.struct("rank", "grade")))
+                 .alias("parts"))
+            .withColumn("idcg", _dcg_fold("parts"))
+            .drop("parts"))
+
+    out = (got.join(totals, "query_id", "full")
+           .join(idcg, "query_id", "left"))
+    zero = F.lit(0.0)
+    return out.select(
+        "query_id",
+        F.round(F.coalesce(F.col("n_rel_hit") / float(k), zero), 9)
+        .alias("precision_k"),
+        F.round(F.when(F.coalesce("n_rel_total", F.lit(0)) > 0,
+                       F.coalesce(F.col("n_rel_hit"), F.lit(0))
+                       / F.col("n_rel_total")).otherwise(zero), 9)
+        .alias("recall_k"),
+        F.round(F.coalesce(F.lit(1.0) / F.col("first_rel"), zero), 9)
+        .alias("mrr"),
+        F.round(F.when(F.coalesce("idcg", zero) > 0,
+                       F.coalesce("dcg", zero) / F.col("idcg"))
+                .otherwise(zero), 9)
+        .alias("ndcg_k"))

@@ -1,0 +1,92 @@
+"""Ranking-quality metrics (query/rankeval.py — ES _rank_eval analog):
+hand-computed cases, edge semantics, engine facade."""
+
+import math
+
+import pytest
+
+from super_rag_spark.query.rankeval import rank_eval
+
+
+def _rows(df):
+    return {r["query_id"]: r.asDict() for r in df.collect()}
+
+
+def test_rank_eval_hand_computed(spark):
+    # q0: ranks 1..4 with grades 3, 0, 1, 0; one judged doc (99) missed
+    hits = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12), (0, 4, 13)],
+        "query_id int, rank int, doc_id long")
+    qrels = spark.createDataFrame(
+        [(0, 10, 3.0), (0, 12, 1.0), (0, 99, 2.0)],
+        "query_id int, doc_id long, grade double")
+    got = _rows(rank_eval(hits, qrels, k=4))[0]
+    assert got["precision_k"] == pytest.approx(2 / 4)
+    assert got["recall_k"] == pytest.approx(2 / 3)
+    assert got["mrr"] == pytest.approx(1.0)
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = ((2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3)
+            + (2**1 - 1) / math.log2(4))
+    assert got["ndcg_k"] == pytest.approx(dcg / idcg, abs=1e-9)
+
+
+def test_rank_eval_edges(spark):
+    hits = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (1, 1, 20)],
+        "query_id int, rank int, doc_id long")
+    qrels = spark.createDataFrame(
+        [(0, 99, 1.0)], "query_id int, doc_id long, grade double")
+    got = _rows(rank_eval(hits, qrels, k=2))
+    # q0: relevant exists but never retrieved
+    assert (got[0]["precision_k"], got[0]["recall_k"], got[0]["mrr"],
+            got[0]["ndcg_k"]) == (0.0, 0.0, 0.0, 0.0)
+    # q1: no judgments at all -> all-zero row, not a crash/NaN
+    assert (got[1]["precision_k"], got[1]["recall_k"], got[1]["mrr"],
+            got[1]["ndcg_k"]) == (0.0, 0.0, 0.0, 0.0)
+
+    # ranks beyond k are ignored
+    deep = spark.createDataFrame(
+        [(0, 1, 11), (0, 3, 99)], "query_id int, rank int, doc_id long")
+    got = _rows(rank_eval(deep, qrels, k=2))[0]
+    assert got["precision_k"] == 0.0  # the grade-1 doc sits at rank 3
+
+    with pytest.raises(ValueError, match="k must"):
+        rank_eval(hits, qrels, k=0)
+
+
+def test_rank_eval_perfect_ranking_is_1(spark):
+    hits = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)],
+        "query_id int, rank int, doc_id long")
+    qrels = spark.createDataFrame(
+        [(0, 10, 3.0), (0, 11, 2.0), (0, 12, 1.0)],
+        "query_id int, doc_id long, grade double")
+    got = _rows(rank_eval(hits, qrels, k=3))[0]
+    assert got["ndcg_k"] == pytest.approx(1.0)
+    assert got["precision_k"] == pytest.approx(1.0)
+    assert got["recall_k"] == pytest.approx(1.0)
+    assert got["mrr"] == pytest.approx(1.0)
+
+
+def test_rank_eval_engine_facade(spark, built_index, webtext_rows):
+    """engine.rank_eval runs the distributed batch and scores it: a
+    self-judged batch (qrels = the engine's own top-3) must read
+    precision 0.3, recall/mrr/ndcg 1.0."""
+    from super_rag_spark.analysis import tokenize
+
+    eng = built_index
+    text = next(t for _, t in
+                [(r["url"], r["text"]) for r in webtext_rows]
+                if len(set(tokenize(t))) > 5)
+    q = " ".join(sorted(set(tokenize(text)))[:3])
+    top = eng.topk(q, k=3)
+    assert top
+    qrels = spark.createDataFrame(
+        [(0, int(d), float(r)) for r, (d, _) in
+         enumerate(reversed(top), start=1)],
+        "query_id int, doc_id long, grade double")
+    got = _rows(eng.rank_eval([{"query_id": 0, "text": q}], qrels, k=10))[0]
+    assert got["recall_k"] == pytest.approx(1.0)
+    assert got["mrr"] == pytest.approx(1.0)
+    assert got["precision_k"] == pytest.approx(0.3)
+    assert got["ndcg_k"] == pytest.approx(1.0)
