@@ -2455,6 +2455,42 @@ FROM best b JOIN tk t USING (doc_id)
 """
 
 
+def _highlight_sql(queries: list[tuple[int, str]], width: int = 20,
+                   k: int = 10, n_fragments: int = 2) -> str:
+    """The multi-fragment marked variant (ES highlight): greedy
+    non-overlapping windows, unrolled — best_1, then best_2 over the
+    anchors at least ``width`` away, ... — every query-term occurrence
+    <em>-wrapped."""
+    base = _snippet_sql(queries, width, k)
+    head = base[:base.index("best AS (")]
+    frags = ["""best1 AS (SELECT query_id, doc_id, pos, n_matches, 1 AS fragment FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                     ORDER BY n_matches DESC, pos) AS rn FROM wnd)
+         WHERE rn = 1)"""]
+    prev_rem = "wnd"
+    for i in range(2, n_fragments + 1):
+        frags.append(f"""rem{i} AS (SELECT w.query_id, w.doc_id, w.pos, w.n_matches
+         FROM {prev_rem} w LEFT JOIN best{i - 1} b
+           ON b.query_id = w.query_id AND b.doc_id = w.doc_id
+         WHERE b.pos IS NULL OR abs(w.pos - b.pos) >= {width})""")
+        frags.append(f"""best{i} AS (SELECT query_id, doc_id, pos, n_matches, {i} AS fragment FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                     ORDER BY n_matches DESC, pos) AS rn FROM rem{i})
+         WHERE rn = 1)""")
+        prev_rem = f"rem{i}"
+    union = " UNION ALL ".join(f"SELECT * FROM best{i}"
+                               for i in range(1, n_fragments + 1))
+    return head + ",\n".join(frags) + f""",
+allb AS ({union}),
+qt AS (SELECT query_id, list(DISTINCT term) AS qt FROM q GROUP BY query_id)
+SELECT b.query_id, b.doc_id, b.fragment, b.n_matches,
+       array_to_string(list_transform(t.ts[b.pos:b.pos + {width - 1}],
+         x -> CASE WHEN list_contains(qt.qt, x)
+                   THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+FROM allb b JOIN tk t USING (doc_id) JOIN qt ON qt.query_id = b.query_id
+"""
+
+
 @_q("search_snippets", _snippet_sql(BM25_QUERIES[:3]))
 def search_snippets(spark, sf_dir):
     """Result highlighting (query/snippet.snippets): for each BM25
@@ -2468,6 +2504,20 @@ def search_snippets(spark, sf_dir):
     hits = _bm25_scored(spark, sf_dir, qs, k=10)
     return snippets(_docs(spark, sf_dir).select("doc_id", "text"),
                     hits, qs, width=20)
+
+
+@_q("search_highlight", _highlight_sql(BM25_QUERIES[:3], n_fragments=2))
+def search_highlight(spark, sf_dir):
+    """Multi-fragment marked highlighting (ES highlight analog,
+    query/snippet.snippets n_fragments=2 mark=True): up to two greedy
+    non-overlapping 20-token windows per hit, query-term occurrences
+    <em>-wrapped — markup and window selection both hash-compared."""
+    from .query.snippet import snippets
+
+    qs = BM25_QUERIES[:3]
+    hits = _bm25_scored(spark, sf_dir, qs, k=10)
+    return snippets(_docs(spark, sf_dir).select("doc_id", "text"),
+                    hits, qs, width=20, n_fragments=2, mark=True)
 
 
 def _map_index_ids(spark: SparkSession, eng, res):

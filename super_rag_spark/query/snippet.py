@@ -27,13 +27,24 @@ from ..index.build import doc_id_expr, tokens_expr
 
 
 def snippets(docs_df: DataFrame, hits_df: DataFrame,
-             queries: list[tuple[int, str]], width: int = 20) -> DataFrame:
+             queries: list[tuple[int, str]], width: int = 20,
+             n_fragments: int = 1, mark: bool = False) -> DataFrame:
     """(query_id, doc_id, n_matches, snippet) for every hit row.
 
     ``docs_df``: (url|doc_id, text) source corpus. ``hits_df``: result
     rows with (query_id, doc_id) — e.g. a top-k frame. ``width``:
     snippet length in tokens. Hits whose doc contains no query term
-    (possible under filtered/boolean retrieval) are omitted."""
+    (possible under filtered/boolean retrieval) are omitted.
+
+    ``n_fragments`` > 1 (r5) returns up to that many NON-OVERLAPPING
+    windows per hit — the ES ``highlight.number_of_fragments`` device:
+    fragments select greedily ((n_matches DESC, pos ASC), each
+    excluding anchors within ``width`` of an already-chosen one), a
+    ``fragment`` column (1-based) tags them, and the greedy loop is
+    unrolled — n_fragments is a small constant, so the plan holds one
+    bounded anti-overlap join per extra fragment. ``mark=True`` wraps
+    every query-term occurrence in the emitted text with ``<em>``
+    tags (the ES default highlighter markup)."""
     spark = docs_df.sparkSession
     qrows = [(qid, t) for qid, text in queries
              for t in sorted(set(analysis.tokenize(text)))]
@@ -69,11 +80,47 @@ def snippets(docs_df: DataFrame, hits_df: DataFrame,
                  F.col("a.pos").alias("pos"))
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
     w = Window.partitionBy("query_id", "doc_id").orderBy(
         F.desc("n_matches"), F.asc("pos"))
-    best = (anchored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
-    return (best.join(toked, "doc_id")
-            .select("query_id", "doc_id", "n_matches",
-                    F.array_join(F.slice("ts", F.col("pos"), F.lit(width)),
-                                 " ").alias("snippet")))
+
+    def take_best(frame, frag_no):
+        return (frame.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1).drop("_rn")
+                .withColumn("fragment", F.lit(frag_no)))
+
+    remaining = anchored
+    best = take_best(remaining, 1)
+    bests = best
+    for frag_no in range(2, n_fragments + 1):
+        prev = best.select("query_id", "doc_id", F.col("pos").alias("_p"))
+        remaining = (remaining.join(prev, ["query_id", "doc_id"], "left")
+                     .where(F.col("_p").isNull()
+                            | (F.abs(F.col("pos") - F.col("_p"))
+                               >= width))
+                     .drop("_p"))
+        best = take_best(remaining, frag_no)
+        bests = bests.unionByName(best)
+
+    if mark:
+        qterms = (q.groupBy("query_id")
+                  .agg(F.collect_set("term").alias("_qt")))
+        body = (F.transform(
+            F.slice("ts", F.col("pos"), F.lit(width)),
+            lambda t: F.when(F.array_contains(F.col("_qt"), t),
+                             F.concat(F.lit("<em>"), t, F.lit("</em>")))
+            .otherwise(t)))
+        out = (bests.join(toked, "doc_id")
+               .join(F.broadcast(qterms), "query_id")
+               .select("query_id", "doc_id", "fragment", "n_matches",
+                       F.array_join(body, " ").alias("snippet")))
+    else:
+        out = (bests.join(toked, "doc_id")
+               .select("query_id", "doc_id", "fragment", "n_matches",
+                       F.array_join(
+                           F.slice("ts", F.col("pos"), F.lit(width)),
+                           " ").alias("snippet")))
+    if n_fragments == 1:
+        return out.drop("fragment")  # original single-window shape
+    return out

@@ -199,6 +199,42 @@ def test_snippets_pick_densest_window(spark):
     assert 3 not in out
 
 
+def test_highlight_fragments_and_marking(spark):
+    """r5: n_fragments>1 returns greedy NON-OVERLAPPING windows
+    (fragment 2 excludes anchors within width of fragment 1);
+    mark=True <em>-wraps every query-term occurrence."""
+    from super_rag_spark.query.snippet import snippets
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb x x x x x x x x x x x x x x x x x x "
+             "aa aa y z tail"),   # two separated clusters
+         (2, "aa only once here")],
+        "doc_id long, text string")
+    hits = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id int, doc_id long")
+    out = snippets(docs, hits, [(0, "aa bb")], width=5,
+                   n_fragments=2, mark=True).collect()
+    d1 = sorted((r["fragment"], r["n_matches"], r["snippet"])
+                for r in out if r["doc_id"] == 1)
+    # fragment 1 = the early 'aa bb' window (2 matches, earliest tie);
+    # fragment 2 = the late 'aa aa' cluster, non-overlapping
+    assert d1[0][0] == 1 and d1[0][1] == 2
+    assert d1[0][2].startswith("<em>aa</em> <em>bb</em>")
+    assert d1[1][0] == 2 and d1[1][1] == 2
+    assert d1[1][2].startswith("<em>aa</em> <em>aa</em>")
+    # doc 2 has anchors for one window only -> no fragment 2 row
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert [r["fragment"] for r in d2] == [1]
+    assert d2[0]["snippet"] == "<em>aa</em> only once here"
+
+    # single-fragment shape unchanged (no fragment column)
+    legacy = snippets(docs, hits, [(0, "aa bb")], width=5)
+    assert "fragment" not in legacy.columns
+
+    with pytest.raises(ValueError, match="n_fragments"):
+        snippets(docs, hits, [(0, "aa")], n_fragments=0)
+
+
 def test_search_attaches_snippets(spark, built_index, webtext_sf0001_path):
     """r4: search(snippet_docs=) returns an excerpt per hit containing
     at least one query term."""
