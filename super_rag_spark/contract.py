@@ -3671,6 +3671,41 @@ def rank_eval_entry(spark, sf_dir):
     return rank_eval(hits, qrels, k=10)
 
 
+# ---- match counting (engine.match_count, the ES _count endpoint) -----------
+
+_COUNT_ORBAG = BM25_QUERIES[0][1]        # "table scan"
+_COUNT_BOOL = "table AND scan NOT slow"  # boolean chain variant
+
+
+def _match_count_sql() -> str:
+    from .query.boolean import boolean_sql_cand, parse_boolean
+
+    orbag_in = ", ".join(
+        f"'{t}'" for t in sorted(set(analysis.tokenize(_COUNT_ORBAG))))
+    bool_cand = boolean_sql_cand(parse_boolean(_COUNT_BOOL))
+    return f"""
+WITH {_TOKS_SQL}
+SELECT 'orbag' AS which,
+       (SELECT count(DISTINCT doc_id) FROM tf
+        WHERE term IN ({orbag_in}))::BIGINT AS n
+UNION ALL
+SELECT 'boolean' AS which, count(*)::BIGINT AS n
+FROM ({bool_cand}) AS b
+"""
+
+
+@_q("match_count", _match_count_sql())
+def match_count_entry(spark, sf_dir):
+    """Match counting without ranking (engine.match_count — ES
+    _count): the OR-bag size of 'table scan' and the set size of the
+    boolean chain 'table AND scan NOT slow', both through the
+    index-backed distributed match-set plan."""
+    eng = _indexed_engine(spark, sf_dir)
+    rows = [("orbag", eng.match_count(_COUNT_ORBAG)),
+            ("boolean", eng.match_count(_COUNT_BOOL, boolean=True))]
+    return spark.createDataFrame(rows, "which string, n long")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

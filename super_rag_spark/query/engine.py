@@ -693,7 +693,9 @@ class BM25Engine:
                exclude_fields: list[str] | None = None,
                driver_filter_max: int = 10_000,
                snippet_docs: DataFrame | None = None,
-               snippet_width: int = 20) -> DataFrame:
+               snippet_width: int = 20,
+               snippet_fragments: int = 1,
+               snippet_mark: bool = False) -> DataFrame:
         """Full query lifecycle (SURVEY.md §3.2): route -> retrieve ->
         filter -> materialize -> project.
 
@@ -717,7 +719,10 @@ class BM25Engine:
         - ``snippet_docs`` (r4): pass the source corpus to attach a
           best-window excerpt per hit (query/snippet.py; n_matches +
           snippet columns; hits whose doc lacks every query term get
-          null columns).
+          null columns). ``snippet_fragments`` > 1 / ``snippet_mark``
+          (r5) switch to the multi-fragment <em>-marked ES-highlight
+          form — each hit then carries up to that many rows'
+          fragments joined as one " ... "-separated string.
         Returns a DataFrame (rank, doc_id, score, url, *meta
         [, n_matches, snippet]).
         """
@@ -791,7 +796,19 @@ class BM25Engine:
             snip = snippets(
                 snippet_docs,
                 out.select(F.lit(0).alias("query_id"), "doc_id"),
-                [(0, qtext)], width=snippet_width).drop("query_id")
+                [(0, qtext)], width=snippet_width,
+                n_fragments=snippet_fragments,
+                mark=snippet_mark).drop("query_id")
+            if snippet_fragments > 1:
+                # one row per hit: fragments join in rank order
+                snip = (snip.groupBy("doc_id")
+                        .agg(F.max("n_matches").alias("n_matches"),
+                             F.array_join(
+                                 F.transform(
+                                     F.sort_array(F.collect_list(
+                                         F.struct("fragment", "snippet"))),
+                                     lambda x: x["snippet"]),
+                                 " ... ").alias("snippet")))
             out = out.join(snip, "doc_id", "left")
         return out.orderBy("rank")
 
@@ -1451,6 +1468,25 @@ class BM25Engine:
             expr = " OR ".join(terms)
         return _fs(self.spark, self.store, expr, val_col, by=by, top=top,
                    granularity=granularity)
+
+    def match_count(self, query: str, *, boolean: bool = False) -> int:
+        """The ES ``_count`` endpoint: how many docs match, no ranking
+        — a plain query counts its OR-bag, ``boolean=True`` counts an
+        AND/OR/NOT chain (query/boolean.py grammar). Runs the
+        index-backed distributed match-set plan (one pruned-postings
+        pass + one shuffle + a count; no corpus access, no top-k
+        window, nothing collected but the number)."""
+        from .boolean import accepted_docs
+
+        if boolean:
+            expr = query
+        else:
+            terms = sorted(set(tokenize(query)))
+            if not terms:
+                raise ValueError("match_count needs at least one term")
+            expr = " OR ".join(terms)
+        return (accepted_docs(self.spark, self.store, [(0, expr)])
+                .select("doc_id").distinct().count())
 
     def sorted_topk(self, query: str, by: str, k: int = 10, *,
                     ascending: bool = False, boolean: bool = False):

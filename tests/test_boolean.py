@@ -355,3 +355,26 @@ def test_sorted_topk_by_field(spark, tmp_path):
 
     with pytest.raises(ValueError, match="at least one term"):
         eng.sorted_topk("", by="prio")
+
+
+def test_match_count(spark, tmp_path):
+    """r5: engine.match_count — the ES _count endpoint; OR-bag and
+    boolean-chain counts agree with hand set algebra."""
+    from super_rag_spark.query.engine import BM25Engine
+
+    rows = [
+        ("https://a.example/1", "alpha beta"),
+        ("https://a.example/2", "alpha gamma"),
+        ("https://b.example/1", "alpha delta"),
+        ("https://b.example/2", "beta delta"),
+        ("https://c.example/1", "epsilon only"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    eng = BM25Engine(spark, str(tmp_path / "cntidx")).build(
+        docs, text_is_extracted=True)
+    assert eng.match_count("alpha") == 3
+    assert eng.match_count("alpha beta") == 4          # OR-bag union
+    assert eng.match_count("alpha NOT beta", boolean=True) == 2
+    assert eng.match_count("nothere") == 0
+    with pytest.raises(ValueError, match="at least one term"):
+        eng.match_count("")

@@ -248,3 +248,14 @@ def test_search_attaches_snippets(spark, built_index, webtext_sf0001_path):
         toks = set(r["snippet"].split())
         assert r["n_matches"] >= 1
         assert toks & {"semudo", "muro"}, r["snippet"]
+
+    # r5: multi-fragment marked form — still one row per hit, the
+    # fragments ' ... '-joined, query terms <em>-wrapped
+    out2 = built_index.search("semudo muro", k=5, snippet_docs=docs,
+                              snippet_fragments=2,
+                              snippet_mark=True).collect()
+    assert len(out2) == len(out)
+    assert any(" ... " in r["snippet"] for r in out2)
+    for r in out2:
+        assert "<em>semudo</em>" in r["snippet"] \
+            or "<em>muro</em>" in r["snippet"], r["snippet"]
