@@ -2997,6 +2997,69 @@ def percolate_entry(spark, sf_dir):
     return percolate(_docs(spark, sf_dir), PERC_QUERIES)
 
 
+PERC_PHRASE_QUERIES = [
+    {"query_id": 0, "text": "table scan"},                    # plain
+    {"query_id": 1, "text": "customer join", "phrase": True},
+    {"query_id": 2, "text": "window fast query", "phrase": True,
+     "slop": 1},
+    {"query_id": 3, "text": "fast query value", "msm": 2},
+]
+
+
+def _percolate_phrase_sql() -> str:
+    from .query.phrase import phrase_pattern
+
+    qvals = ", ".join(
+        f"({q['query_id']}, '{t}')" for q in PERC_PHRASE_QUERIES
+        for t in sorted(set(analysis.tokenize(q["text"]))))
+    tvals = ", ".join(
+        f"({q['query_id']}, "
+        f"{int(q.get('msm', len(set(analysis.tokenize(q['text'])))))})"
+        for q in PERC_PHRASE_QUERIES)
+    pvals = ", ".join(
+        f"({q['query_id']}, "
+        f"'{phrase_pattern(analysis.tokenize(q['text']), int(q.get('slop', 0)))}', "
+        f"{1 if int(q.get('slop', 0)) > 0 else 0})"
+        for q in PERC_PHRASE_QUERIES if q.get("phrase"))
+    return f"""
+WITH {_TOKS_SQL},
+q(query_id, term) AS (VALUES {qvals}),
+th(query_id, msm) AS (VALUES {tvals}),
+phr(query_id, pat, is_re) AS (VALUES {pvals}),
+jt AS (SELECT doc_id,
+              ' ' || array_to_string(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''), ' ') || ' '
+              AS jt
+       FROM documents),
+m AS (SELECT tf.doc_id, q.query_id, count(*)::BIGINT AS n_matched
+      FROM q JOIN tf USING (term) GROUP BY tf.doc_id, q.query_id),
+fired AS (SELECT m.doc_id, m.query_id, m.n_matched
+          FROM m JOIN th USING (query_id) WHERE m.n_matched >= th.msm),
+plain AS (SELECT f.doc_id, f.query_id, f.n_matched
+          FROM fired f LEFT JOIN phr USING (query_id)
+          WHERE phr.pat IS NULL),
+ver AS (SELECT f.doc_id, f.query_id, f.n_matched
+        FROM fired f JOIN phr USING (query_id) JOIN jt j USING (doc_id)
+        WHERE (phr.is_re = 0 AND strpos(j.jt, phr.pat) > 0)
+           OR (phr.is_re = 1 AND regexp_matches(j.jt, phr.pat)))
+SELECT doc_id, query_id, n_matched FROM plain
+UNION ALL
+SELECT doc_id, query_id, n_matched FROM ver
+"""
+
+
+@_q("percolate_phrase", _percolate_phrase_sql())
+def percolate_phrase_entry(spark, sf_dir):
+    """Percolator with phrase alerts (query/percolate.py r5): phrase
+    stored-queries pre-filter conjunctively through the same one-
+    shuffle bag plan, then only candidate (doc, query) pairs pay the
+    joined-tokens verify (exact or slop-regex); plain and msm queries
+    ride unchanged beside them."""
+    from .query.percolate import percolate
+
+    return percolate(_docs(spark, sf_dir), PERC_PHRASE_QUERIES)
+
+
 _RESC_TERMS = sorted(set(analysis.tokenize(_EXPL_QTEXT)))
 
 

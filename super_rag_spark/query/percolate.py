@@ -10,7 +10,12 @@ saved-search/alerting surface every production search ships.
 Semantics: a stored query is a bag of terms with a per-query
 ``msm`` (minimum distinct matching terms; default = ALL terms — the
 conjunctive alert). A doc matches when it contains >= msm of the
-query's distinct terms.
+query's distinct terms. A stored query may instead be a PHRASE
+(``"phrase": true``, optional ``"slop"``): the text must occur as an
+ordered phrase_topk-style window — the term bag acts as the
+conjunctive pre-filter and only candidate (doc, query) pairs pay the
+verify, against a joined-tokens projection computed for candidate
+docs only (the snippet.py semi-join shape).
 
 Plan shape (100 TB-safe): the stored-query table is broadcast (a
 million stored queries is a few MB of (query_id, term) rows); docs
@@ -32,16 +37,33 @@ from ..index.build import tokens_expr
 
 
 def _query_frames(spark, queries: list[dict]):
-    """queries: [{"query_id": int, "text": str, "msm": int?}] ->
-    (qterms_df broadcast-sized, thresholds_df). msm defaults to ALL
-    distinct terms (conjunctive); msm > n_terms can never fire and
-    raises."""
-    qrows, trows = [], []
+    """queries: [{"query_id": int, "text": str, "msm": int?,
+    "phrase": bool?, "slop": int?}] -> (qterms_df broadcast-sized,
+    thresholds_df, patterns: [(query_id, pattern, slop)]). msm
+    defaults to ALL distinct terms (conjunctive); msm > n_terms can
+    never fire and raises. Phrase queries force msm = all terms (the
+    conjunctive pre-filter) and reject an explicit msm."""
+    from .phrase import phrase_pattern
+
+    qrows, trows, prows = [], [], []
     for q in queries:
         terms = sorted(set(tokenize(q["text"])))
         if not terms:
             raise ValueError(f"query {q['query_id']} has no terms")
-        msm = int(q.get("msm", len(terms)))
+        if q.get("phrase"):
+            if "msm" in q:
+                raise ValueError(
+                    f"query {q['query_id']}: msm does not combine with"
+                    f" phrase (the phrase is already conjunctive)")
+            slop = int(q.get("slop", 0))
+            prows.append((int(q["query_id"]),
+                          phrase_pattern(tokenize(q["text"]), slop), slop))
+            msm = len(terms)
+        else:
+            if "slop" in q:
+                raise ValueError(
+                    f"query {q['query_id']}: slop needs phrase=True")
+            msm = int(q.get("msm", len(terms)))
         if msm < 1 or msm > len(terms):
             raise ValueError(
                 f"query {q['query_id']}: msm={msm} outside 1..{len(terms)}")
@@ -49,7 +71,7 @@ def _query_frames(spark, queries: list[dict]):
         qrows.extend((int(q["query_id"]), t) for t in terms)
     qterms = spark.createDataFrame(qrows, "query_id int, term string")
     thresholds = spark.createDataFrame(trows, "query_id int, msm int")
-    return qterms, thresholds
+    return qterms, thresholds, prows
 
 
 def percolate(docs_df: DataFrame, queries: list[dict],
@@ -57,13 +79,34 @@ def percolate(docs_df: DataFrame, queries: list[dict],
     """(doc_id, query_id, n_matched) — one row per (doc, stored query)
     the doc fires, ordered semantics-free (sort downstream)."""
     spark = docs_df.sparkSession
-    qterms, thresholds = _query_frames(spark, queries)
+    qterms, thresholds, patterns = _query_frames(spark, queries)
     toks = docs_df.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"))
-    return (toks.join(F.broadcast(qterms), "term")
-            .groupBy("doc_id", "query_id")
-            .agg(F.count(F.lit(1)).alias("n_matched"))
-            .join(F.broadcast(thresholds), "query_id")
-            .where(F.col("n_matched") >= F.col("msm"))
-            .select("doc_id", "query_id", "n_matched"))
+    fired = (toks.join(F.broadcast(qterms), "term")
+             .groupBy("doc_id", "query_id")
+             .agg(F.count(F.lit(1)).alias("n_matched"))
+             .join(F.broadcast(thresholds), "query_id")
+             .where(F.col("n_matched") >= F.col("msm"))
+             .select("doc_id", "query_id", "n_matched"))
+    if not patterns:
+        return fired
+    from .phrase import joined_tokens_expr, plan_barrier
+
+    pats = spark.createDataFrame(
+        patterns, "query_id int, pat string, slop int")
+    plain = fired.join(F.broadcast(pats.select("query_id")),
+                       "query_id", "left_anti")
+    cand = fired.join(F.broadcast(pats), "query_id")
+    # joined tokens for candidate docs ONLY (semi-join before the
+    # tokenize projection — the phrase.py r5 plan-order rule)
+    jt = (docs_df.join(cand.select("doc_id").distinct(), "doc_id",
+                       "left_semi")
+          .select("doc_id",
+                  plan_barrier(joined_tokens_expr(text_col)).alias("jt")))
+    verified = (cand.join(jt, "doc_id")
+                .where(F.when(F.col("slop") == 0,
+                              F.col("jt").contains(F.col("pat")))
+                       .otherwise(F.expr("rlike(jt, pat)")))
+                .select("doc_id", "query_id", "n_matched"))
+    return plain.unionByName(verified)

@@ -37,6 +37,32 @@ def test_percolate_validation(spark):
         percolate(_docs(spark), [{"query_id": 0, "text": "   "}])
     with pytest.raises(ValueError):
         percolate(_docs(spark), [{"query_id": 0, "text": "a b", "msm": 3}])
+    with pytest.raises(ValueError, match="msm does not combine"):
+        percolate(_docs(spark), [{"query_id": 0, "text": "a b",
+                                  "phrase": True, "msm": 1}])
+    with pytest.raises(ValueError, match="slop needs phrase"):
+        percolate(_docs(spark), [{"query_id": 0, "text": "a b", "slop": 1}])
+
+
+def test_percolate_phrase_alerts(spark):
+    """r5: phrase stored-queries fire on the ORDERED window only —
+    conjunctive term presence is necessary but not sufficient."""
+    rows = [
+        (1, "alpha beta gamma"),       # 'alpha beta' adjacent
+        (2, "beta alpha gamma"),       # both terms, wrong order
+        (3, "alpha zz beta"),          # one token between
+        (4, "alpha beta alpha beta"),  # fires once
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [
+        {"query_id": 0, "text": "alpha beta", "phrase": True},
+        {"query_id": 1, "text": "alpha beta", "phrase": True, "slop": 1},
+        {"query_id": 2, "text": "gamma"},  # plain query rides beside
+    ]
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in percolate(docs, queries).collect())
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 2),
+                   (3, 1), (4, 0), (4, 1)]
 
 
 def test_stream_percolate_equals_batch(spark, tmp_path):
