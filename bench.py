@@ -334,6 +334,37 @@ def main() -> int:
             eng.store.has_positions() and eng.store.has_vocab())
         extra["append_sidecar_overhead"] = round(
             comp["append_delta_sidecars"] / comp["append_delta"], 3)
+
+        # --- r5 retrieval-DSL ops, priced on the LIVE index now that
+        # both sidecars exist: 20 Lucene query-string trees (parens,
+        # NOT, boost, prefix + fuzzy expansion against the vocab
+        # sidecar, one quoted phrase verified index-only against the
+        # positions sidecar) and 10 unordered span-near queries
+        eng.warm()
+        qs_exprs = []
+        for i in range(0, 40, 2):
+            a = queries[i]["text"].split()[0]
+            rb = queries[i + 1]["text"].split()
+            b, c = rb[0], (rb[1] if len(rb) > 1 else a)
+            if i % 8 == 0 and a != b:
+                qs_exprs.append(f'"{a} {b}" OR ({c}^2 AND {b})')
+            elif i % 8 == 2:
+                qs_exprs.append(f"{a}* AND ({b} OR {c}) -zzznope")
+            elif i % 8 == 4:
+                qs_exprs.append(f"{a}~1 {b}^1.5")
+            else:
+                qs_exprs.append(f"({a} OR {b}) AND {c}")
+        t0 = time.time()
+        for e in qs_exprs:
+            eng.query_string_topk(e, k=10)
+        comp["query_qstring_20"] = round(time.time() - t0, 3)
+
+        span_qs = [" ".join(q["text"].split()[:2]) for q in queries
+                   if len(set(q["text"].split()[:2])) == 2][:10]
+        t0 = time.time()
+        for s in span_qs:
+            eng.span_near_topk(s, k=10, slop=2)
+        comp["query_span_near_10"] = round(time.time() - t0, 3)
     finally:
         spark.stop()
 
