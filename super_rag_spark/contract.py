@@ -3363,6 +3363,7 @@ QS_QUERIES = [
     (2, 'qu* AND -"slow hash"'),
     (3, "filte~1 AND window^1.5"),
     (4, '"window fast"~1 AND (batch OR stream)'),
+    (5, "t*le AND scan"),  # mid-term wildcard leaf (r5)
 ]
 QS_MAX_EXPANSIONS = 20
 
@@ -3378,6 +3379,11 @@ def _qs_term_pred(leaf, maxe: int) -> str:
     if isinstance(leaf, qs.Prefix):
         inner = (f"SELECT term, row_number() OVER (ORDER BY df DESC, term)"
                  f" AS rn FROM dfreq WHERE term LIKE '{leaf.stem}%'")
+        return f"term IN (SELECT term FROM ({inner}) WHERE rn <= {maxe})"
+    if isinstance(leaf, qs.Wildcard):
+        like = leaf.pattern.replace("*", "%")
+        inner = (f"SELECT term, row_number() OVER (ORDER BY df DESC, term)"
+                 f" AS rn FROM dfreq WHERE term LIKE '{like}'")
         return f"term IN (SELECT term FROM ({inner}) WHERE rn <= {maxe})"
     if isinstance(leaf, qs.Fuzzy):
         inner = (f"SELECT term, row_number() OVER (ORDER BY df DESC, term)"
@@ -3397,7 +3403,7 @@ def _qs_cand_sql(node, maxe: int) -> str:
     from .query import qstring as qs
     from .query.phrase import phrase_pattern
 
-    if isinstance(node, (qs.Term, qs.Prefix, qs.Fuzzy)):
+    if isinstance(node, (qs.Term, qs.Prefix, qs.Wildcard, qs.Fuzzy)):
         return (f"SELECT DISTINCT doc_id FROM tf"
                 f" WHERE {_qs_term_pred(node, maxe)}")
     if isinstance(node, qs.Phrase):
@@ -3428,7 +3434,8 @@ def _qs_positive_leaves(node) -> list:
     out = []
 
     def walk(n):
-        if isinstance(n, (qs.Term, qs.Prefix, qs.Fuzzy, qs.Phrase)):
+        if isinstance(n, (qs.Term, qs.Prefix, qs.Wildcard, qs.Fuzzy,
+                          qs.Phrase)):
             out.append(n)
         elif isinstance(n, (qs.And, qs.Or)):
             for c in n.children:

@@ -1355,7 +1355,8 @@ class BM25Engine:
         def ev(n):
             if isinstance(n, qstring.Term):
                 return docs_of(n.text)
-            if isinstance(n, (qstring.Prefix, qstring.Fuzzy)):
+            if isinstance(n, (qstring.Prefix, qstring.Wildcard,
+                              qstring.Fuzzy)):
                 exps = n.expansions or ()
                 if not exps:
                     return empty

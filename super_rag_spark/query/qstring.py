@@ -17,6 +17,7 @@ Grammar (a documented Lucene subset)::
     unary   := (NOT | '-') unary | primary    -- '+' prefix is a no-op
     primary := '(' query ')' | '"..."' [~slop] [^boost] | leaf
     leaf    := word [^boost] | word'*' [^boost] | word'~'[dist] [^boost]
+             | wildcard [^boost]                 -- mid-term '*' runs
 
 Precedence: AND binds tighter than OR (Lucene operator semantics, not
 its quirky OR-default); NOT is a prefix on a single operand. The
@@ -27,10 +28,12 @@ chain.
 Semantics:
 
 * candidates: the tree evaluates over doc-id SETS — a term leaf is the
-  docs containing it; ``pre*`` / ``term~d`` leaves are the UNION of
-  their vocabulary expansions (df-capped like Lucene MultiTermQuery);
-  a phrase leaf is the verified phrase match set; AND intersects, OR
-  unions, NOT subtracts.
+  docs containing it; ``pre*`` / ``mid*dle`` / ``term~d`` leaves are
+  the UNION of their vocabulary expansions (df-capped like Lucene
+  MultiTermQuery; trailing-* prefixes range-prune the sidecar read,
+  mid-term wildcards pay wildcard_topk's full vocab scan); a phrase
+  leaf is the verified phrase match set; AND intersects, OR unions,
+  NOT subtracts.
 * scoring: BM25 over the POSITIVE leaves' terms with GLOBAL corpus
   stats, restricted to the candidate set (the filtered-search
   convention every other path here uses). Each positive leaf
@@ -88,6 +91,13 @@ class Prefix:
 
 
 @dataclass
+class Wildcard:
+    pattern: str  # lowercase alnum + '*' runs, e.g. 'mi*le'
+    boost: float = 1.0
+    expansions: list[str] | None = None  # filled by expand_leaves
+
+
+@dataclass
 class Fuzzy:
     text: str
     dist: int = 1
@@ -117,7 +127,7 @@ class Or:
     children: list = field(default_factory=list)
 
 
-_LEAF_TYPES = (Term, Prefix, Fuzzy, Phrase)
+_LEAF_TYPES = (Term, Prefix, Wildcard, Fuzzy, Phrase)
 
 
 # ------------------------------------------------------------- lexer
@@ -190,15 +200,23 @@ def _leaf_from_word(raw: str):
     if m:
         dist = int(m.group(1)) if m.group(1) else 1
         raw = raw[: m.start()]
-    is_prefix = False
-    if raw.endswith("*"):
-        is_prefix = True
-        raw = raw[:-1]
-    if "*" in raw or "?" in raw:
+    if "?" in raw:
         raise ValueError(
-            f"only trailing-* prefix patterns are supported here "
-            f"({raw!r}) — use BM25Engine.wildcard_topk for mid-term "
-            f"wildcards")
+            f"'?' wildcards are not supported ({raw!r}) — '*' runs only")
+    is_prefix = raw.endswith("*") and "*" not in raw[:-1]
+    if is_prefix:
+        raw = raw[:-1]
+    if not is_prefix and "*" in raw:
+        # mid-term wildcard: Lucene WildcardQuery (full vocab scan)
+        if dist is not None:
+            raise ValueError(
+                f"clause {raw!r} cannot be both wildcard and fuzzy")
+        pat = raw.lower()
+        if pat.strip("*") == "" or not re.fullmatch(r"[a-z0-9*]+", pat):
+            raise ValueError(
+                f"wildcard pattern {raw!r} needs alnum literals and "
+                f"at least one non-* character")
+        return Wildcard(pat, boost)
     if is_prefix and dist is not None:
         raise ValueError(f"clause {raw!r} cannot be both prefix and fuzzy")
     toks = analysis.tokenize(raw)
@@ -321,6 +339,11 @@ def expand_leaves(engine, node, max_expansions: int = 50):
     if isinstance(node, Prefix):
         node.expansions = [t for t, _ in
                            engine.suggest(node.stem, k=max_expansions)]
+    elif isinstance(node, Wildcard):
+        regex = "^" + ".*".join(re.escape(p)
+                                for p in node.pattern.split("*")) + "$"
+        node.expansions = engine._expand_vocab(
+            regex, max_expansions, caller="query_string_topk")
     elif isinstance(node, Fuzzy):
         node.expansions = engine.fuzzy_expansions(
             node.text, node.dist, max_expansions)
@@ -343,7 +366,7 @@ def scoring_bag(node) -> dict[str, float]:
     def walk(n):
         if isinstance(n, Term):
             add(n.text, n.boost)
-        elif isinstance(n, (Prefix, Fuzzy)):
+        elif isinstance(n, (Prefix, Wildcard, Fuzzy)):
             for t in n.expansions or ():
                 add(t, n.boost)
         elif isinstance(n, Phrase):
@@ -366,7 +389,7 @@ def referenced_terms(node) -> set[str]:
     def walk(n):
         if isinstance(n, Term):
             out.add(n.text)
-        elif isinstance(n, (Prefix, Fuzzy)):
+        elif isinstance(n, (Prefix, Wildcard, Fuzzy)):
             out.update(n.expansions or ())
         elif isinstance(n, Phrase):
             out.update(n.terms)
@@ -447,7 +470,7 @@ def accepted_docs_df(spark: SparkSession, store, node,
     for leaf in leaves:
         if isinstance(leaf, Term):
             ts = [leaf.text]
-        elif isinstance(leaf, (Prefix, Fuzzy)):
+        elif isinstance(leaf, (Prefix, Wildcard, Fuzzy)):
             ts = list(leaf.expansions or ())
         else:  # Phrase: terms read for the conjunction, no direct bit
             all_terms.update(leaf.terms)

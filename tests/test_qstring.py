@@ -12,7 +12,8 @@ from super_rag_spark import analysis
 from super_rag_spark.analysis import doc_id_for_url, tokenize
 from super_rag_spark.query import qstring
 from super_rag_spark.query.qstring import (And, Fuzzy, Not, Or, Phrase,
-                                           Prefix, Term, parse_query_string)
+                                           Prefix, Term, Wildcard,
+                                           parse_query_string)
 
 # ------------------------------------------------------------- parser
 
@@ -43,6 +44,10 @@ def test_parse_leaf_suffixes():
     assert ph == Phrase(["a", "b"], slop=1, boost=3.0)
     # single-token phrase degenerates to a term
     assert parse_query_string('"solo"^2') == Term("solo", 2.0)
+    # mid-term wildcard (r5): trailing-only '*' stays a Prefix
+    n = parse_query_string("al*a^2 ga*")
+    assert n.children[0] == Wildcard("al*a", 2.0)
+    assert n.children[1] == Prefix("ga", 1.0)
 
 
 @pytest.mark.parametrize("bad", [
@@ -55,7 +60,9 @@ def test_parse_leaf_suffixes():
     "a OR -b",               # NOT directly under OR
     "NOT NOT a AND b",       # double negation
     'a AND ""',              # empty phrase
-    "mid*dle",               # mid-term wildcard
+    "mi?dle",                # '?' single-char wildcard unsupported
+    "**",                    # wildcard with no literal
+    "foo*bar~1",             # wildcard + fuzzy combination
     "foo-bar AND x",         # multi-token operand
     "a ~2",                  # bare fuzzy suffix token ('~2' has no body)
     "pre*~1",                # both prefix and fuzzy
@@ -122,12 +129,17 @@ def _ref_topk(rows, query, k=10):
             return [n.text] if n.text in dfreq else []
         if isinstance(n, Prefix):
             return [t for t in vocab if t.startswith(n.stem)]
+        if isinstance(n, Wildcard):
+            pat = re.compile(
+                "^" + ".*".join(re.escape(p)
+                                for p in n.pattern.split("*")) + "$")
+            return [t for t in vocab if pat.match(t)]
         if isinstance(n, Fuzzy):
             return [t for t in vocab if levenshtein(t, n.text) <= n.dist]
         raise TypeError
 
     def ev(n):
-        if isinstance(n, (Term, Prefix, Fuzzy)):
+        if isinstance(n, (Term, Prefix, Wildcard, Fuzzy)):
             ts = set(leaf_terms(n))
             return {d for d, tt in toks.items() if ts & set(tt)}
         if isinstance(n, Phrase):
@@ -158,7 +170,7 @@ def _ref_topk(rows, query, k=10):
     bag = {}
 
     def fill(n):
-        if isinstance(n, (Term, Prefix, Fuzzy)):
+        if isinstance(n, (Term, Prefix, Wildcard, Fuzzy)):
             for t in leaf_terms(n):
                 bag[t] = bag.get(t, 0.0) + n.boost
         elif isinstance(n, Phrase):
@@ -199,6 +211,8 @@ QS_CASES = [
     "alpha beta -batch",
     "(stream OR window) AND ga*",
     'common -"alpha beta"',
+    "a*a AND common",          # mid-term wildcard: alpha
+    "*eam OR g*a^2",           # leading-* and mid patterns
 ]
 
 
