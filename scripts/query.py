@@ -41,6 +41,14 @@ def main() -> int:
                     help="treat --query as a boolean expression "
                          "(left-assoc AND/OR/NOT over single tokens); "
                          "pure index, no corpus needed")
+    ap.add_argument("--count", action="store_true",
+                    help="ES _count: report the match-set size only "
+                         "(no ranking); composes with --boolean")
+    ap.add_argument("--rank-eval", default=None, metavar="QRELS",
+                    help="with --batch: parquet of graded judgments "
+                         "(query_id, doc_id, grade) — report per-query "
+                         "precision/recall@k, MRR, nDCG@k instead of "
+                         "hits (ES _rank_eval)")
     ap.add_argument("--fuzzy", action="store_true",
                     help="typo-tolerant: correct each term to its "
                          "nearest vocabulary term within --fuzzy-dist "
@@ -188,7 +196,13 @@ def main() -> int:
         return 0
     eng = BM25Engine(spark, args.index)
 
-    if args.query is not None and args.qs:
+    if args.query is not None and args.count:
+        t0 = time.time()
+        n = eng.match_count(args.query, boolean=args.boolean)
+        print(json.dumps({"query": args.query, "boolean": args.boolean,
+                          "count": n,
+                          "elapsed_sec": round(time.time() - t0, 3)}))
+    elif args.query is not None and args.qs:
         t0 = time.time()
         hits = eng.query_string_topk(
             args.query, k=args.k,
@@ -410,6 +424,20 @@ def main() -> int:
         print(json.dumps({"query": args.query, "latency_ms": round(ms, 2),
                           "hits": [{"rank": i + 1, "doc_id": d, "score": round(s, 6)}
                                    for i, (d, s) in enumerate(hits)]}))
+    elif args.batch and args.rank_eval:
+        with open(args.batch) as f:
+            queries = json.load(f)
+        qrels = spark.read.parquet(args.rank_eval)
+        t0 = time.time()
+        rows = eng.rank_eval(queries, qrels, k=args.k).collect()
+        print(json.dumps({
+            "n_queries": len(queries), "k": args.k,
+            "elapsed_sec": round(time.time() - t0, 3),
+            "metrics": [{c: r[c] for c in
+                         ("query_id", "precision_k", "recall_k",
+                          "mrr", "ndcg_k")}
+                        for r in sorted(rows,
+                                        key=lambda r: r["query_id"])]}))
     elif args.batch:
         with open(args.batch) as f:
             queries = json.load(f)
