@@ -1916,27 +1916,39 @@ class BM25Engine:
             cand = cand[np.isin(cand, arrays[t][1], assume_unique=True)]
             if not len(cand):
                 return []
+        # LAZY, score-ordered verify (phrase_topk's device): rank ALL
+        # candidates by BM25 first (scores need no verify), then
+        # span-check in descending-score batches and stop as soon as k
+        # survive — cost tracks k, not the conjunction size. A 2-term
+        # query of common terms can have 10^5 conjunctive candidates;
+        # verifying them all made the bench leg 1.5 s/query.
+        from .wand import accumulate_scores
+
+        uniqc, sc = accumulate_scores(
+            arrays, int(m["n_docs"]), float(m["avgdl"]),
+            k1=float(m["k1"]), b=float(m["b"]), candidates=cand)
+        order = np.lexsort((uniqc, -np.round(sc, 9)))
+        rd, rs = uniqc[order], sc[order]
         runs = {t: engine._load_positions_term(t) for t in terms}
-        keep = []
-        for doc in cand.tolist():
-            pls = []
-            for t in terms:
-                r = runs.get(t)
-                if r is None:
-                    break
-                docs, off, flat = r
-                i = int(np.searchsorted(docs, doc))
-                if i >= len(docs) or int(docs[i]) != doc:
-                    break
-                pls.append(flat[off[i]:off[i + 1]])
-            if len(pls) == len(terms) and span_match(pls, slop):
-                keep.append(doc)
-        if not keep:
+        if any(runs.get(t) is None for t in terms):
             return []
-        verified = np.asarray(keep, dtype=np.int64)
-        return vectorized_topk_arrays(
-            arrays, int(m["n_docs"]), float(m["avgdl"]), k,
-            k1=float(m["k1"]), b=float(m["b"]), candidates=verified)
+        out: list[tuple[int, float]] = []
+        step = max(4 * k, 64)
+        for i in range(0, len(rd), step):
+            for doc, score in zip(rd[i:i + step].tolist(),
+                                  rs[i:i + step].tolist()):
+                pls = []
+                for t in terms:
+                    docs, off, flat = runs[t]
+                    j = int(np.searchsorted(docs, doc))
+                    if j >= len(docs) or int(docs[j]) != doc:
+                        break
+                    pls.append(flat[off[j]:off[j + 1]])
+                if len(pls) == len(terms) and span_match(pls, slop):
+                    out.append((int(doc), float(score)))
+            if len(out) >= k:
+                break
+        return out[:k]
 
     # ------------------------------------------------------------ synonyms
     def synonym_topk(self, query: str, synonyms: dict[str, list[str]],
