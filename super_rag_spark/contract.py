@@ -3776,6 +3776,41 @@ def match_count_entry(spark, sf_dir):
     return spark.createDataFrame(rows, "which string, n long")
 
 
+# ---- query-string percolation (query/percolate.percolate_qs) ---------------
+
+PERC_QS_QUERIES = [
+    (0, "table AND (hash OR join) -slow"),
+    (1, '"customer join" OR "table scan"'),
+    (2, '(fast OR slow) AND "hash batch"~1 -window'),
+]
+
+
+def _percolate_qs_sql() -> str:
+    from .query.qstring import parse_query_string
+
+    jt = ("jt AS (SELECT doc_id, ' ' || array_to_string("
+          "list_filter(string_split(text, ' '), x -> x <> ''), ' ')"
+          " || ' ' AS jt FROM documents)")
+    finals = [
+        f"SELECT doc_id, {qid} AS query_id"
+        f" FROM ({_qs_cand_sql(parse_query_string(qtext), 1)}) AS c{qid}"
+        for qid, qtext in PERC_QS_QUERIES]
+    return (f"WITH {_TOKS_SQL}, {jt}\n"
+            + "\nUNION ALL\n".join(finals))
+
+
+@_q("percolate_qs", _percolate_qs_sql())
+def percolate_qs_entry(spark, sf_dir):
+    """Stored query-string ALERT TREES fired per doc
+    (query/percolate.percolate_qs): parens/AND/OR/NOT + phrase leaves
+    with slop, evaluated as per-(query, leaf) bitmasks folded by one
+    bit_or shuffle and a vectorized numpy tree pass — which docs fire
+    which alerts must match the recursive set-algebra oracle."""
+    from .query.percolate import percolate_qs
+
+    return percolate_qs(_docs(spark, sf_dir), PERC_QS_QUERIES)
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -110,3 +110,159 @@ def percolate(docs_df: DataFrame, queries: list[dict],
                        .otherwise(F.expr("rlike(jt, pat)")))
                 .select("doc_id", "query_id", "n_matched"))
     return plain.unionByName(verified)
+
+
+def _np_mask_pred(node, bit_of):
+    """Compile a qstring AST into a vectorized predicate over an int64
+    leaf-membership mask array (numpy bitwise ops — one tree pass per
+    QUERY evaluates every candidate doc at once)."""
+    from . import qstring as qs
+
+    def compile_(n):
+        if isinstance(n, qs._LEAF_TYPES):
+            bit = bit_of[id(n)]
+
+            def leaf(m, _b=bit):
+                return (m >> _b) & 1 != 0
+            return leaf
+        if isinstance(n, qs.Not):
+            child = compile_(n.child)
+            return lambda m: ~child(m)
+        subs = [compile_(c) for c in n.children]
+        if isinstance(n, qs.And):
+            def all_(m):
+                out = subs[0](m)
+                for f in subs[1:]:
+                    out = out & f(m)
+                return out
+            return all_
+        if isinstance(n, qs.Or):
+            def any_(m):
+                out = subs[0](m)
+                for f in subs[1:]:
+                    out = out | f(m)
+                return out
+            return any_
+        raise TypeError(type(n).__name__)
+
+    return compile_(node)
+
+
+def percolate_qs(docs_df: DataFrame, queries: list[tuple[int, str]],
+                 text_col: str = "text") -> DataFrame:
+    """Percolation with full QUERY-STRING TREES (r5): stored alerts
+    like ``'(breach OR leak) AND "credit card" -test'`` fire per doc.
+
+    Leaves are restricted to terms and phrases — prefix/fuzzy/wildcard
+    leaves expand against an index VOCABULARY, which a document stream
+    does not have (ES's percolator has the same restriction in spirit:
+    it analyzes the candidate doc, not a corpus). Parsing, validation
+    and tree semantics are query/qstring.py's exactly.
+
+    Plan shape (100 TB-safe): per (doc, query) the tree is a POINTWISE
+    function of which leaves the doc satisfies — the step-bitmask
+    device once more, at (query, leaf) granularity:
+
+      docs tokenize map-side -> distinct-term explode
+        -> broadcast join with (term, query_id, leaf-bitmask) rows
+        -> phrase leaves: ONE conjunctive pre-filter over the same
+           exploded terms (count distinct == n_terms per leaf), then
+           the joined-tokens verify computed ONLY for candidate docs
+           -> their own (doc, query, bit) source
+        -> groupBy (doc, query): bit_or -> mask     [one shuffle]
+        -> mapInPandas: per query ONE numpy bitwise tree pass over
+           all its candidate masks (no per-row Python, no
+           batch-size-dependent Catalyst depth).
+
+    A doc sharing no term with a query never reaches the shuffle.
+    Returns (doc_id, query_id) — one row per fired alert."""
+    import pandas as pd
+
+    from . import qstring as qs
+    from .phrase import joined_tokens_expr, phrase_pattern, plan_barrier
+
+    spark = docs_df.sparkSession
+    preds: dict[int, object] = {}
+    mem: dict[tuple[str, int], int] = {}   # (term, query_id) -> bits
+    ph_rows = []                           # phrase-leaf table
+    ph_terms_rows = []                     # (leaf_key, term)
+    for qid, qtext in queries:
+        node = qs.parse_query_string(qtext)
+        leaves = qs._collect_leaves(node)
+        if len(leaves) > 63:
+            raise ValueError(f"query {qid} exceeds 63 leaves")
+        for leaf in leaves:
+            if isinstance(leaf, (qs.Prefix, qs.Wildcard, qs.Fuzzy)):
+                raise ValueError(
+                    f"query {qid}: {type(leaf).__name__} leaves need an"
+                    " index vocabulary — percolation matches terms and"
+                    " phrases only")
+        bit_of = {id(leaf): i for i, leaf in enumerate(leaves)}
+        preds[int(qid)] = _np_mask_pred(node, bit_of)
+        for leaf in leaves:
+            bit = 1 << bit_of[id(leaf)]
+            if isinstance(leaf, qs.Term):
+                key = (leaf.text, int(qid))
+                mem[key] = mem.get(key, 0) | bit
+            else:  # Phrase
+                leaf_key = f"{qid}:{bit_of[id(leaf)]}"
+                uts = sorted(set(leaf.terms))
+                ph_rows.append((leaf_key, int(qid), bit,
+                                phrase_pattern(leaf.terms, leaf.slop),
+                                leaf.slop, len(uts)))
+                ph_terms_rows.extend((leaf_key, t) for t in uts)
+
+    toks = docs_df.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("term"))
+
+    srcs = []
+    if mem:
+        mem_df = spark.createDataFrame(
+            [(t, q, b) for (t, q), b in sorted(mem.items())],
+            "term string, query_id int, bits long")
+        srcs.append(toks.join(F.broadcast(mem_df), "term")
+                    .select("doc_id", "query_id", "bits"))
+    if ph_rows:
+        ph = spark.createDataFrame(
+            ph_rows, "leaf_key string, query_id int, bits long,"
+                     " pat string, slop int, n_terms int")
+        pht = spark.createDataFrame(ph_terms_rows,
+                                    "leaf_key string, term string")
+        cand = (toks.join(F.broadcast(pht), "term")
+                .groupBy("doc_id", "leaf_key")
+                .agg(F.count_distinct("term").alias("n_hit"))
+                .join(F.broadcast(ph), "leaf_key")
+                .where(F.col("n_hit") == F.col("n_terms")))
+        jt = (docs_df.join(cand.select("doc_id").distinct(), "doc_id",
+                           "left_semi")
+              .select("doc_id",
+                      plan_barrier(joined_tokens_expr(text_col))
+                      .alias("jt")))
+        srcs.append(
+            cand.join(jt, "doc_id")
+            .where(F.when(F.col("slop") == 0,
+                          F.col("jt").contains(F.col("pat")))
+                   .otherwise(F.expr("rlike(jt, pat)")))
+            .select("doc_id", "query_id", "bits"))
+    if not srcs:
+        return spark.createDataFrame([], "doc_id long, query_id int")
+    bits = srcs[0]
+    for s in srcs[1:]:
+        bits = bits.unionByName(s)
+    masks = (bits.groupBy("doc_id", "query_id")
+             .agg(F.bit_or("bits").alias("mask")))
+
+    def fire(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for qid, grp in pdf.groupby("query_id"):
+                m = grp["mask"].to_numpy(dtype=np.int64)
+                keep = preds[int(qid)](m)
+                outs.append(grp.loc[keep, ["doc_id", "query_id"]])
+            yield (pd.concat(outs) if outs
+                   else pdf[["doc_id", "query_id"]].iloc[:0])
+
+    return masks.mapInPandas(fire, schema="doc_id long, query_id int")

@@ -199,7 +199,8 @@ def stream_clean(spark: SparkSession, input_dir: str, output_dir: str,
 
 
 def stream_percolate(spark: SparkSession, input_dir: str, output_dir: str,
-                     checkpoint_dir: str, queries: list[dict], *,
+                     checkpoint_dir: str, queries, *,
+                     qs: bool = False,
                      max_files_per_trigger: int = 4,
                      available_now: bool = True):
     """Streaming reverse search (query/percolate.py as a continuous
@@ -208,17 +209,23 @@ def stream_percolate(spark: SparkSession, input_dir: str, output_dir: str,
     n_matched) rows land in exactly-once ``batch=<id>`` sinks (the
     stream_clean device — a replayed batch overwrites its own output).
     Stateless across batches by design: a percolator alert is a
-    per-document decision, so there is no streaming state at all."""
+    per-document decision, so there is no streaming state at all.
+
+    ``qs=True`` (r5): ``queries`` is ``[(query_id, query_string)]``
+    and each micro-batch runs percolate_qs — standing ALERT TREES
+    (parens/AND/OR/NOT + phrases) instead of term bags; fired rows
+    are (doc_id, query_id)."""
     import os as _os
 
-    from .query.percolate import percolate
+    from .query.percolate import percolate, percolate_qs
 
     s = (spark.readStream.schema(DOCS_SCHEMA_DDL)
          .option("maxFilesPerTrigger", max_files_per_trigger)
          .parquet(input_dir))
 
     def fold(batch_df, batch_id: int) -> None:
-        out = percolate(batch_df, queries)
+        out = (percolate_qs(batch_df, queries) if qs
+               else percolate(batch_df, queries))
         (out.write.mode("overwrite")
             .parquet(_os.path.join(output_dir, f"batch={batch_id}")))
 

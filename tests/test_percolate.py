@@ -98,3 +98,77 @@ def test_stream_percolate_equals_batch(spark, tmp_path):
     want = {(r["doc_id"], r["query_id"]): r["n_matched"]
             for r in percolate(docs, queries).collect()}
     assert got == want and len(got) > 0
+
+
+def test_percolate_qs_trees(spark):
+    """r5: query-string alert trees — parens/OR/NOT + phrase leaves
+    fire per doc exactly like a hand evaluation."""
+    from super_rag_spark.query.percolate import percolate_qs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "beta alpha gamma"),       # 'alpha beta' NOT adjacent
+        (3, "alpha delta"),
+        (4, "gamma delta noise"),
+        (5, "alpha beta noise"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [
+        (0, '"alpha beta" AND gamma'),       # adjacency + term
+        (1, "(delta OR gamma) -beta"),       # OR + NOT
+        (2, 'alpha -"beta gamma"'),          # negated phrase
+    ]
+    got = sorted((r["doc_id"], r["query_id"])
+                 for r in percolate_qs(docs, queries).collect())
+    # doc 1 has 'beta gamma' adjacent -> the negated phrase excludes it
+    # from query 2; doc 2 ('beta alpha gamma') does not -> it fires
+    assert got == [(1, 0),
+                   (2, 2),
+                   (3, 1), (3, 2),
+                   (4, 1),
+                   (5, 2)]
+
+
+def test_percolate_qs_validation(spark):
+    from super_rag_spark.query.percolate import percolate_qs
+
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocabulary"):
+        percolate_qs(docs, [(0, "alp* AND beta")])
+    with pytest.raises(ValueError, match="vocabulary"):
+        percolate_qs(docs, [(0, "alpha~1")])
+    with pytest.raises(ValueError):  # qstring grammar errors propagate
+        percolate_qs(docs, [(0, "-alpha")])
+
+
+def test_stream_percolate_qs_equals_batch(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from super_rag_spark.query.percolate import percolate_qs
+    from super_rag_spark.streaming import stream_percolate
+
+    rows = [(i, ["alpha beta pad", "beta gamma pad", "noise only pad",
+                 "alpha beta gamma pad"][i % 4]) for i in range(20)]
+    in_dir = tmp_path / "inqs"
+    in_dir.mkdir()
+    for part in range(2):
+        chunk = rows[part * 10:(part + 1) * 10]
+        pq.write_table(pa.table({
+            "doc_id": [r[0] for r in chunk],
+            "text": [r[1] for r in chunk],
+            "lang": ["en"] * len(chunk),
+            "url": [str(r[0]) for r in chunk],
+            "warc_ts": [None] * len(chunk),
+        }), str(in_dir / f"part{part}.parquet"))
+    queries = [(7, '"alpha beta" -gamma'), (8, "gamma OR noise")]
+    out_dir, ckpt = str(tmp_path / "outqs"), str(tmp_path / "ckptqs")
+    q = stream_percolate(spark, str(in_dir), out_dir, ckpt, queries,
+                         qs=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = sorted((r["doc_id"], r["query_id"]) for r in
+                 spark.read.parquet(out_dir + "/batch=*").collect())
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted((r["doc_id"], r["query_id"]) for r in
+                  percolate_qs(docs, queries).collect())
+    assert got == want and got
