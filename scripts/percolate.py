@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""spark-submit entry point: reverse search / standing-alert matching.
+
+Matches a table (or stream) of documents against stored queries and
+writes the fired (doc, query) pairs — the saved-search/alerting job a
+production search platform schedules against its ingest feed:
+
+  # term-bag alerts (optional per-query msm, phrase flags):
+  #   queries.json = [{"query_id": 0, "text": "data breach"},
+  #                   {"query_id": 1, "text": "credit card",
+  #                    "phrase": true, "slop": 1}, ...]
+  spark-submit scripts/percolate.py --input docs.parquet \
+      --output fired.parquet --queries queries.json
+
+  # full query-string ALERT TREES (parens/AND/OR/NOT + phrases):
+  #   queries.json = [[0, '(breach OR leak) AND "credit card" -test'], ...]
+  spark-submit scripts/percolate.py --input docs.parquet \
+      --output fired.parquet --queries queries.json --qs
+
+  # continuous alerting over a landing directory (exactly-once
+  # batch=<id> sinks):
+  spark-submit scripts/percolate.py --input landing/ --output alerts/ \
+      --queries queries.json --stream --checkpoint /ckpt/perc
+
+Input needs (doc_id, text). Also runnable with plain `python`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--queries", required=True,
+                    help="JSON file of stored queries (see module doc)")
+    ap.add_argument("--qs", action="store_true",
+                    help="entries are [query_id, query_string] alert "
+                         "trees (query/qstring.py grammar) instead of "
+                         "term-bag dicts")
+    ap.add_argument("--stream", action="store_true",
+                    help="run as a Structured Streaming job over the "
+                         "input directory (requires --checkpoint)")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("super-rag-percolate")
+    if args.master:
+        b = b.master(args.master)
+    spark = (b.config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    with open(args.queries) as f:
+        raw = json.load(f)
+    queries = ([(int(q[0]), str(q[1])) for q in raw] if args.qs
+               else raw)
+    t0 = time.time()
+    try:
+        if args.stream:
+            if not args.checkpoint:
+                ap.error("--stream requires --checkpoint")
+            from super_rag_spark.streaming import stream_percolate
+
+            q = stream_percolate(spark, args.input, args.output,
+                                 args.checkpoint, queries, qs=args.qs)
+            q.awaitTermination()
+            n = spark.read.parquet(args.output + "/batch=*").count()
+        else:
+            from super_rag_spark.query.percolate import (percolate,
+                                                         percolate_qs)
+
+            docs = spark.read.parquet(args.input)
+            out = (percolate_qs(docs, queries) if args.qs
+                   else percolate(docs, queries))
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        print(json.dumps({"event": "percolated", "n_fired": n,
+                          "n_queries": len(queries), "qs": args.qs,
+                          "stream": args.stream,
+                          "elapsed_sec": round(time.time() - t0, 3)}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
