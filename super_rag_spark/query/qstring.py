@@ -48,12 +48,14 @@ Semantics:
 
 Scale shape (accepted_docs_df): tree acceptance is a POINTWISE
 function of per-leaf membership, so the distributed plan is
-query/boolean.py's step-bitmask device generalized to trees — ONE
+query/boolean.py's step-bitmask device generalized to trees — a
 bucket+term-pruned postings pass tags each doc with a bitmask of the
-leaves it satisfies (phrase leaves verify first and enter the union as
-their own bit source), one ``bit_or`` shuffle folds the mask, and the
-tree evaluates as a single Catalyst predicate over the bits. No stage
-ever touches a doc containing none of the query's terms, and the only
+leaves it satisfies, one ``bit_or`` shuffle folds the mask, and the
+tree evaluates as a single Catalyst predicate over the bits. A
+term-only tree is exactly ONE postings pass; each phrase leaf adds
+its own conjunction branch over the (further term-pruned) scan plus a
+verify, entering the union as its own bit source. No stage ever
+touches a doc containing none of the query's terms, and the only
 corpus access is the phrase verify's candidate-semi-joined scan (or
 none at all with the positional sidecar).
 """

@@ -300,3 +300,40 @@ def test_weighted_arrays_candidates_contract():
     assert a == w
     allowed = set(cand.tolist())
     assert all(d in allowed for d, _ in w)
+
+
+def test_accepted_docs_plan_reads_only_index(qs_setup):
+    """A term-only tree's distributed candidate plan sources postings
+    only — no corpus scan anywhere (the boolean plan test's device);
+    a phrase leaf adds exactly its positional-sidecar verify, still
+    corpus-free."""
+    import contextlib
+    import io
+
+    from super_rag_spark.query.qstring import (accepted_docs_df,
+                                               expand_leaves,
+                                               parse_query_string)
+
+    eng, _rows, _docs = qs_setup
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    node = parse_query_string("alpha AND (gamma OR delta) -epsilon")
+    cand = accepted_docs_df(eng.spark, eng.store, node)
+    plan = plan_of(cand)
+    assert "postings" in plan
+    assert "qsidx" not in plan.replace(eng.store.root, "")  # paranoia
+    for marker in ("text", "webtext", ".fixtures"):
+        assert marker not in plan, marker
+
+    # phrase leaf, positional sidecar: still no corpus in the plan
+    node = expand_leaves(eng, parse_query_string('"alpha beta" AND common'))
+    cand = accepted_docs_df(eng.spark, eng.store, node)
+    plan = plan_of(cand)
+    assert "positions" in plan
+    for marker in ("webtext", ".fixtures"):
+        assert marker not in plan, marker
