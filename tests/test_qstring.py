@@ -337,3 +337,54 @@ def test_accepted_docs_plan_reads_only_index(qs_setup):
     assert "positions" in plan
     for marker in ("webtext", ".fixtures"):
         assert marker not in plan, marker
+
+
+# ---------------------------------------------------- parser fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet='abc01 ()"*~^-+ANDORT.', max_size=40))
+def test_parser_total_over_junk(s):
+    """parse_query_string is TOTAL over arbitrary input: it returns an
+    AST or raises ValueError — never any other exception."""
+    try:
+        parse_query_string(s)
+    except ValueError:
+        pass
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "qq"])
+
+
+@st.composite
+def _tree(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        kind = draw(st.integers(0, 3))
+        w = draw(_WORDS)
+        if kind == 0:
+            return w
+        if kind == 1:
+            return f"{w}^{draw(st.integers(1, 9))}"
+        if kind == 2:
+            return f"{w}*"
+        return f'"{w} {draw(_WORDS)}"'
+    op = draw(st.sampled_from([" AND ", " OR ", " "]))
+    left = draw(_tree(depth + 1))
+    right = draw(_tree(depth + 1))
+    neg = "-" if (op != " OR " and draw(st.booleans())) else ""
+    return f"({left}{op}{neg}{right})"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tree())
+def test_parser_accepts_generated_trees(q):
+    """Every tree the generator emits is grammatically valid: it
+    parses, its scoring bag only names generated literals, and leaf
+    enumeration matches the re-parse (parser determinism)."""
+    node = parse_query_string(q)
+    bag = qstring.scoring_bag(node)
+    assert all(t.rstrip("*") and t[0].isalpha() for t in bag)
+    assert parse_query_string(q) == node
