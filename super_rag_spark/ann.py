@@ -43,15 +43,39 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+
+def _apply_filter(df: DataFrame, where):
+    """Candidate-side metadata filter (the vector-DB filtered-search
+    semantics the reference exposes through qdrant,
+    /root/reference/vectordbs/qdrant.py query filter / P7): a Spark
+    Column or a Qdrant-style dict (filters.to_column). Applied BEFORE
+    any distance math or cell/bucket work, so Catalyst pushes the
+    predicate into the scan — a selective filter prunes the candidate
+    corpus, it never post-filters a top-k."""
+    if where is None:
+        return df
+    from pyspark.sql import Column
+
+    if isinstance(where, Column):
+        return df.where(where)
+    from .filters import to_column
+
+    return df.where(to_column(where))
+
+
 def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                where=None) -> DataFrame:
     """Exact brute-force cosine top-k for each query id.
-    Returns (query_id, rank, vec_id, cosine). Self-matches excluded."""
+    Returns (query_id, rank, vec_id, cosine). Self-matches excluded.
+    ``where`` (r5): candidate-side metadata filter — Column or
+    Qdrant-style dict; query vectors are drawn from the UNFILTERED
+    table (a query need not satisfy its own filter)."""
     q = (embeddings
          .where(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")))
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        _apply_filter(embeddings, where).crossJoin(F.broadcast(q))
         .where(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("vec_id"),
                 F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"))
@@ -122,7 +146,8 @@ def ivf_nearest_cells_udf(centroids: list, nprobe: int):
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             where=None) -> DataFrame:
     """IVF-Flat approximate cosine top-k.
 
     Plan: one corpus pass stamps each vector's cell (Arrow-batched
@@ -135,7 +160,10 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     (query_id, rank, vec_id, cosine)."""
     cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     assign1 = ivf_nearest_cells_udf(cents, 1)
-    assigned = embeddings.select(
+    # centroids train on the FULL corpus (stable geometry across
+    # filters); the filter prunes the candidate side before cell
+    # assignment ships any vector
+    assigned = _apply_filter(embeddings, where).select(
         id_col, vec_col,
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"))
 
@@ -201,7 +229,8 @@ def lsh_default_n_planes(n_rows: int, target_bucket: int = 1024) -> int:
 def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                     n_planes: int | None = None, n_tables: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    dim: int = 64, n_rows: int | None = None) -> DataFrame:
+                    dim: int = 64, n_rows: int | None = None,
+                    where=None) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
 
     Each of ``n_tables`` independent plane sets yields a bucket key; a
@@ -227,16 +256,21 @@ def lsh_cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
                  .alias("sig"))
         for t in range(n_tables)
     ])
-    banded = (embeddings
-              .select(id_col, vec_col, F.explode(sigs).alias("b"))
-              .select(id_col, vec_col,
-                      F.col("b.table_id").alias("table_id"),
-                      F.col("b.sig").alias("sig")))
-    q = (banded.where(F.col(id_col).isin(query_ids))
+    def band(df):
+        return (df.select(id_col, vec_col, F.explode(sigs).alias("b"))
+                .select(id_col, vec_col,
+                        F.col("b.table_id").alias("table_id"),
+                        F.col("b.sig").alias("sig")))
+
+    q = (band(embeddings.where(F.col(id_col).isin(query_ids)))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                  "table_id", "sig"))
+    # plane geometry is data-independent, so the filter prunes the
+    # candidate side BEFORE banding (queries stay unfiltered); the
+    # metadata predicate reaches the scan, not a post-filter
     cand = (
-        banded.join(F.broadcast(q), ["table_id", "sig"])
+        band(_apply_filter(embeddings, where))
+        .join(F.broadcast(q), ["table_id", "sig"])
         .where(F.col(id_col) != F.col("query_id"))
         .select("query_id", F.col(id_col).alias("vec_id"), vec_col, "qvec")
         .dropDuplicates(["query_id", "vec_id"])

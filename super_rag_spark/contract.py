@@ -3811,6 +3811,48 @@ def percolate_qs_entry(spark, sf_dir):
     return percolate_qs(_docs(spark, sf_dir), PERC_QS_QUERIES)
 
 
+# ---- filtered ANN (the reference's qdrant filtered dense search) -----------
+
+@_q("ann_cosine_topk_filtered", f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+),
+allowed AS (SELECT vec_id FROM embeddings WHERE label = 1),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(e.v * q.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS ne, sqrt(sum(q.v * q.v)) AS nq
+  FROM flat e JOIN flat q USING (i)
+  WHERE q.vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+    AND e.vec_id <> q.vec_id
+    AND e.vec_id IN (SELECT vec_id FROM allowed)
+  GROUP BY q.vec_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, round(dot / (ne * nq), 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(dot / (ne * nq), 6) DESC, vec_id)
+         AS rank
+  FROM dots
+)
+SELECT query_id, rank::INT AS rank, vec_id, cosine FROM ranked WHERE rank <= 5
+""")
+def ann_cosine_filtered(spark, sf_dir):
+    """Metadata-filtered dense retrieval (ann.cosine_topk where= — the
+    reference's qdrant filtered search, P7 applied to vectors): the
+    Qdrant-style dict compiles through filters.to_column and prunes
+    the candidate side BEFORE any distance math; query vectors stay
+    unfiltered."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = ann.cosine_topk(
+        emb, ANN_QUERY_IDS, k=5,
+        where={"must": [{"key": "label", "match": {"value": 1}}]})
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      "rank", "vec_id", "cosine")
+
+
 # ---------------------------------------------------------------- exports
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -652,3 +652,39 @@ def test_temperature_mix_semantics(spark):
         temperature_mix(docs, 0)
     with _pt.raises(ValueError, match="alpha"):
         temperature_mix(docs, 10, alpha=-0.1)
+
+
+def test_ann_filtered_search(spark):
+    """r5: where= metadata filter on every ANN path — the qdrant
+    filtered-dense-search analog: candidates restricted BEFORE any
+    distance work, query vectors unfiltered; full-probe IVF and
+    exhaustive checks equal the filtered exact scan."""
+    import pyspark.sql.functions as F
+
+    from super_rag_spark.ann import cosine_topk, ivf_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    flt = {"must": [{"key": "label", "match": {"value": 1}}]}
+    allowed = {r["vec_id"] for r in
+               emb.where(F.col("label") == 1).select("vec_id").collect()}
+
+    exact = cosine_topk(emb, [0, 1, 2], k=5, where=flt).collect()
+    assert exact and all(r["vec_id"] in allowed for r in exact)
+    # the unfiltered ranking differs (the filter actually bites)
+    unfiltered = cosine_topk(emb, [0, 1, 2], k=5).collect()
+    assert {(r["query_id"], r["rank"], r["vec_id"]) for r in exact} != \
+        {(r["query_id"], r["rank"], r["vec_id"]) for r in unfiltered}
+
+    # a Column filter works too, and IVF at full probe equals it
+    col_exact = {(r["query_id"], r["rank"]): r["vec_id"]
+                 for r in cosine_topk(emb, [0, 1, 2], k=5,
+                                      where=F.col("label") == 1).collect()}
+    assert col_exact == {(r["query_id"], r["rank"]): r["vec_id"]
+                         for r in exact}
+    ivf = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(emb, [0, 1, 2], k=5, n_centroids=16,
+                             nprobe=16, where=flt).collect()}
+    assert ivf == col_exact
+
+    lsh = lsh_cosine_topk(emb, [0, 1, 2], k=5, where=flt).collect()
+    assert all(r["vec_id"] in allowed for r in lsh)
