@@ -202,7 +202,7 @@ def main() -> int:
         print(json.dumps({"query": args.query, "boolean": args.boolean,
                           "count": n,
                           "elapsed_sec": round(time.time() - t0, 3)}))
-    elif args.query is not None and args.qs:
+    elif args.query is not None and args.qs and not args.where:
         t0 = time.time()
         hits = eng.query_string_topk(
             args.query, k=args.k,
@@ -253,7 +253,8 @@ def main() -> int:
         rows = eng.search(args.query, k=args.k,
                           docs_meta=(spark.read.parquet(args.meta)
                                      if args.meta else None),
-                          where=json.loads(args.where)).collect()
+                          where=json.loads(args.where),
+                          qs=args.qs).collect()
         ms = (time.time() - t0) * 1e3
         print(json.dumps({"query": args.query, "where": json.loads(args.where),
                           "latency_ms": round(ms, 2),

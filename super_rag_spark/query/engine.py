@@ -695,7 +695,9 @@ class BM25Engine:
                snippet_docs: DataFrame | None = None,
                snippet_width: int = 20,
                snippet_fragments: int = 1,
-               snippet_mark: bool = False) -> DataFrame:
+               snippet_mark: bool = False,
+               qs: bool = False,
+               qs_max_expansions: int = 50) -> DataFrame:
         """Full query lifecycle (SURVEY.md §3.2): route -> retrieve ->
         filter -> materialize -> project.
 
@@ -723,6 +725,15 @@ class BM25Engine:
           (r5) switch to the multi-fragment <em>-marked ES-highlight
           form — each hit then carries up to that many rows'
           fragments joined as one " ... "-separated string.
+        - ``qs=True`` (r5): ``query`` is Lucene query-string syntax
+          (query/qstring.py grammar) — the full retrieval DSL under
+          the SAME filter/materialize/snippet lifecycle, the ES
+          query-string-plus-filter-context request shape. A selective
+          filter intersects the tree's candidates on the driver; a
+          broad one semi-joins them distributed. ``method`` is
+          ignored (the weighted scorer ranks); phrase leaves need
+          the positional sidecar; snippets highlight the tree's
+          scoring-bag terms.
         Returns a DataFrame (rank, doc_id, score, url, *meta
         [, n_matches, snippet]).
         """
@@ -745,8 +756,14 @@ class BM25Engine:
                     [r["doc_id"] for r in probe], dtype=np.int64))
                 cand_df = None
         engine, qtext = self._route(query)
-        terms = sorted(set(tokenize(qtext)))
-        hits = []
+        qs_bag: dict[str, float] = {}
+        if qs:
+            hits, qs_bag = engine._query_string_hits(
+                qtext, k, qs_max_expansions, cand_df, allowed)
+            terms = []
+        else:
+            terms = sorted(set(tokenize(qtext)))
+            hits = []
         if terms and cand_df is not None:
             # distributed path: candidate semi-join BEFORE scoring, then
             # global top-k — identical ranking to the driver path (the
@@ -796,7 +813,8 @@ class BM25Engine:
             snip = snippets(
                 snippet_docs,
                 out.select(F.lit(0).alias("query_id"), "doc_id"),
-                [(0, qtext)], width=snippet_width,
+                [(0, " ".join(sorted(qs_bag)) if qs else qtext)],
+                width=snippet_width,
                 n_fragments=snippet_fragments,
                 mark=snippet_mark).drop("query_id")
             if snippet_fragments > 1:
@@ -1337,6 +1355,66 @@ class BM25Engine:
             bag_arrays, int(m["n_docs"]), float(m["avgdl"]), k,
             weights=bag, candidates=cand,
             k1=float(m["k1"]), b=float(m["b"]))
+
+    def _query_string_hits(self, qtext: str, k: int, max_expansions: int,
+                           cand_df: DataFrame | None, allowed):
+        """query-string retrieval under an OPTIONAL metadata-filter
+        candidate restriction — the search(qs=True) body. ``cand_df``
+        (broad filter): the tree's accepted set semi-joins the filter
+        candidates and scoring runs distributed. ``allowed`` (selective
+        filter, sorted int64 array): the driver tree evaluation
+        intersects it. Phrase leaves verify against the positional
+        sidecar only (search() has no corpus handle; pass docs_df to
+        query_string_topk for match-then-verify). Returns
+        (hits, scoring_bag) — the bag feeds snippet highlighting."""
+        import numpy as np
+
+        from . import qstring
+        from .wand import weighted_topk_arrays
+
+        node = qstring.parse_query_string(qtext)
+        node = qstring.expand_leaves(self, node, max_expansions)
+        if qstring.phrase_leaves(node) and not self.store.has_positions():
+            raise ValueError(
+                "phrase clauses in search(qs=True) need the positional"
+                " sidecar — build with positions=True, or use"
+                " query_string_topk(docs_df=...)")
+        bag = qstring.scoring_bag(node)
+        if not bag:
+            return [], bag
+        allt = sorted(qstring.referenced_terms(node))
+        m = self.manifest
+        if (cand_df is not None
+                or self._uncached_df_total(allt) > self.driver_df_budget):
+            self.driver_fallbacks += 1
+            cands = qstring.accepted_docs_df(self.spark, self.store, node)
+            if cand_df is not None:
+                cands = cands.join(cand_df.select("doc_id"), "doc_id",
+                                   "left_semi")
+            res = score_query_batch(
+                self.spark, self.store,
+                [{"query_id": 0, "text": " ".join(sorted(bag)),
+                  "boosts": bag}], k=k, candidates=cands)
+            return [(int(r["doc_id"]), float(r["score"]))
+                    for r in res.orderBy("rank").collect()], bag
+        arrays = self._load_term_arrays(allt)
+        if arrays is None:  # pending tombstones -> masked block path
+            from ..codec import decode_blocks_batch
+
+            arrays = {}
+            for t, (df_t, bl) in self._load_term_blocks(allt).items():
+                docs, tfs, dls, _ = decode_blocks_batch(bl)
+                arrays[t] = (df_t, docs, tfs, dls)
+        cand = self._eval_qstring_driver(node, arrays, None)
+        if allowed is not None and len(cand):
+            cand = np.intersect1d(cand, allowed, assume_unique=True)
+        if not len(cand):
+            return [], bag
+        bag_arrays = {t: arrays[t] for t in bag if t in arrays}
+        return weighted_topk_arrays(
+            bag_arrays, int(m["n_docs"]), float(m["avgdl"]), k,
+            weights=bag, candidates=cand,
+            k1=float(m["k1"]), b=float(m["b"])), bag
 
     def _eval_qstring_driver(self, node, arrays, docs_df):
         """Candidate doc-id set of an (expanded) qstring tree on the

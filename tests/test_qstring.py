@@ -388,3 +388,58 @@ def test_parser_accepts_generated_trees(q):
     bag = qstring.scoring_bag(node)
     assert all(t.rstrip("*") and t[0].isalpha() for t in bag)
     assert parse_query_string(q) == node
+
+
+def test_search_qs_lifecycle(qs_setup):
+    """r5: search(qs=True) — the query-string DSL under the full
+    filter/materialize/snippet lifecycle (ES query_string + filter
+    context). Selective filters intersect on the driver, broad ones
+    semi-join distributed; both match the filtered full ranking."""
+    import pyspark.sql.functions as F
+
+    eng, rows, docs = qs_setup
+    spark = eng.spark
+    q = '("alpha beta" OR batch^2) AND common'
+
+    # unfiltered: identical ranking to query_string_topk
+    got = [(r["doc_id"], r["score"]) for r in
+           eng.search(q, k=10, qs=True).orderBy("rank").collect()]
+    want = eng.query_string_topk(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+    # filtered: expected = the filtered full ranking's head (BM25
+    # scores are per-doc, so filter-then-cut == cut-over-filtered)
+    meta = spark.createDataFrame(
+        [(doc_id_for_url(u), "even" if i % 2 == 0 else "odd")
+         for i, (u, _) in enumerate(rows)], "doc_id long, parity string")
+    allowed = {r["doc_id"] for r in
+               meta.where(F.col("parity") == "even").collect()}
+    full = eng.query_string_topk(q, k=100)
+    expect = [(d, s) for d, s in full if d in allowed][:10]
+    where = {"must": [{"key": "parity", "match": {"value": "even"}}]}
+    for dfm in (10_000, 0):  # driver-intersect path, then forced cand_df
+        res = eng.search(q, k=10, qs=True, docs_meta=meta, where=where,
+                         driver_filter_max=dfm).orderBy("rank").collect()
+        assert [r["doc_id"] for r in res] == [d for d, _ in expect], dfm
+        assert all(r["doc_id"] in allowed for r in res)
+
+    # snippets highlight the BAG terms, not the raw operator string
+    res = eng.search('batch^2 AND common', k=5, qs=True,
+                     snippet_docs=docs, snippet_mark=True,
+                     snippet_fragments=2).collect()
+    assert res
+    assert all("<em>" in r["snippet"] for r in res if r["snippet"])
+    assert not any("and" in (r["snippet"] or "").lower().split()
+                   for r in res)
+
+    # phrase leaves need positions when no corpus handle exists
+    from super_rag_spark.query.engine import BM25Engine
+    import tempfile
+
+    nop_docs = eng.spark.createDataFrame(
+        [("https://np2.example/1", "alpha beta")], "url string, text string")
+    with tempfile.TemporaryDirectory() as td:
+        nop = BM25Engine(eng.spark, td + "/idx").build(
+            nop_docs, text_is_extracted=True)
+        with pytest.raises(ValueError, match="positional sidecar"):
+            nop.search('"alpha beta"', qs=True)
