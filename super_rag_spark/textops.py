@@ -437,8 +437,9 @@ def temperature_mix(df: DataFrame, target_n: int, by: str = "lang",
         base = int(rate)
         thr = int((rate - base) * 4294967296.0)
         rows.append((g, base, thr))
+    by_type = df.schema[by].dataType.simpleString()  # join-key fidelity
     rates = df.sparkSession.createDataFrame(
-        rows, f"{by} string, base int, thr long")
+        rows, f"{by} {by_type}, base int, thr long")
     hv = F.conv(F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
         1, 8), 16, 10).cast("long")
