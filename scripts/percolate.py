@@ -76,7 +76,13 @@ def main() -> int:
             q = stream_percolate(spark, args.input, args.output,
                                  args.checkpoint, queries, qs=args.qs)
             q.awaitTermination()
-            n = spark.read.parquet(args.output + "/batch=*").count()
+            import glob as _glob
+
+            # zero micro-batches (empty landing dir) is a healthy
+            # no-op, not a crash: the batch=* glob may match nothing
+            n = (spark.read.parquet(args.output + "/batch=*").count()
+                 if _glob.glob(os.path.join(args.output, "batch=*"))
+                 else 0)
         else:
             from super_rag_spark.query.percolate import (percolate,
                                                          percolate_qs)

@@ -755,13 +755,17 @@ class BM25Engine:
                 allowed = np.unique(np.array(
                     [r["doc_id"] for r in probe], dtype=np.int64))
                 cand_df = None
-        engine, qtext = self._route(query)
         qs_bag: dict[str, float] = {}
         if qs:
+            # NO summary routing for the structured DSL: the 'summarize'
+            # keyword-strip would eat a legitimate leading term/prefix
+            # ('summary AND report' -> 'AND report', a parse error)
+            engine, qtext = self, query
             hits, qs_bag = engine._query_string_hits(
                 qtext, k, qs_max_expansions, cand_df, allowed)
             terms = []
         else:
+            engine, qtext = self._route(query)
             terms = sorted(set(tokenize(qtext)))
             hits = []
         if terms and cand_df is not None:
@@ -1299,74 +1303,38 @@ class BM25Engine:
                           ) -> list[tuple[int, float]]:
         """Lucene query-string search (query/qstring.py grammar):
         parentheses, AND/OR/NOT precedence, quoted phrases with
-        ``~slop``, per-clause ``^boost``, trailing-* prefix and
-        ``term~d`` fuzzy leaves — compiled onto the index's own
-        primitives. Candidates evaluate as set algebra over the tree;
-        scoring is weighted BM25 over the positive leaves restricted to
-        the candidates (GLOBAL stats, the filtered-search convention).
+        ``~slop``, per-clause ``^boost``, trailing-* prefix, mid-term
+        wildcard and ``term~d`` fuzzy leaves — compiled onto the
+        index's own primitives. Candidates evaluate as set algebra
+        over the tree; scoring is weighted BM25 over the positive
+        leaves restricted to the candidates (GLOBAL stats, the
+        filtered-search convention).
 
         Phrase leaves verify against ``docs_df`` (match-then-verify) or
-        the positional sidecar when ``docs_df=None``; prefix/fuzzy
-        leaves need the vocabulary sidecar. Budget-gated like every
-        driver path: over-budget trees run the distributed step-bitmask
-        plan (qstring.accepted_docs_df) + score_query_batch,
-        rank-identically (tests assert)."""
-        import numpy as np
-
-        from . import qstring
-        from .scoring import score_query_batch
-        from .wand import weighted_topk_arrays
-
-        node = qstring.parse_query_string(query)
-        node = qstring.expand_leaves(self, node, max_expansions)
-        phrases = qstring.phrase_leaves(node)
-        if phrases and docs_df is None and not self.store.has_positions():
-            raise ValueError(
-                "phrase clauses need docs_df or the positional sidecar"
-                " — build with positions=True / run build_positions")
-        bag = qstring.scoring_bag(node)
-        if not bag:
-            return []  # every positive leaf expanded to nothing
-        allt = sorted(qstring.referenced_terms(node))
-        m = self.manifest
-        if self._uncached_df_total(allt) > self.driver_df_budget:
-            self.driver_fallbacks += 1
-            cand_df = qstring.accepted_docs_df(self.spark, self.store,
-                                               node, docs_df)
-            res = score_query_batch(
-                self.spark, self.store,
-                [{"query_id": 0, "text": " ".join(sorted(bag)),
-                  "boosts": bag}], k=k, candidates=cand_df)
-            return [(int(r["doc_id"]), float(r["score"]))
-                    for r in res.orderBy("rank").collect()]
-        arrays = self._load_term_arrays(allt)
-        if arrays is None:  # pending tombstones -> masked block path
-            from ..codec import decode_blocks_batch
-
-            arrays = {}
-            for t, (df_t, bl) in self._load_term_blocks(allt).items():
-                docs, tfs, dls, _ = decode_blocks_batch(bl)
-                arrays[t] = (df_t, docs, tfs, dls)
-        cand = self._eval_qstring_driver(node, arrays, docs_df)
-        if not len(cand):
-            return []
-        bag_arrays = {t: arrays[t] for t in bag if t in arrays}
-        return weighted_topk_arrays(
-            bag_arrays, int(m["n_docs"]), float(m["avgdl"]), k,
-            weights=bag, candidates=cand,
-            k1=float(m["k1"]), b=float(m["b"]))
+        the positional sidecar when ``docs_df=None``; prefix/fuzzy/
+        wildcard leaves need the vocabulary sidecar. Budget-gated like
+        every driver path: over-budget trees run the distributed
+        step-bitmask plan (qstring.accepted_docs_df) +
+        score_query_batch, rank-identically (tests assert). The body
+        is _query_string_hits — search(qs=True) runs the same code
+        under the metadata-filter lifecycle."""
+        hits, _ = self._query_string_hits(query, k, max_expansions,
+                                          None, None, docs_df=docs_df)
+        return hits
 
     def _query_string_hits(self, qtext: str, k: int, max_expansions: int,
-                           cand_df: DataFrame | None, allowed):
-        """query-string retrieval under an OPTIONAL metadata-filter
-        candidate restriction — the search(qs=True) body. ``cand_df``
-        (broad filter): the tree's accepted set semi-joins the filter
+                           cand_df: DataFrame | None, allowed,
+                           docs_df: DataFrame | None = None):
+        """query-string retrieval — the shared body of
+        query_string_topk AND search(qs=True), under an OPTIONAL
+        metadata-filter candidate restriction. ``cand_df`` (broad
+        filter): the tree's accepted set semi-joins the filter
         candidates and scoring runs distributed. ``allowed`` (selective
-        filter, sorted int64 array): the driver tree evaluation
-        intersects it. Phrase leaves verify against the positional
-        sidecar only (search() has no corpus handle; pass docs_df to
-        query_string_topk for match-then-verify). Returns
-        (hits, scoring_bag) — the bag feeds snippet highlighting."""
+        filter, sorted int64 array): intersected on the driver path,
+        broadcast-semi-joined on the distributed one. ``docs_df``:
+        source corpus for phrase match-then-verify (None = positional
+        sidecar). Returns (hits, scoring_bag) — the bag feeds snippet
+        highlighting."""
         import numpy as np
 
         from . import qstring
@@ -1374,23 +1342,33 @@ class BM25Engine:
 
         node = qstring.parse_query_string(qtext)
         node = qstring.expand_leaves(self, node, max_expansions)
-        if qstring.phrase_leaves(node) and not self.store.has_positions():
+        if (qstring.phrase_leaves(node) and docs_df is None
+                and not self.store.has_positions()):
             raise ValueError(
-                "phrase clauses in search(qs=True) need the positional"
-                " sidecar — build with positions=True, or use"
-                " query_string_topk(docs_df=...)")
+                "phrase clauses need docs_df or the positional sidecar"
+                " — build with positions=True / run build_positions")
         bag = qstring.scoring_bag(node)
         if not bag:
             return [], bag
         allt = sorted(qstring.referenced_terms(node))
         m = self.manifest
+        if allowed is not None and not len(allowed):
+            return [], bag  # selective filter matched nothing
         if (cand_df is not None
                 or self._uncached_df_total(allt) > self.driver_df_budget):
             self.driver_fallbacks += 1
-            cands = qstring.accepted_docs_df(self.spark, self.store, node)
+            cands = qstring.accepted_docs_df(self.spark, self.store, node,
+                                             docs_df)
             if cand_df is not None:
                 cands = cands.join(cand_df.select("doc_id"), "doc_id",
                                    "left_semi")
+            if allowed is not None:
+                # a SELECTIVE filter must bind on the distributed path
+                # too (over-budget terms do not waive it): the small
+                # allowed set broadcasts into the semi-join
+                adf = self.spark.createDataFrame(
+                    [(int(d),) for d in allowed.tolist()], "doc_id long")
+                cands = cands.join(F.broadcast(adf), "doc_id", "left_semi")
             res = score_query_batch(
                 self.spark, self.store,
                 [{"query_id": 0, "text": " ".join(sorted(bag)),
@@ -1405,7 +1383,7 @@ class BM25Engine:
             for t, (df_t, bl) in self._load_term_blocks(allt).items():
                 docs, tfs, dls, _ = decode_blocks_batch(bl)
                 arrays[t] = (df_t, docs, tfs, dls)
-        cand = self._eval_qstring_driver(node, arrays, None)
+        cand = self._eval_qstring_driver(node, arrays, docs_df)
         if allowed is not None and len(cand):
             cand = np.intersect1d(cand, allowed, assume_unique=True)
         if not len(cand):
@@ -1963,7 +1941,9 @@ class BM25Engine:
             raise ValueError(
                 "span_near_topk needs the positional sidecar — build"
                 " with positions=True / run build_positions")
-        engine, qtext = self._route(query)
+        # no summary routing: a proximity query legitimately starts
+        # with 'summary'/'summarize' and must not lose that term
+        engine, qtext = self, query
         terms = sorted(set(tokenize(qtext)))
         if len(terms) < 2:
             raise ValueError("span_near_topk needs >= 2 distinct terms")

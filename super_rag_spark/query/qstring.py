@@ -71,7 +71,7 @@ from pyspark.sql import functions as F
 from .. import analysis
 
 __all__ = [
-    "Term", "Prefix", "Fuzzy", "Phrase", "Not", "And", "Or",
+    "Term", "Prefix", "Wildcard", "Fuzzy", "Phrase", "Not", "And", "Or",
     "parse_query_string", "expand_leaves", "scoring_bag",
     "referenced_terms", "phrase_leaves", "accepted_docs_df",
 ]
@@ -501,39 +501,63 @@ def accepted_docs_df(spark: SparkSession, store, node,
         srcs.append(decoded.join(F.broadcast(mem), "term_id")
                     .select("doc_id", "bits"))
 
-    for leaf in (l for l in leaves if isinstance(l, Phrase)):
-        bit = 1 << bit_of[id(leaf)]
-        uts = sorted(set(leaf.terms))
-        ph_ids = [term_id_for(t) for t in uts]
-        cand = (decoded.where(F.col("term_id").isin(ph_ids))
-                .groupBy("doc_id")
-                .agg(F.count_distinct("term_id").alias("n_hit"))
-                .where(F.col("n_hit") == len(uts))
-                .select(F.lit(0).alias("query_id"), "doc_id"))
-        if docs_df is None:
+    ph_leaves = [l for l in leaves if isinstance(l, Phrase)]
+    if ph_leaves and docs_df is None:
+        # positional sidecar: per-leaf verify (each leaf prunes its own
+        # position blocks; slop differs per leaf) — no corpus at all
+        for leaf in ph_leaves:
+            bit = 1 << bit_of[id(leaf)]
+            uts = sorted(set(leaf.terms))
+            ph_ids = [term_id_for(t) for t in uts]
+            cand = (decoded.where(F.col("term_id").isin(ph_ids))
+                    .groupBy("doc_id")
+                    .agg(F.count_distinct("term_id").alias("n_hit"))
+                    .where(F.col("n_hit") == len(uts))
+                    .select(F.lit(0).alias("query_id"), "doc_id"))
             qpdf = pd.DataFrame(
                 [{"query_id": 0, "term": t, "term_id": term_id_for(t)}
                  for t in uts])
             verified = _verified_by_positions(
                 spark, store, [(0, " ".join(leaf.terms))], cand, qpdf,
                 leaf.slop)
-        else:
-            src = docs_df
-            if "doc_id" not in src.columns:
-                src = src.withColumn("doc_id", doc_id_expr("url"))
-            # candidates semi-join FIRST; tokenize survivors only
-            # (phrase.py's r5 plan-order rule)
-            jt = (src.join(cand.select("doc_id"), "doc_id", "left_semi")
-                  .select("doc_id",
-                          plan_barrier(joined_tokens_expr("text"))
-                          .alias("jt")))
-            pat = phrase_pattern(leaf.terms, leaf.slop)
-            matcher = (F.col("jt").contains(pat) if leaf.slop == 0
-                       else F.col("jt").rlike(pat))
-            verified = jt.where(matcher).select(
-                F.lit(0).alias("query_id"), "doc_id")
-        srcs.append(verified.select(
-            "doc_id", F.lit(bit).cast("long").alias("bits")))
+            srcs.append(verified.select(
+                "doc_id", F.lit(bit).cast("long").alias("bits")))
+    elif ph_leaves:
+        # match-then-verify: ONE leaf table + ONE shared joined-tokens
+        # scan over the union of every leaf's candidates (a 3-phrase
+        # tree must not tokenize the corpus three times)
+        ph = spark.createDataFrame(
+            [(f"p{bit_of[id(l)]}", 1 << bit_of[id(l)],
+              phrase_pattern(l.terms, l.slop), l.slop,
+              len(set(l.terms)))
+             for l in ph_leaves],
+            "leaf_key string, bits long, pat string, slop int,"
+            " n_terms int")
+        pht = spark.createDataFrame(
+            [(f"p{bit_of[id(l)]}", term_id_for(t))
+             for l in ph_leaves for t in sorted(set(l.terms))],
+            "leaf_key string, term_id long")
+        cand = (decoded.join(F.broadcast(pht), "term_id")
+                .groupBy("doc_id", "leaf_key")
+                .agg(F.count_distinct("term_id").alias("n_hit"))
+                .join(F.broadcast(ph), "leaf_key")
+                .where(F.col("n_hit") == F.col("n_terms")))
+        src = docs_df
+        if "doc_id" not in src.columns:
+            src = src.withColumn("doc_id", doc_id_expr("url"))
+        # candidates semi-join FIRST; tokenize survivors only
+        # (phrase.py's r5 plan-order rule)
+        jt = (src.join(cand.select("doc_id").distinct(), "doc_id",
+                       "left_semi")
+              .select("doc_id",
+                      plan_barrier(joined_tokens_expr("text"))
+                      .alias("jt")))
+        srcs.append(
+            cand.join(jt, "doc_id")
+            .where(F.when(F.col("slop") == 0,
+                          F.col("jt").contains(F.col("pat")))
+                   .otherwise(F.expr("rlike(jt, pat)")))
+            .select("doc_id", "bits"))
 
     bits = srcs[0]
     for s in srcs[1:]:

@@ -423,11 +423,18 @@ def temperature_mix(df: DataFrame, target_n: int, by: str = "lang",
         raise ValueError("target_n must be positive")
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    # rows with a NULL group key are dropped: no rate is computable for
+    # an unknown group, and a null join key would drop them silently —
+    # this makes the contract explicit (clean upstream, or fillna)
+    df = df.where(F.col(by).isNotNull())
     sizes = {r[by]: int(r["n"]) for r in
              df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()}
     if not sizes:
-        return df.sparkSession.createDataFrame(
-            [], df.schema.add("copy_id", "int"))
+        from pyspark.sql.types import IntegerType, StructType
+
+        out_schema = StructType(list(df.schema.fields)).add(
+            "copy_id", IntegerType())
+        return df.sparkSession.createDataFrame([], out_schema)
     z = 0.0
     for g in sorted(sizes):  # ordered sum == the oracle's ORDER BY
         z += math.pow(sizes[g], alpha)

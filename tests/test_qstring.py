@@ -443,3 +443,46 @@ def test_search_qs_lifecycle(qs_setup):
             nop_docs, text_is_extracted=True)
         with pytest.raises(ValueError, match="positional sidecar"):
             nop.search('"alpha beta"', qs=True)
+
+
+def test_search_qs_selective_filter_over_budget(qs_setup):
+    """Review regression (r5): a SELECTIVE metadata filter must bind on
+    the distributed path too — an over-budget tree may not waive it,
+    and an empty filter returns nothing, not unfiltered hits."""
+    import pyspark.sql.functions as F
+
+    eng, rows, _docs = qs_setup
+    spark = eng.spark
+    meta = spark.createDataFrame(
+        [(doc_id_for_url(u), "even" if i % 2 == 0 else "odd")
+         for i, (u, _) in enumerate(rows)], "doc_id long, parity string")
+    allowed = {r["doc_id"] for r in
+               meta.where(F.col("parity") == "even").collect()}
+    where = {"must": [{"key": "parity", "match": {"value": "even"}}]}
+    q = "(alpha OR gamma) AND common"
+    budget = eng.driver_df_budget
+    try:
+        eng.driver_df_budget = -1  # every tree is now 'over budget'
+        res = eng.search(q, k=10, qs=True, docs_meta=meta,
+                         where=where).collect()
+        assert res and all(r["doc_id"] in allowed for r in res)
+        # filter matching NOTHING -> no hits (not unfiltered results)
+        none = {"must": [{"key": "parity", "match": {"value": "zz"}}]}
+        assert eng.search(q, k=10, qs=True, docs_meta=meta,
+                          where=none).collect() == []
+    finally:
+        eng.driver_df_budget = budget
+
+
+def test_qs_and_span_skip_summary_routing(qs_setup):
+    """Review regression (r5): the 'summarize'-prefix router must not
+    eat a legitimate leading term of a structured query."""
+    eng, rows, _docs = qs_setup
+    # 'summary AND alpha' parses (would have been 'AND alpha' -> error)
+    assert eng.query_string_topk("summary AND alpha") == []  # OOV term
+    assert eng.search("summary AND alpha", qs=True).collect() == []
+    assert eng.search("alpha AND common", qs=True).count() > 0
+    # span-near keeps both terms ('summary x' used to strip to 1 term)
+    assert eng.span_near_topk("summary alpha", slop=2) == []  # OOV
+    got = eng.span_near_topk("beta alpha", slop=0)
+    assert got  # unaffected queries still work

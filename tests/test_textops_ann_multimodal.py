@@ -688,3 +688,23 @@ def test_ann_filtered_search(spark):
 
     lsh = lsh_cosine_topk(emb, [0, 1, 2], k=5, where=flt).collect()
     assert all(r["vec_id"] in allowed for r in lsh)
+
+
+def test_temperature_mix_null_groups_and_schema_isolation(spark):
+    """Review regression (r5): NULL group keys are dropped by explicit
+    contract (not a TypeError in sorted(), not a silent join drop),
+    and the empty-input path must not mutate the caller's cached
+    schema."""
+    from super_rag_spark.textops import temperature_mix
+
+    rows = [(i, "en" if i % 2 == 0 else None) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(docs, 20, alpha=1.0).collect()
+    assert out and all(r["lang"] == "en" for r in out)
+    assert len({r["doc_id"] for r in out}) == 20  # rate from en-only
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    res = temperature_mix(empty, 10)
+    assert res.columns == ["doc_id", "lang", "copy_id"]
+    # the caller's schema must NOT have grown a phantom copy_id
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "lang"]
