@@ -16,6 +16,7 @@ Determinism requirements (BASELINE.json north_rule):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 import re
@@ -83,18 +84,89 @@ def doc_id_for_url(url: str) -> int:
     return int(hashlib.sha1(url.encode("utf-8")).hexdigest()[:15], 16)
 
 
+# --- XXH64 (pure stdlib): the Python mirror of Spark's xxhash64() ----------
+# r6 optimization: term ids moved from sha1-prefix to xxhash64. The JVM
+# side of the old construction (sha1 -> 40-char hex string -> substring
+# -> BigInteger conv) dominated the tf aggregation stage of the index
+# build (measured 14.7 s vs 2.5 s for the same stage with xxhash64 at
+# 1 core / 10k docs — the hex+conv allocations, not the hashing, were
+# the cost). xxhash64 is a Spark built-in returning int64 directly.
+# Collisions: 64 bits vs ~10^9 distinct web terms -> ~1e-10 birthday
+# probability, same class as before.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Reference XXH64 over ``data`` (unsigned 64-bit result). Matches
+    Spark's ``xxhash64()`` built-in (which uses seed 42) bit-for-bit —
+    asserted against the JVM in tests/test_analysis.py."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _xxh64_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh64_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh64_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh64_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh64_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _xxh64_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h ^ k, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+@functools.lru_cache(maxsize=1 << 20)
 def term_id_for(term: str) -> int:
-    """Deterministic 60-bit term id (same construction as doc ids).
+    """Deterministic signed 64-bit term id = Spark ``xxhash64(term)``
+    (seed 42, over the UTF-8 bytes).
 
     Posting tables key on term_id, never the term string: the build
     pipeline pushes tens of millions of rows through Arrow into Python
     workers, and materializing that many Python str objects costs more
-    than the entire block encode (measured ~3x). Collisions: 60 bits vs
-    ~10^9 distinct web terms -> ~1e-10 birthday probability.
-    Spark equivalent:
-    ``F.conv(F.substring(F.sha1("term"), 1, 15), 16, 10).cast("long")``.
+    than the entire block encode (measured ~3x). The id is SIGNED
+    (Spark long); every modulo uses pmod/Python %, both non-negative.
+    Spark equivalent: ``F.xxhash64(F.col("term"))``. Cached: the driver
+    query path hashes the same head terms on every query.
     """
-    return int(hashlib.sha1(term.encode("utf-8")).hexdigest()[:15], 16)
+    h = xxh64(term.encode("utf-8"), 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def salt_for_doc_id(doc_id: int, salt_count: int = SALT_COUNT) -> int:

@@ -1911,7 +1911,7 @@ def _indexed_engine(spark: SparkSession, sf_dir: str):
         # meta_cols check invalidates stale cached indexes (doc_stats
         # must carry lang for the filtered-meta entry and the synthetic
         # crawl timestamp for the recency entry)
-        manifest_ok = (m.get("version") == 4
+        manifest_ok = (m.get("version") == 5
                        and m.get("meta_cols") == ["lang", "ts"])
         if not manifest_ok:
             import shutil

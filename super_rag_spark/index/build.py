@@ -46,10 +46,14 @@ def doc_id_expr(url_col: str = "url"):
 
 
 def term_id_expr(term_col: str = "term"):
-    """60-bit term id; mirrors analysis.term_id_for. Keying the postings
-    pipeline on int64 instead of the term string keeps every shuffle and
-    every Arrow->Python transfer string-free (measured ~3x on the build)."""
-    return F.conv(F.substring(F.sha1(F.col(term_col)), 1, 15), 16, 10).cast("long")
+    """Signed 64-bit term id; mirrors analysis.term_id_for. Keying the
+    postings pipeline on int64 instead of the term string keeps every
+    shuffle and every Arrow->Python transfer string-free (measured ~3x
+    on the build). r6: xxhash64 built-in instead of the sha1 -> hex ->
+    conv chain, whose string allocations + BigInteger parse dominated
+    the tf aggregation stage (guide §4.1 built-ins; measured 6x on the
+    stage at 1 core)."""
+    return F.xxhash64(F.col(term_col))
 
 
 def tokens_expr(text_col: str = "text"):
@@ -314,12 +318,28 @@ def build_postings(tf_df: DataFrame, *,
     )
 
 
+def adaptive_n_buckets(spark: SparkSession, total_tokens: int) -> int:
+    """Derive the postings bucket count from DATA SIZE with a floor at
+    the session's parallelism (guide §2.2/§6): one bucket = one output
+    file = one build task, so buckets should be few enough that each
+    file lands in the ~128 MB-1 GB range at scale (est. ~6 B/posting on
+    disk, measured: 188.8 MB index / 29 M postings at sf0.1) and at
+    least defaultParallelism so every core works. A fixed 32 cost the
+    1-core scaling leg ~0.4 s/task of pure task overhead (measured:
+    the identical build_postings stage at 1 core, 32 -> 4 buckets,
+    16.8 s -> 5.9 s); at 100 TB the size term dominates and yields
+    thousands of buckets, capped at 4096."""
+    par = int(spark.sparkContext.defaultParallelism)
+    size_b = max(1, (int(total_tokens) * 6) >> 27)  # / 128 MiB
+    return max(1, min(4096, max(par, size_b)))
+
+
 def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 text_is_extracted: bool = True,
                 extract_mode: str = "html",
                 k1: float = analysis.K1, b: float = analysis.B,
                 block_size: int = analysis.BLOCK_SIZE,
-                n_buckets: int = analysis.N_BUCKETS,
+                n_buckets: int | None = None,
                 salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
                 salt_count: int = analysis.SALT_COUNT,
                 staging: bool = False, seg: int = 0,
@@ -412,6 +432,8 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         ).collect()[0]
     n_docs = int(st["n_docs"])
     avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
+    if n_buckets is None:  # scale-adaptive layout (see adaptive_n_buckets)
+        n_buckets = adaptive_n_buckets(spark, int(st["total_tokens"] or 0))
 
     stats_df = toks.select("doc_id", "url", "dl")
     if meta_cols:
@@ -458,7 +480,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
         write_term_stats_and_lineage(spark, store, phase="build", epoch=0)
 
     store.write_manifest({
-        "engine": "super_rag_spark", "version": 4,  # 3 = stats-free blocks; 4 = +seg column
+        "engine": "super_rag_spark", "version": 5,  # 4 = +seg column; 5 = xxhash64 term ids
         "k1": k1, "b": b, "block_size": block_size, "n_buckets": n_buckets,
         "salt_df_threshold": salt_df_threshold, "salt_count": salt_count,
         "n_docs": n_docs, "avgdl": avgdl, "epoch": 0, "seg": seg,

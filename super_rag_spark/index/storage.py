@@ -69,9 +69,11 @@ LINEAGE_SCHEMA = (
 
 
 def bucket_of_term_id(term_id: int, n_buckets: int) -> int:
-    """Term-hash bucket from the numeric term id (sha1-uniform), so the
-    exact same arithmetic runs in the block builder, at query planning
-    time on the driver, and in SQL — no dependence on Spark's Murmur3."""
+    """Term-hash bucket from the numeric term id (xxhash64-uniform), so
+    the exact same arithmetic runs in the block builder, at query
+    planning time on the driver, and in SQL — no dependence on Spark's
+    Murmur3. Python ``%`` with a positive divisor is non-negative even
+    for the signed ids, matching Spark's pmod."""
     return term_id % n_buckets
 
 
