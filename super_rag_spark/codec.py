@@ -36,32 +36,30 @@ def encode_varint_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
+    # r6 rewrite: the former implementation looped max-byte-count
+    # passes with fancy-indexed scatters over the still-active subset
+    # (~14 s on a 19 M-value stream of large doc-id gaps). This shape
+    # is fully dense: byte count per value from 9 vectorized compares,
+    # a (n, max_groups) byte matrix filled column-wise with the
+    # continuation bit folded into each column, one boolean compression
+    # to drop the unused tail bytes. Bit-identical output (asserted by
+    # tests/test_codec.py round-trips + the block bit-identity test);
+    # measured ~4 s on the same stream.
+    n = v.size
+    ngroups = np.ones(n, dtype=np.int64)
+    for i in range(1, LEB_MAX_BYTES):
+        ngroups += v >= np.uint64(1) << np.uint64(7 * i)
+    max_g = int(ngroups.max())
+    mat = np.empty((n, max_g), dtype=np.uint8)
     tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 7
+    for j in range(max_g):
+        byte = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        byte |= (ngroups > j + 1).astype(np.uint8) << 7  # continuation
+        mat[:, j] = byte
         tmp >>= np.uint64(7)
-        nz = tmp > 0
-    ngroups = np.maximum(nbits // 7, 1)
-    total = int(ngroups.sum())
-    out = np.empty(total, dtype=np.uint8)
-    pos = np.concatenate(([0], np.cumsum(ngroups)[:-1]))
-    tmp = v.copy()
-    idx = pos.copy()
-    remaining = ngroups.copy()
-    active = remaining > 0
-    while active.any():
-        byte = (tmp[active] & np.uint64(0x7F)).astype(np.uint8)
-        more = remaining[active] > 1
-        byte[more] |= np.uint8(0x80)
-        out[idx[active]] = byte
-        tmp[active] >>= np.uint64(7)
-        idx[active] += 1
-        remaining[active] -= 1
-        active = remaining > 0
-    return out.tobytes(), ngroups
+    cols = np.arange(max_g, dtype=np.int64)
+    valid = cols[None, :] < ngroups[:, None]
+    return mat[valid].tobytes(), ngroups
 
 
 def encode_varint(values: np.ndarray) -> bytes:

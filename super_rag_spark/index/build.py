@@ -26,6 +26,8 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Iterator
 
 import numpy as np
@@ -226,47 +228,117 @@ def _build_blocks_np(pdf: pd.DataFrame, block_size: int, n_buckets: int,
     ).to_pandas()
 
 
-def _make_partition_builder(block_size: int, n_buckets: int, seg: int = 0):
-    """mapInArrow body over a partition hash-clustered by (term, salt)
-    and sorted by (term, salt, doc_id). Input batches carry (term_id,
-    salt, doc_id, tfdl) with tf/dl PACKED into one int64 (tf<<32 | dl)
-    — one fewer column through the shuffle and the Arrow pipe, which is
-    the build's true bottleneck (the NumPy encode itself measures ~0.2 s
-    of a ~38 s stage at sf0.3; the rest is data movement). Arrow batches
-    may split a group, so an incomplete trailing group is carried into
-    the next batch. mapInArrow (not mapInPandas) skips the
-    Arrow->pandas->Arrow conversions entirely (~15% of the stage)."""
+def _make_partition_builder(block_size: int, n_buckets: int, seg: int = 0,
+                            salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
+                            salt_count: int = analysis.SALT_COUNT):
+    """mapInArrow body over a partition hash-clustered by term and
+    sorted by (term_id, doc_id). Input batches carry (term_id, doc_id,
+    tfdl) with tf/dl PACKED into one int64 (tf<<32 | dl) — fewer
+    columns through the shuffle and the Arrow pipe, which is the
+    build's true bottleneck (the NumPy encode itself measures ~0.2 s of
+    a ~38 s stage at sf0.3; the rest is data movement). mapInArrow (not
+    mapInPandas) skips the Arrow->pandas->Arrow conversions entirely.
+
+    r6: head-term SALTING happens HERE, not upstream. Every posting of
+    a term lands in this one partition (clustered by term_id % B), so
+    the builder sees each term's complete df as its contiguous group
+    size — the former global df aggregation + join over the whole tf
+    table existed only to compute `df > threshold`, and salt itself is
+    doc_id's top bits (monotone in doc_id), so sorting by (term_id,
+    doc_id) already equals the old (term_id, salt, doc_id) order. Net:
+    one aggregation + one join + one shuffled column removed from the
+    hot path (guide §2.3/§2.4), output blocks bit-identical.
+
+    Memory bound (unchanged class): an incomplete TERM group is carried
+    across Arrow batches, but once the carried rows exceed the salt
+    threshold the term is provably salted, and every COMPLETE salt
+    subgroup (doc_id-top-bits boundary) is flushed eagerly — so the
+    carry never holds more than max(threshold, one salt subgroup), the
+    same bound the old (term,salt)-keyed carry had."""
+    shift = np.int64(analysis.DOC_ID_BITS - (salt_count.bit_length() - 1))
+    thr = int(salt_df_threshold)
+    mask32 = np.int64(0xFFFFFFFF)
+
+    def emit(cols, first_salted: bool):
+        """Build blocks for rows whose TERM groups are all complete.
+
+        Input rows may be PRE-AGGREGATED postings (one row per
+        (term, doc) with its tf) or RAW token occurrences (tf=1 per
+        row): contiguous (term, doc) runs are summed, which makes the
+        two identical — so the index build can skip the tf groupBy
+        exchange entirely and merge can keep feeding decoded postings.
+
+        ``first_salted``: the first group already overflowed upstream
+        (its earlier salt subgroups were flushed), so it is salted
+        regardless of its remaining size here."""
+        terms, doc_ids, tfdl = cols
+        m = len(terms)
+        # collapse (term, doc) runs -> one posting per run, tf summed
+        new_post = np.empty(m, dtype=bool)
+        new_post[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=new_post[1:])
+        new_post[1:] |= doc_ids[1:] != doc_ids[:-1]
+        pstarts = np.flatnonzero(new_post)
+        tfs = np.add.reduceat(tfdl >> np.int64(32), pstarts)
+        pterms = terms[pstarts]
+        pdocs = doc_ids[pstarts]
+        pdls = tfdl[pstarts] & mask32
+        # term groups over postings; group size == the term's df
+        k = len(pterms)
+        new_grp = np.empty(k, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(pterms[1:], pterms[:-1], out=new_grp[1:])
+        gstarts = np.flatnonzero(new_grp)
+        gsizes = np.diff(np.append(gstarts, k))
+        salted_grp = gsizes > thr
+        if first_salted:
+            salted_grp[0] = True
+        salts = np.where(np.repeat(salted_grp, gsizes),
+                         pdocs >> shift, 0).astype(np.int32)
+        return _build_blocks_arrays(
+            pterms, salts, pdocs, tfs, pdls,
+            block_size, n_buckets, seg)
 
     def gen(batches):
-        carry = None  # tuple of 4 numpy arrays
+        carry = None  # list of 3 numpy arrays: incomplete TERM group
+        carry_salted = False
         for rb in batches:
             cols = [rb.column(i).to_numpy(zero_copy_only=False)
-                    for i in range(4)]
+                    for i in range(3)]
             if carry is not None:
                 cols = [np.concatenate((c, a)) for c, a in zip(carry, cols)]
-                carry = None
-            terms, salts = cols[0], cols[1]
-            if len(terms) == 0:
+            first_salted, carry, carry_salted = carry_salted, None, False
+            terms, doc_ids = cols[0], cols[1]
+            n = len(terms)
+            if n == 0:
                 continue
-            bounds = np.flatnonzero(
-                (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
-            if len(bounds) == 0:  # whole batch is one (possibly partial) group
-                carry = cols
+            bounds = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            if len(bounds) == 0:
+                # whole batch one (possibly partial) term group; df so
+                # far = distinct docs, not rows (raw rows repeat docs)
+                df_so_far = int(np.count_nonzero(
+                    doc_ids[1:] != doc_ids[:-1])) + 1
+                if first_salted or df_so_far > thr:
+                    # provably salted: flush complete salt subgroups
+                    # (cuts at doc_id top-bit changes == doc changes,
+                    # so no (term, doc) run is ever split)
+                    salts_full = doc_ids >> shift
+                    sb = np.flatnonzero(salts_full[1:] != salts_full[:-1]) + 1
+                    if len(sb):
+                        cut = int(sb[-1])
+                        yield emit([a[:cut] for a in cols], True)
+                        carry = [a[cut:] for a in cols]
+                    else:
+                        carry = cols
+                    carry_salted = True
+                else:
+                    carry = cols
                 continue
             cut = int(bounds[-1])
             carry = [a[cut:] for a in cols]
-            head = [a[:cut] for a in cols]
-            yield _build_blocks_arrays(
-                head[0], head[1], head[2],
-                head[3] >> np.int64(32),
-                head[3] & np.int64(0xFFFFFFFF),
-                block_size, n_buckets, seg)
+            yield emit([a[:cut] for a in cols], first_salted)
         if carry is not None and len(carry[0]):
-            yield _build_blocks_arrays(
-                carry[0], carry[1], carry[2],
-                carry[3] >> np.int64(32),
-                carry[3] & np.int64(0xFFFFFFFF),
-                block_size, n_buckets, seg)
+            yield emit(carry, carry_salted)
 
     return gen
 
@@ -280,31 +352,27 @@ def build_postings(tf_df: DataFrame, *,
                    k1: float = None, b: float = None) -> DataFrame:
     """tf rows (term, doc_id, tf, dl) -> posting-block rows.
 
-    df(term) is computed globally (for the SALTING decision only — v3
-    blocks don't store it), joined back (Catalyst reuses the term-hash
-    exchange), then head terms are salted by contiguous doc_id range
-    before the per-group block build. ``k1``/``b`` are accepted and
+    Head-term salting is decided INSIDE the per-partition builder (r6):
+    each term's postings all land in one partition, so the builder sees
+    the term's complete df as its contiguous group size — no global df
+    aggregation or join is needed, and because salt = doc_id's top bits
+    is monotone in doc_id, sorting by (term_id, doc_id) already yields
+    the old (term_id, salt, doc_id) order. Output blocks are
+    bit-identical to the former two-pass plan (asserted by
+    tests/test_build.py salting tests). ``k1``/``b`` are accepted and
     ignored so manifest-config dicts can be splatted through.
     """
-    df_t = tf_df.groupBy("term_id").agg(F.count(F.lit(1)).alias("df"))
-    shift = analysis.DOC_ID_BITS - (salt_count.bit_length() - 1)
-    with_df = tf_df.join(df_t, "term_id")
-    salted = with_df.withColumn(
-        "salt",
-        F.when(F.col("df") > F.lit(salt_df_threshold),
-               F.shiftright(F.col("doc_id"), shift).cast("int"))
-         .otherwise(F.lit(0)),
-    )
-    builder = _make_partition_builder(block_size, n_buckets, seg)
+    builder = _make_partition_builder(
+        block_size, n_buckets, seg,
+        salt_df_threshold=salt_df_threshold, salt_count=salt_count)
     # ONE shuffle: cluster by the OUTPUT partitioning (bucket =
-    # term_id % B), sort within partitions by (term_id, salt, doc_id),
-    # and stream whole partitions through the NumPy builder — each task
+    # term_id % B), sort within partitions by (term_id, doc_id), and
+    # stream whole partitions through the NumPy builder — each task
     # then owns exactly one bucket directory at write time, so no second
-    # shuffle is needed to lay the index out. Head-term salting keeps
-    # any single (term, salt) group bounded; the builder streams Arrow
+    # shuffle is needed to lay the index out. The builder streams Arrow
     # batches, so a bucket-sized partition never materializes in Python.
     return (
-        salted
+        tf_df
         .withColumn("bucket_p", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
         # pack (tf, dl) into one int64 BEFORE the shuffle: tf < 2^31 and
         # dl < 2^32 by construction, so tf<<32 | dl round-trips exactly —
@@ -312,10 +380,165 @@ def build_postings(tf_df: DataFrame, *,
         .withColumn("tfdl", F.expr(
             "shiftleft(CAST(tf AS BIGINT), 32) + CAST(dl AS BIGINT)"))
         .repartition(n_buckets, "bucket_p")
-        .sortWithinPartitions("term_id", "salt", "doc_id")
-        .select("term_id", "salt", "doc_id", "tfdl")
+        .sortWithinPartitions("term_id", "doc_id")
+        .select("term_id", "doc_id", "tfdl")
         .mapInArrow(builder, schema=POSTINGS_SCHEMA)
     )
+
+
+def _collapse_build_bucket(terms, docs, tfdl, *, block_size: int,
+                           n_buckets: int, salt_df_threshold: int,
+                           salt_count: int, seg: int):
+    """Whole-bucket block build over UNSORTED arrays: numpy lexsort,
+    (term, doc) run collapse (tf summed), in-place salting, block
+    encode. Returns (record_batch, term_ids, dfs) — the last two are
+    the bucket's term_stats rows (df(term) == term group size, since
+    each live doc contributes exactly one posting per term).
+
+    Rationale (r6, guide §1.2 'the distributed algorithm first'):
+    Spark's row-based sort + the JVM row->Arrow conversion were ~70 %
+    of the postings stage at 1 core (measured sf0.1: 48 s sort +
+    ~25 s pipe for 34 M rows, vs 7.5 s for the same sort as one numpy
+    lexsort on columnar input). Reading the bucket COLUMNAR from a
+    parquet spill and sorting in numpy does the same work at memory
+    bandwidth."""
+    order = np.lexsort((docs, terms))
+    terms = terms[order]
+    docs = docs[order]
+    tfdl = tfdl[order]
+    m = len(terms)
+    mask32 = np.int64(0xFFFFFFFF)
+    shift = np.int64(analysis.DOC_ID_BITS - (salt_count.bit_length() - 1))
+    new_post = np.empty(m, dtype=bool)
+    new_post[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=new_post[1:])
+    new_post[1:] |= docs[1:] != docs[:-1]
+    pstarts = np.flatnonzero(new_post)
+    tfs = np.add.reduceat(tfdl >> np.int64(32), pstarts)
+    pterms = terms[pstarts]
+    pdocs = docs[pstarts]
+    pdls = tfdl[pstarts] & mask32
+    k = len(pterms)
+    new_grp = np.empty(k, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(pterms[1:], pterms[:-1], out=new_grp[1:])
+    gstarts = np.flatnonzero(new_grp)
+    gsizes = np.diff(np.append(gstarts, k))
+    salted_grp = gsizes > int(salt_df_threshold)
+    salts = np.where(np.repeat(salted_grp, gsizes),
+                     pdocs >> shift, 0).astype(np.int32)
+    rb = _build_blocks_arrays(pterms, salts, pdocs, tfs, pdls,
+                              block_size, n_buckets, seg)
+    return rb, pterms[gstarts], gsizes
+
+
+# one bucket's raw (term_id, doc_id, tfdl) arrays must fit a task for
+# the columnar path; adaptive_n_buckets sizes buckets ~6x smaller than
+# this, so the fallback only triggers when a caller pins a small
+# n_buckets on a huge corpus
+BUCKET_MEM_BUDGET = 2 << 30
+
+
+def build_postings_bucketed(spark: SparkSession, tf_df: DataFrame,
+                            postings_dir: str, term_stats_dir: str | None, *,
+                            block_size: int = analysis.BLOCK_SIZE,
+                            n_buckets: int = analysis.N_BUCKETS,
+                            salt_df_threshold: int = analysis.SALT_DF_THRESHOLD,
+                            salt_count: int = analysis.SALT_COUNT,
+                            seg: int = 0,
+                            spill_dir: str | None = None) -> list[dict]:
+    """Columnar postings build (r6): ONE exchange writes the raw
+    (term_id, doc_id, tfdl) rows as a parquet SPILL partitioned by
+    bucket; one task per bucket then reads its partition back columnar
+    (pyarrow, no JVM row->Arrow transposition), numpy-lexsorts it,
+    builds the blocks, and writes the bucket's postings file AND its
+    term_stats file directly — so the former separate
+    write_term_stats_and_lineage pass over the finished postings is
+    folded in for free. Returns the per-bucket lineage rows.
+
+    Scale shape: the spill write/read is sequential columnar I/O (the
+    bytes Spark's sort-based shuffle would move anyway); what it
+    removes is the O(n) row-at-a-time sort insertion and the row->Arrow
+    transpose of every posting (guide §4.1/§2.1). Buckets are sized by
+    adaptive_n_buckets so one bucket's arrays fit task memory; callers
+    with over-budget buckets use the streaming build_postings instead
+    (build_index picks automatically)."""
+    import shutil as _shutil
+
+    if spill_dir is None:
+        spill_dir = postings_dir.rstrip("/") + "._tfspill"
+    packed = (
+        tf_df
+        .withColumn("bucket_p", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("tfdl", F.expr(
+            "shiftleft(CAST(tf AS BIGINT), 32) + CAST(dl AS BIGINT)"))
+        .select("term_id", "doc_id", "tfdl", "bucket_p")
+    )
+    # the exchange keeps the spill at one file per bucket; skipping it
+    # (every map task writing all buckets) would create n_map x B files
+    # — the small-files cliff of guide §6 — for only a modest win
+    _shutil.rmtree(spill_dir, ignore_errors=True)
+    try:
+        (packed.repartition(n_buckets, "bucket_p")
+         .write.mode("overwrite").partitionBy("bucket_p").parquet(spill_dir))
+
+        bs, nb, thr, sc, sg = (int(block_size), int(n_buckets),
+                               int(salt_df_threshold), int(salt_count),
+                               int(seg))
+        p_dir, ts_dir, sp_dir = postings_dir, term_stats_dir, spill_dir
+
+        def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            for pdf in pdfs:
+                for b in pdf["bucket"].tolist():
+                    part = os.path.join(sp_dir, f"bucket_p={b}")
+                    if not os.path.isdir(part):
+                        continue
+                    tbl = pads.dataset(part, format="parquet").to_table()
+                    if tbl.num_rows == 0:
+                        continue
+                    rb, t_ids, t_dfs = _collapse_build_bucket(
+                        tbl["term_id"].to_numpy(zero_copy_only=False),
+                        tbl["doc_id"].to_numpy(zero_copy_only=False),
+                        tbl["tfdl"].to_numpy(zero_copy_only=False),
+                        block_size=bs, n_buckets=nb,
+                        salt_df_threshold=thr, salt_count=sc, seg=sg)
+                    del tbl
+                    out = os.path.join(p_dir, f"bucket={b}")
+                    os.makedirs(out, exist_ok=True)
+                    pq.write_table(
+                        pa.Table.from_batches([rb]).drop_columns(["bucket"]),
+                        os.path.join(out, "part-00000.parquet"))
+                    if ts_dir is not None:
+                        tsd = os.path.join(ts_dir, f"bucket={b}")
+                        os.makedirs(tsd, exist_ok=True)
+                        pq.write_table(
+                            pa.table({"term_id": t_ids,
+                                      "df": t_dfs.astype("int64")}),
+                            os.path.join(tsd, "part-00000.parquet"))
+                    yield pd.DataFrame([{
+                        "bucket": b, "n_terms": int(len(t_ids)),
+                        "n_blocks": int(rb.num_rows),
+                        "n_postings": int(t_dfs.sum()),
+                    }])
+
+        buckets_df = spark.createDataFrame(
+            [(b,) for b in range(n_buckets)], "bucket int"
+        ).repartition(n_buckets)
+        os.makedirs(postings_dir, exist_ok=True)
+        rows = buckets_df.mapInPandas(
+            run, schema="bucket int, n_terms long, n_blocks long, "
+                        "n_postings long").collect()
+    finally:
+        _shutil.rmtree(spill_dir, ignore_errors=True)
+    return [{"bucket": int(r["bucket"]), "n_terms": int(r["n_terms"]),
+             "n_blocks": int(r["n_blocks"]),
+             "n_postings": int(r["n_postings"])} for r in rows]
 
 
 def adaptive_n_buckets(spark: SparkSession, total_tokens: int) -> int:
@@ -448,36 +671,62 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
             "n_docs long, avgdl double, total_tokens long"),
         store.corpus_stats_dir_for(0))
 
-    # tf via explode + hash agg (map-side partial combine). An in-row
-    # run-length alternative (sort_array + higher-order fns) was measured
-    # WORSE: Catalyst re-inlines lambda sub-expressions (no CSE inside
-    # HOFs), going O(dl^2) per doc. Keep the shuffle; it's compact
-    # (all-int64 rows) and AQE-coalesced.
+    # Token occurrences go STRAIGHT to the block builder (r6): the
+    # former explode -> groupBy(term,doc) tf aggregation was a second
+    # full exchange over postings-sized data, and its output had exactly
+    # one consumer once the df/salt join moved into the builder — the
+    # builder now sums tf over contiguous (term, doc) runs itself, so
+    # the whole postings path is ONE shuffle (by bucket) end to end and
+    # nothing postings-sized is ever persisted (guide §2.4; the old tf
+    # cache was also a 100 TB liability). An in-row run-length
+    # alternative (sort_array + higher-order fns) was measured WORSE:
+    # Catalyst re-inlines lambda sub-expressions (no CSE inside HOFs),
+    # going O(dl^2) per doc.
     tf = (
         toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .select("doc_id", "dl", term_id_expr("term").alias("term_id"))
-        .groupBy("term_id", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # tf feeds BOTH the df(term) aggregate and the block-build join;
-        # persist so the explode+agg runs once (Catalyst does not reuse
-        # the exchange across the two branches)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    blocks = build_postings(
-        tf, block_size=block_size, n_buckets=n_buckets,
-        salt_df_threshold=salt_df_threshold, salt_count=salt_count, seg=seg,
+        .select(term_id_expr("term").alias("term_id"), "doc_id",
+                F.lit(1).alias("tf"), "dl")
     )
     postings_dir = store.postings_dir_for(0)
-    # blocks arrive pre-clustered by bucket and pre-sorted by term_id
-    # (build_postings shuffles ONCE on the output partitioning), so the
-    # partitionBy write emits exactly one file per bucket with sorted
-    # term_id row groups — no extra exchange
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(postings_dir)
-    toks.unpersist()
-    tf.unpersist()
-
-    if not staging:
-        write_term_stats_and_lineage(spark, store, phase="build", epoch=0)
+    est_bucket_raw = (int(st["total_tokens"] or 0) * 24) // max(1, n_buckets)
+    if 0 < est_bucket_raw <= BUCKET_MEM_BUDGET:
+        # columnar per-bucket build (r6): spill exchange + numpy sort;
+        # also writes term_stats in the same pass (see
+        # build_postings_bucketed). Empty corpora and over-budget
+        # buckets take the streaming path below.
+        shutil.rmtree(postings_dir, ignore_errors=True)
+        ts_dir = None if staging else store.term_stats_dir_for(0)
+        if ts_dir is not None:
+            shutil.rmtree(ts_dir, ignore_errors=True)
+        lineage = build_postings_bucketed(
+            spark, tf, postings_dir, ts_dir,
+            block_size=block_size, n_buckets=n_buckets,
+            salt_df_threshold=salt_df_threshold, salt_count=salt_count,
+            seg=seg)
+        toks.unpersist()
+        if not staging:
+            store.append_lineage(spark, [
+                {"bucket": r["bucket"], "phase": "build", "epoch": 0,
+                 "n_terms": r["n_terms"], "n_blocks": r["n_blocks"],
+                 "n_postings": r["n_postings"], "status": "committed"}
+                for r in lineage
+            ])
+    else:
+        blocks = build_postings(
+            tf, block_size=block_size, n_buckets=n_buckets,
+            salt_df_threshold=salt_df_threshold, salt_count=salt_count,
+            seg=seg,
+        )
+        # blocks arrive pre-clustered by bucket and pre-sorted by
+        # term_id (build_postings shuffles ONCE on the output
+        # partitioning), so the partitionBy write emits exactly one
+        # file per bucket with sorted term_id row groups
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            postings_dir)
+        toks.unpersist()
+        if not staging:
+            write_term_stats_and_lineage(spark, store, phase="build",
+                                         epoch=0)
 
     store.write_manifest({
         "engine": "super_rag_spark", "version": 5,  # 4 = +seg column; 5 = xxhash64 term ids
