@@ -474,13 +474,22 @@ def build_postings_bucketed(spark: SparkSession, tf_df: DataFrame,
             "shiftleft(CAST(tf AS BIGINT), 32) + CAST(dl AS BIGINT)"))
         .select("term_id", "doc_id", "tfdl", "bucket_p")
     )
-    # the exchange keeps the spill at one file per bucket; skipping it
-    # (every map task writing all buckets) would create n_map x B files
-    # — the small-files cliff of guide §6 — for only a modest win
+    # Exchange decision by FILE-COUNT math (guide §6): without a
+    # repartition every map task writes into every bucket dir, giving
+    # n_map x B spill files — fine up to a few thousand (pyarrow reads
+    # a bucket dir as one dataset), a small-files cliff beyond. The
+    # spill is temp data read exactly once and deleted: dictionary
+    # encoding off (it cost ~2x on read-back of high-cardinality ids)
+    # and no compression (int64 columns, ~20% faster write locally; a
+    # deployment on object storage would flip compression on here).
+    n_map = packed.rdd.getNumPartitions()
+    writer = (packed if n_map * n_buckets <= 16384
+              else packed.repartition(n_buckets, "bucket_p"))
     _shutil.rmtree(spill_dir, ignore_errors=True)
     try:
-        (packed.repartition(n_buckets, "bucket_p")
-         .write.mode("overwrite").partitionBy("bucket_p").parquet(spill_dir))
+        (writer.write.mode("overwrite").partitionBy("bucket_p")
+         .option("compression", "none")
+         .option("parquet.enable.dictionary", "false").parquet(spill_dir))
 
         bs, nb, thr, sc, sg = (int(block_size), int(n_buckets),
                                int(salt_df_threshold), int(salt_count),
@@ -613,26 +622,31 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
             docs_df = extract_with_title(docs_df)
         else:
             docs_df = extract(docs_df) if extract_mode == "html" else extract_any(docs_df)
-    # The extraction + tokenize scan feeds doc_stats, corpus stats AND the
-    # tf aggregation; persist it so the (expensive) extraction UDF runs
-    # once. On a cluster this would be a checkpoint table — locally
-    # MEMORY_AND_DISK is the same idea without the extra write.
+    # The extraction + tokenize scan feeds doc_stats, corpus stats AND
+    # the postings spill; persist it so the (expensive) extraction UDF
+    # runs once. (r6 note: a no-persist variant re-running extraction
+    # per consumer pass was A/B-measured WORSE at 1 core / sf0.1 —
+    # min 120 s vs 97 s — the second extraction+tokenize pass costs
+    # more than materializing this cache. On a cluster this would be a
+    # checkpoint table — locally MEMORY_AND_DISK is the same idea.)
     from pyspark import StorageLevel
 
     toks = tokens_from_text(docs_df, title_weight=title_weight).persist(
         StorageLevel.MEMORY_AND_DISK)
 
+    def _stats_agg(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_uniq"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+
     # Input-uniqueness guard: duplicate urls would double-count n_docs /
     # dl and emit duplicate postings (doc scored twice, diverging from
-    # the oracle's upsert-by-doc_id semantics). The check rides the
-    # corpus-stats aggregate (no extra pass); the dedup shuffle runs
+    # the oracle's upsert-by-doc_id semantics). The dedup shuffle runs
     # ONLY when a duplicate is actually present.
-    st = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("doc_id").alias("n_uniq"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
+    st = _stats_agg(toks)
     if int(st["n_docs"]) != int(st["n_uniq"]):
         # deterministic survivor (dropDuplicates keeps a partition-order-
         # dependent row): max content hash per doc_id, so re-runs build
@@ -647,12 +661,7 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                    .persist(StorageLevel.MEMORY_AND_DISK))
         toks.unpersist()
         toks = deduped
-        st = toks.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("doc_id").alias("n_uniq"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        st = _stats_agg(toks)
     n_docs = int(st["n_docs"])
     avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
     if n_buckets is None:  # scale-adaptive layout (see adaptive_n_buckets)
