@@ -170,44 +170,143 @@ def build_positions(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     block_size = int(manifest["block_size"])
     epoch = int(manifest["epoch"])
 
-    if not text_is_extracted:
-        docs_df = (extract(docs_df) if extract_mode == "html"
-                   else extract_any(docs_df))
-    toks = tokens_from_text(docs_df)
     # duplicate-url guard, SAME deterministic survivor as build_index
     # (build.py): without it a url ingested twice would merge BOTH
     # copies' positions into one doc_id — phantom index-only phrase
     # matches the postings (which kept one copy) can never produce.
-    # The check rides one cheap agg; the dedup shuffle runs only when a
-    # duplicate actually exists.
-    st = toks.agg(F.count(F.lit(1)).alias("n"),
-                  F.countDistinct("doc_id").alias("u")).collect()[0]
-    if int(st["n"]) != int(st["u"]):
-        from pyspark.sql import Window
+    # r6: the fast probe is a plain row count against the manifest's
+    # (deduped) n_docs — docs_df is contractually the corpus
+    # build_index saw, so a count mismatch is exactly "duplicates
+    # present" and costs a metadata count instead of a full
+    # extract+tokenize+countDistinct pass; only a mismatch pays the
+    # full guard + dedup.
+    n_in = docs_df.count()
+    if not text_is_extracted:
+        docs_df = (extract(docs_df) if extract_mode == "html"
+                   else extract_any(docs_df))
+    toks = tokens_from_text(docs_df)
+    if n_in != int(manifest["n_docs"]):
+        st = toks.agg(F.count(F.lit(1)).alias("n"),
+                      F.countDistinct("doc_id").alias("u")).collect()[0]
+        if int(st["n"]) != int(st["u"]):
+            from pyspark.sql import Window
 
-        w = Window.partitionBy("doc_id").orderBy(
-            F.md5(F.concat_ws(" ", "tokens")).desc(), F.desc("dl"))
-        toks = (toks.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1).drop("_rn"))
-    pos = (
+            w = Window.partitionBy("doc_id").orderBy(
+                F.md5(F.concat_ws(" ", "tokens")).desc(), F.desc("dl"))
+            toks = (toks.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1).drop("_rn"))
+    pos_rows = (
         toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-        .select("doc_id", "pos", term_id_expr("term").alias("term_id"))
-        .groupBy("term_id", "doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .select(term_id_expr("term").alias("term_id"), "doc_id",
+                F.col("pos").cast("int").alias("pos"))
     )
-    blocks = (
-        pos
-        .withColumn("bucket_p",
-                    F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
-        .repartition(n_buckets, "bucket_p")
-        .sortWithinPartitions("term_id", "doc_id")
-        .select("term_id", "doc_id", "positions")
-        .mapInPandas(_make_positions_builder(block_size, n_buckets),
-                     schema=POSITIONS_SCHEMA)
-    )
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-        store.positions_dir_for(epoch))
+    out_dir = store.positions_dir_for(epoch)
+    # r6: same columnar spill device as the postings build
+    # (index/build.build_postings_bucketed) — the former plan paid a
+    # groupBy collect_list shuffle of every token position, a second
+    # repartition of the same data as arrays, a Spark row sort, and a
+    # per-row np.asarray in the Python builder. Now one spill write
+    # partitioned by bucket, then a per-bucket numpy lexsort + run
+    # collapse; positions within a (term, doc) run come out sorted by
+    # the lexsort exactly as sort_array ordered them.
+    est_bytes = None
+    try:
+        est_bytes = int(store.corpus_stats(spark, epoch).get(
+            "total_tokens", 0)) * 20
+    except Exception:
+        est_bytes = None
+    from .build import BUCKET_MEM_BUDGET
+    if est_bytes and est_bytes // max(1, n_buckets) <= BUCKET_MEM_BUDGET:
+        _build_positions_bucketed(spark, pos_rows, out_dir,
+                                  block_size=block_size,
+                                  n_buckets=n_buckets)
+    else:
+        blocks = (
+            pos_rows
+            .groupBy("term_id", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("bucket_p",
+                        F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+            .repartition(n_buckets, "bucket_p")
+            .sortWithinPartitions("term_id", "doc_id")
+            .select("term_id", "doc_id", "positions")
+            .mapInPandas(_make_positions_builder(block_size, n_buckets),
+                         schema=POSITIONS_SCHEMA)
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
     return store
+
+
+def _build_positions_bucketed(spark: SparkSession, pos_rows: DataFrame,
+                              out_dir: str, *, block_size: int,
+                              n_buckets: int) -> None:
+    """Columnar per-bucket positions build (mirror of
+    index/build.build_postings_bucketed; see there for the spill
+    rationale and the exchange/file-count rule)."""
+    import os
+    import shutil
+
+    spill_dir = out_dir.rstrip("/") + "._posspill"
+    packed = pos_rows.withColumn(
+        "bucket_p", F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int"))
+    n_map = packed.rdd.getNumPartitions()
+    writer = (packed if n_map * n_buckets <= 16384
+              else packed.repartition(n_buckets, "bucket_p"))
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    bs, nb = int(block_size), int(n_buckets)
+    try:
+        (writer.write.mode("overwrite").partitionBy("bucket_p")
+         .option("compression", "none")
+         .option("parquet.enable.dictionary", "false").parquet(spill_dir))
+
+        def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pq
+
+            for pdf in pdfs:
+                for b in pdf["bucket"].tolist():
+                    part = os.path.join(spill_dir, f"bucket_p={b}")
+                    if not os.path.isdir(part):
+                        continue
+                    tbl = pads.dataset(part, format="parquet").to_table()
+                    if tbl.num_rows == 0:
+                        continue
+                    terms = tbl["term_id"].to_numpy(zero_copy_only=False)
+                    docs = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                    poss = tbl["pos"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    del tbl
+                    order = np.lexsort((poss, docs, terms))
+                    terms, docs, poss = terms[order], docs[order], poss[order]
+                    m = len(terms)
+                    new_run = np.empty(m, dtype=bool)
+                    new_run[0] = True
+                    np.not_equal(terms[1:], terms[:-1], out=new_run[1:])
+                    new_run[1:] |= docs[1:] != docs[:-1]
+                    rstarts = np.flatnonzero(new_run)
+                    row_off = np.concatenate((rstarts, [m])).astype(np.int64)
+                    out_pdf = _build_position_blocks(
+                        terms[rstarts], docs[rstarts], poss, row_off, bs, nb)
+                    dest = os.path.join(out_dir, f"bucket={b}")
+                    os.makedirs(dest, exist_ok=True)
+                    pq.write_table(
+                        pa.Table.from_pandas(
+                            out_pdf.drop(columns=["bucket"]),
+                            preserve_index=False),
+                        os.path.join(dest, "part-00000.parquet"))
+                    yield pd.DataFrame([{"bucket": b}])
+
+        buckets_df = spark.createDataFrame(
+            [(b,) for b in range(nb)], "bucket int").repartition(nb)
+        os.makedirs(out_dir, exist_ok=True)
+        buckets_df.mapInPandas(run, schema="bucket int").count()
+        # has_positions() keys on the _SUCCESS marker Spark's own
+        # committer would have written
+        open(os.path.join(out_dir, "_SUCCESS"), "w").close()
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
 
 
 def decode_positions_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
