@@ -76,7 +76,20 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     the shingle self-join is all-pairs-on-shared-shingles: fine for a
     bounded slice, quadratic on a head-term corpus.
     """
-    sh = shingles(df, n, text_col).cache()
+    sh = shingles(df, n, text_col)
+    if candidates is not None:
+        # r6: only docs that appear in a candidate pair contribute to
+        # any output row (inter and sizes are both consumed through the
+        # pair join), so restrict the shingle table to them BEFORE the
+        # cache — at sf0.1 this caches ~66 k pairs' docs' shingles
+        # instead of all 33.5 M (doc, shingle) rows (guide §2.3
+        # "project before the exchange"; results identical).
+        cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
+                     .unionByName(candidates.select(
+                         F.col("doc_b").alias("doc_id")))
+                     .distinct())
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         pair = candidates.select("doc_a", "doc_b")
@@ -201,8 +214,21 @@ def _minhash_cols(n_perms: int):
 
 def minhash_signatures(df: DataFrame, n: int = 3, n_perms: int = N_MINHASH_PERMS,
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, mh0..mh{P-1}) MinHash signature over n-gram shingles."""
-    return shingles(df, n, text_col).groupBy("doc_id").agg(*_minhash_cols(n_perms))
+    """(doc_id, mh0..mh{P-1}) MinHash signature over n-gram shingles.
+
+    r6: feeds RAW shingle occurrences into the min-aggregate instead of
+    shingles()'s distinct rows — min() is insensitive to duplicates, so
+    the result is identical and the dropDuplicates exchange over every
+    (doc, shingle) row disappears (the min still partial-aggregates
+    map-side; guide §2.4)."""
+    toks = with_tokens(df, text_col)
+    idx = F.when(
+        F.size("tokens") >= n,
+        F.sequence(F.lit(1), F.size("tokens") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("tokens"), i, F.lit(n))))
+    raw = toks.select("doc_id", F.explode(sh).alias("shingle"))
+    return raw.groupBy("doc_id").agg(*_minhash_cols(n_perms))
 
 
 def minhash_lsh_candidates(df: DataFrame, n: int = 3,
