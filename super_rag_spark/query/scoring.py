@@ -339,10 +339,86 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
         })
 
     if candidates is None:
-        # NB: applyInPandas dispatches on function ARITY (2 params means
-        # (key, pdf)), so the two-param run_wand must be wrapped
-        per_range = ranged.groupBy("query_id", "range_id").applyInPandas(
-            lambda pdf: run_wand(pdf), schema=out_schema)
+        # r6 direct-read plan: the former plan shuffled every block's
+        # ENCODED PAYLOAD once per query using its term — a head term's
+        # blocks were replicated |queries| times through the
+        # scan -> broadcast-join -> groupBy exchange (~600 MB for the
+        # 600-query bench batch). Tasks now read their queries' blocks
+        # straight from the shared index with pyarrow (same bucket +
+        # row-group pruning the driver path uses), sharing one read per
+        # DISTINCT term per partition; only the (query, term) spec rows
+        # (a few bytes each) are shuffled. Rank-identical: the same
+        # per-(query, range) wand_topk runs on the same blocks
+        # (tests/test_rank_identity.py, test_segments.py).
+        spec_rows = []
+        for _, r in qterms_pdf.iterrows():
+            qid = int(r["query_id"])
+            ranges = (range(int(manifest["salt_count"]))
+                      if qid in salted_queries else (-1,))
+            for rid in ranges:
+                spec_rows.append((qid, int(rid), r["term"],
+                                  int(r["term_id"]), int(r["df"])))
+        spec = spark.createDataFrame(
+            spec_rows,
+            "query_id long, range_id int, term string, term_id long, df long")
+        npart = max(1, min(len({(q, g) for q, g, *_ in spec_rows}),
+                           int(spark.sparkContext.defaultParallelism)))
+        pdir = store.postings_dir_for(int(manifest["epoch"]))
+
+        # When the batch's total block bytes fit a broadcast budget
+        # (est. ~6 B/posting), the DRIVER reads each distinct term's
+        # blocks once and broadcasts them — tasks become pure WAND
+        # compute with no per-task read/dict-build duplication, which
+        # is what keeps the N -> 4N query-scaling ratio flat (each of
+        # 4 tasks would otherwise re-read its partition's terms).
+        # Over-budget batches (head terms at 10^12-doc scale) fall back
+        # to per-partition reads.
+        est_blk_bytes = sum(dfs[t] for t in term_ids) * 6
+        bb = None
+        if est_blk_bytes <= (64 << 20):
+            bb = spark.sparkContext.broadcast(
+                _read_blocks_by_tid(pdir, n_buckets, term_ids))
+
+        def run_part(batches):
+            from .wand import wand_topk
+
+            pdf = pd.concat(list(batches), ignore_index=True)
+            if not len(pdf):
+                return
+            if bb is not None:
+                blocks_by_tid = bb.value
+            else:
+                blocks_by_tid = _read_blocks_by_tid(
+                    pdir, n_buckets,
+                    pdf["term_id"].drop_duplicates().tolist())
+            for (qid, rid), qrows in pdf.groupby(["query_id", "range_id"]):
+                doc_range = None
+                if rid >= 0:
+                    doc_range = (int(rid) << shift, (int(rid) + 1) << shift)
+                tb: dict[str, tuple[int, list[dict]]] = {}
+                for row in qrows.itertuples(index=False):
+                    blist = blocks_by_tid.get(int(row.term_id))
+                    if not blist:
+                        continue
+                    if doc_range is not None:
+                        lo, hi = doc_range
+                        blist = [bl for bl in blist
+                                 if bl["last_doc_id"] >= lo
+                                 and bl["first_doc_id"] < hi]
+                        if not blist:
+                            continue
+                    tb[row.term] = (int(row.df), blist)
+                hits = wand_topk(tb, n_docs, avgdl, k, k1=k1, b=b,
+                                 doc_range=doc_range)
+                yield pd.DataFrame({
+                    "query_id": int(qid),
+                    "rank": np.arange(1, len(hits) + 1, dtype="int32"),
+                    "doc_id": [d for d, _ in hits],
+                    "score": [s for _, s in hits],
+                })
+
+        per_range = (spec.repartition(npart, "query_id", "range_id")
+                     .mapInPandas(run_part, schema=out_schema))
     else:
         def _empty_out():
             return pd.DataFrame({
@@ -388,6 +464,46 @@ def score_query_batch_wand(spark: SparkSession, store: IndexStorage,
     return (per_range.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score"))
+
+
+_BLK_COLS = ["term_id", "seg", "n", "first_doc_id", "last_doc_id",
+             "docs_enc", "tfs_enc", "dls_enc", "block_max_tf",
+             "block_min_dl"]
+
+
+def _read_blocks_by_tid(pdir: str, n_buckets: int,
+                        term_ids: list[int]) -> dict[int, list[dict]]:
+    """Pruned pyarrow read of the given terms' block rows, grouped by
+    term_id — the same bucket-dir + row-group pruning the driver path
+    uses (engine._load_term_blocks), shared by the direct-read WAND
+    batch plan (driver-broadcast and per-partition variants)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    by_bucket: dict[int, list[int]] = {}
+    for tid in term_ids:
+        by_bucket.setdefault(int(tid) % n_buckets, []).append(int(tid))
+    out: dict[int, list[dict]] = {}
+    for bkt, tids in by_bucket.items():
+        p = os.path.join(pdir, f"bucket={bkt}")
+        if not os.path.isdir(p):
+            continue
+        tbl = pads.dataset(p, format="parquet").to_table(
+            filter=pads.field("term_id").isin(tids), columns=_BLK_COLS)
+        cols = {c: tbl[c].to_pylist() for c in _BLK_COLS}
+        for i in range(tbl.num_rows):
+            out.setdefault(cols["term_id"][i], []).append({
+                "docs_enc": cols["docs_enc"][i],
+                "tfs_enc": cols["tfs_enc"][i],
+                "dls_enc": cols["dls_enc"][i],
+                "n": cols["n"][i], "seg": cols["seg"][i],
+                "first_doc_id": cols["first_doc_id"][i],
+                "last_doc_id": cols["last_doc_id"][i],
+                "block_max_tf": cols["block_max_tf"][i],
+                "block_min_dl": cols["block_min_dl"][i],
+            })
+    return out
 
 
 def _salt_shift(manifest: dict) -> int:
