@@ -77,22 +77,26 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     bounded slice, quadratic on a head-term corpus.
     """
     sh = shingles(df, n, text_col)
+    pair = None
     if candidates is not None:
         # r6: only docs that appear in a candidate pair contribute to
         # any output row (inter and sizes are both consumed through the
         # pair join), so restrict the shingle table to them BEFORE the
         # cache — at sf0.1 this caches ~66 k pairs' docs' shingles
         # instead of all 33.5 M (doc, shingle) rows (guide §2.3
-        # "project before the exchange"; results identical).
-        cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
-                     .unionByName(candidates.select(
+        # "project before the exchange"; results identical). The pair
+        # list (candidate-pairs-sized, small by construction) is
+        # materialized once so the LSH-candidate subtree is not
+        # recomputed for each of its two consumers here.
+        pair = candidates.select("doc_a", "doc_b").localCheckpoint()
+        cand_docs = (pair.select(F.col("doc_a").alias("doc_id"))
+                     .unionByName(pair.select(
                          F.col("doc_b").alias("doc_id")))
                      .distinct())
         sh = sh.join(cand_docs, "doc_id", "left_semi")
     sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
-        pair = candidates.select("doc_a", "doc_b")
         sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
