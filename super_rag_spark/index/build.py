@@ -479,16 +479,18 @@ def build_postings_bucketed(spark: SparkSession, tf_df: DataFrame,
     # n_map x B spill files — fine up to a few thousand (pyarrow reads
     # a bucket dir as one dataset), a small-files cliff beyond. The
     # spill is temp data read exactly once and deleted: dictionary
-    # encoding off (it cost ~2x on read-back of high-cardinality ids)
-    # and no compression (int64 columns, ~20% faster write locally; a
-    # deployment on object storage would flip compression on here).
+    # encoding off (it cost ~2x on read-back of high-cardinality ids);
+    # snappy keeps the spill ~4.5x smaller than raw for ~5 s more write
+    # at 1 core — the uncompressed variant measured faster solo but its
+    # writeback competed with every concurrent task at higher core
+    # counts (the r6 mid-round bench regressed build_scale4 on it).
     n_map = packed.rdd.getNumPartitions()
     writer = (packed if n_map * n_buckets <= 16384
               else packed.repartition(n_buckets, "bucket_p"))
     _shutil.rmtree(spill_dir, ignore_errors=True)
     try:
         (writer.write.mode("overwrite").partitionBy("bucket_p")
-         .option("compression", "none")
+         .option("compression", "snappy")
          .option("parquet.enable.dictionary", "false").parquet(spill_dir))
 
         bs, nb, thr, sc, sg = (int(block_size), int(n_buckets),
@@ -697,8 +699,13 @@ def build_index(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
                 F.lit(1).alias("tf"), "dl")
     )
     postings_dir = store.postings_dir_for(0)
-    est_bucket_raw = (int(st["total_tokens"] or 0) * 24) // max(1, n_buckets)
-    if 0 < est_bucket_raw <= BUCKET_MEM_BUDGET:
+    est_raw = int(st["total_tokens"] or 0) * 24
+    est_bucket_raw = est_raw // max(1, n_buckets)
+    # small inputs (micro-batch append deltas, tiny corpora) keep the
+    # streaming path: the spill's two extra jobs + per-bucket tasks are
+    # pure overhead when the whole input is a few MB (the r6 mid-round
+    # bench regressed append_delta_4x on a 4k-doc delta staging build)
+    if (64 << 20) <= est_raw and est_bucket_raw <= BUCKET_MEM_BUDGET:
         # columnar per-bucket build (r6): spill exchange + numpy sort;
         # also writes term_stats in the same pass (see
         # build_postings_bucketed). Empty corpora and over-budget

@@ -216,7 +216,8 @@ def build_positions(spark: SparkSession, docs_df: DataFrame, index_dir: str, *,
     except Exception:
         est_bytes = None
     from .build import BUCKET_MEM_BUDGET
-    if est_bytes and est_bytes // max(1, n_buckets) <= BUCKET_MEM_BUDGET:
+    if (est_bytes and (64 << 20) <= est_bytes
+            and est_bytes // max(1, n_buckets) <= BUCKET_MEM_BUDGET):
         _build_positions_bucketed(spark, pos_rows, out_dir,
                                   block_size=block_size,
                                   n_buckets=n_buckets)
@@ -257,7 +258,7 @@ def _build_positions_bucketed(spark: SparkSession, pos_rows: DataFrame,
     bs, nb = int(block_size), int(n_buckets)
     try:
         (writer.write.mode("overwrite").partitionBy("bucket_p")
-         .option("compression", "none")
+         .option("compression", "snappy")
          .option("parquet.enable.dictionary", "false").parquet(spill_dir))
 
         def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -630,6 +630,16 @@ def clean_corpus(df: DataFrame, min_tokens: int = 20,
         F.min("doc_id").over(Window.partitionBy(F.md5(F.col(text_col)))))
     uniq = (canon.where(F.col("doc_id") == F.col("_canonical"))
             .drop("_canonical"))
+    # r6: materialize the gated+exact-deduped survivors ONCE — three
+    # consumers reference this subtree (minhash signatures, the jaccard
+    # verify's shingles, the final anti-join) and Catalyst does not
+    # share subtrees across them, so the un-checkpointed plan ran the
+    # tokenize+gates+window chain three times (and the plan itself
+    # tripled, inflating single-shot compile time — the bench runs this
+    # pipeline exactly once). localCheckpoint truncates lineage; the
+    # blocks are freed by the ContextCleaner when the result frame goes
+    # out of scope (same device as dedup_clusters).
+    uniq = uniq.localCheckpoint()
     cand = minhash_lsh_candidates(uniq, text_col=text_col)
     verified = ngram_jaccard_pairs(uniq, threshold=jaccard_threshold,
                                    text_col=text_col, candidates=cand)
